@@ -1,13 +1,344 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + BASELINE.json.
+  *
+  * Each key in [[queries]] is one operator row from SURVEY §2 (or an
+  * LLM-data-pipeline extension); [[oracleSql]] holds the equivalent DuckDB SQL
+  * over the same parquet tables. Column names and value semantics are aligned
+  * between both sides (decimal-exact sums, integer threshold comparisons,
+  * µs-truncated event timestamps) so results hash-match bit-for-bit.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (ProvinceStats analog, the reference's cleanest
+    * declarative pipeline — app/dws/ProvinceStatsSQLApp.java:112-132) on
+    * sf0.001; driver smoke-checks rows > 0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    StatsOps.provinceStats(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.3 projection / filter / flatten / split
+    "p1_json_parse" -> (LogOps.jsonParse _),
+    "p3_cdc_filter" -> (LogOps.cdcNormalize _),
+    "p4_log_split" -> (LogOps.logSplit _),
+    "p5_scan_project" -> (RelationalOps.scanProject _),
+    "p6_config_router" -> (RelationalOps.configRouter _),
+    "p9_normalize_union" -> (RelationalOps.normalizeUnion _),
+    "x1_tokenize" -> (tokenize _),
+    // §2.4 joins
+    "j1_interval_join_order" -> (RelationalOps.intervalJoinOrder _),
+    "j2_interval_join_payment" -> (RelationalOps.intervalJoinPayment _),
+    "j3_dim_enrich" -> (RelationalOps.dimEnrich _),
+    // §2.5 aggregations / §2.6 windows
+    "a1_visitor_stats" -> (StatsOps.visitorStats _),
+    "a2_product_stats" -> (StatsOps.productStats _),
+    "a3_province_stats" -> (StatsOps.provinceStats _),
+    "a4_keyword_stats" -> (StatsOps.keywordStats _),
+    "a5_unique_visit" -> (LogOps.uniqueVisit _),
+    "a6_new_visitor_fix" -> (LogOps.newVisitorFix _),
+    "a7_ads_sum" -> (RelationalOps.adsSum _),
+    "w6_user_jump" -> (LogOps.userJump _),
+    // §2.8 scalar functions, §2.10 ranking
+    "f1_date_functions" -> (StatsOps.dateFunctions _),
+    "r1_rank_topn" -> (RelationalOps.rankTopN _),
+    // LLM-data-pipeline: dedup
+    "d1_dedup_exact" -> (DedupOps.dedupExact _),
+    "d2_minhash_signature" -> (DedupOps.minhashSignature _),
+    "d3_minhash_lsh_pairs" -> (DedupOps.minhashLshPairs _),
+    "d4_simhash" -> (DedupOps.simhash _),
+    "d5_ngram_jaccard" -> (DedupOps.ngramJaccard _),
+    // LLM-data-pipeline: similarity search
+    "n1_ann_cosine_topk" -> (AnnOps.cosineTopK _),
+    "n2_ann_ivf_topk" -> (AnnOps.ivfTopK _),
+    // LLM-data-pipeline: text analysis
+    "t1_lang_id" -> (TextOps.langId _),
+    "t2_text_quality" -> (TextOps.textQuality _),
+    "t3_token_count" -> (TextOps.tokenCount _),
+    "t4_fingerprint" -> (TextOps.fingerprint _),
+    // LLM-data-pipeline: multimodal (stubbed decode; rows-only check)
+    "m1_multimodal_decode" -> (MultimodalOps.decodeFeatures _)
+  )
+
+  /** X1 positional tokenize (LATERAL TABLE(split_words(...)),
+    * app/dws/KeywordStatsApp.java:90-96) — bounded to the first 50 docs.
+    */
+  private def tokenize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.table(spark, dir, "documents")
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+  }
+
+  // ---- DuckDB oracle SQL -------------------------------------------------
+
+  /** events.ts is TIMESTAMP_NS in parquet; both engines truncate to µs. */
+  private val EV = "CAST(ts AS TIMESTAMP)"
+  /** Exact decimal sum surfaced as double — mirror of Tables.dsum. */
+  private def dsum(c: String) = s"CAST(sum(CAST($c AS DECIMAL(18,4))) AS DOUBLE)"
+
+  private val shingleCte =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+      |         SELECT doc_id,
+      |                unnest([array_to_string(words[i:i+2], ' ')
+      |                        for i in generate_series(1, len(words) - 2)]) AS shingle
+      |         FROM w WHERE len(words) >= 3))""".stripMargin
+
+  private def minhashSelect =
+    (0 until 8).map(i => s"min(md5('$i:' || shingle)) AS mh$i").mkString(", ")
+
+  private val jaccardTail =
+    """cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT c.a, c.b, count(*) AS inter_ct
+      |          FROM cand c
+      |          JOIN sh sa ON sa.doc_id = c.a
+      |          JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+      |          GROUP BY c.a, c.b)
+      |SELECT i.a AS doc_a, i.b AS doc_b, i.inter_ct,
+      |       ca.n + cb.n - i.inter_ct AS union_ct,
+      |       floor(i.inter_ct * 10000.0 / (ca.n + cb.n - i.inter_ct) + 0.5) / 10000.0 AS jaccard
+      |FROM inter i JOIN cnt ca ON ca.doc_id = i.a JOIN cnt cb ON cb.doc_id = i.b""".stripMargin
+
+  private val simhashSums = (1 to 16).map(j =>
+    s"sum(CASE WHEN substr(md5(word), $j, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS s$j")
+    .mkString(", ")
+  private val simhashConcat = (1 to 16).map(j =>
+    s"CASE WHEN s$j > 0 THEN '1' ELSE '0' END").mkString(" || ")
+
+  private val cosineCommon =
+    """q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+      |      FROM embeddings WHERE vec_id < %QLIM%),
+      |e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ee
+      |      FROM embeddings)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "p1_json_parse" ->
+      s"""SELECT event_id,
+         |       TRY_CAST(json_extract_string(props, '$$.k') AS INTEGER) AS prop_k,
+         |       TRY_CAST(json_extract_string(props, '$$.k') AS INTEGER) AS prop_k_map
+         |FROM events
+         |WHERE TRY_CAST(json_extract_string(props, '$$.k') AS INTEGER) IS NOT NULL""".stripMargin,
+    "p3_cdc_filter" ->
+      """SELECT event_id, 'events' AS table_name,
+        |       CASE event_type WHEN 'signup' THEN 'insert'
+        |                       WHEN 'click' THEN 'update'
+        |                       ELSE 'insert' END AS op
+        |FROM events WHERE event_type <> 'error'""".stripMargin,
+    "p4_log_split" ->
+      """SELECT event_id, event_type,
+        |       CASE WHEN event_type = 'signup' THEN 'start'
+        |            WHEN event_type = 'view' THEN 'display'
+        |            ELSE 'page' END AS branch
+        |FROM events""".stripMargin,
+    "p5_scan_project" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'",
+    "p6_config_router" ->
+      """SELECT event_id, event_type, sink_type, sink_table
+        |FROM events
+        |JOIN (VALUES ('purchase','kafka','dwd_order_info'),
+        |             ('click','kafka','dwd_page_log'),
+        |             ('view','kafka','dwd_display_log'),
+        |             ('signup','hbase','dim_user_info'))
+        |     AS cfg(event_type, sink_type, sink_table) USING (event_type)""".stripMargin,
+    "p9_normalize_union" ->
+      s"""SELECT event_id, 'order_amount' AS metric_type,
+         |       CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS metric
+         |FROM events WHERE event_type = 'purchase'
+         |UNION ALL
+         |SELECT event_id, 'click_ct', CAST(1.0 AS DOUBLE) FROM events WHERE event_type = 'click'
+         |UNION ALL
+         |SELECT event_id, 'uv_ct', CAST(1.0 AS DOUBLE) FROM events WHERE event_type = 'signup'""".stripMargin,
+    "x1_tokenize" ->
+      """SELECT doc_id, pos, word FROM (
+        |  SELECT doc_id,
+        |         unnest(generate_series(1, len(words))) - 1 AS pos,
+        |         unnest(words) AS word
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |        WHERE doc_id < 50))
+        |WHERE len(word) > 0""".stripMargin,
+    "j1_interval_join_order" ->
+      """SELECT o_orderkey, l_linenumber, l_quantity,
+        |       strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+        |FROM orders JOIN lineitem
+        |  ON o_orderkey = l_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate <= o_orderdate + INTERVAL 90 DAY""".stripMargin,
+    "j2_interval_join_payment" ->
+      s"""SELECT p.user_id, p.payment_id, o.order_id
+         |FROM (SELECT user_id, event_id AS payment_id, $EV AS pay_ts
+         |      FROM events WHERE event_type = 'purchase') p
+         |JOIN (SELECT user_id, event_id AS order_id, $EV AS order_ts
+         |      FROM events WHERE event_type = 'signup') o
+         |  ON p.user_id = o.user_id
+         | AND o.order_ts >= p.pay_ts - INTERVAL 24 HOUR
+         | AND o.order_ts <= p.pay_ts + INTERVAL 1 HOUR""".stripMargin,
+    "j3_dim_enrich" ->
+      """SELECT o_orderkey, o_custkey, c_name, c_mktsegment,
+        |       n_name AS nation_name, r_name AS region_name, o_totalprice,
+        |       CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS acct_tier
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+    "a1_visitor_stats" ->
+      s"""SELECT strftime(date_trunc('hour', $EV), '%Y-%m-%d %H:%M:%S') AS stt,
+         |       strftime(date_trunc('hour', $EV) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS edt,
+         |       event_type AS ch,
+         |       count(*) AS pv_ct,
+         |       count(DISTINCT user_id) AS uv_ct,
+         |       ${dsum("value")} AS dur_sum
+         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "a2_product_stats" ->
+      s"""SELECT user_id,
+         |       count(*) FILTER (WHERE event_type = 'click') AS click_ct,
+         |       count(*) FILTER (WHERE event_type = 'view') AS display_ct,
+         |       count(*) FILTER (WHERE event_type = 'purchase') AS paid_ct,
+         |       count(*) FILTER (WHERE event_type = 'error') AS refund_ct,
+         |       CAST(sum(CASE WHEN event_type = 'purchase'
+         |                THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS order_amount,
+         |       count(DISTINCT CASE WHEN event_type = 'purchase' THEN event_id END) AS order_ct
+         |FROM events GROUP BY user_id""".stripMargin,
+    "a3_province_stats" ->
+      s"""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d %H:%M:%S') AS stt,
+         |       strftime(date_trunc('month', o_orderdate) + INTERVAL 1 MONTH, '%Y-%m-%d %H:%M:%S') AS edt,
+         |       n_nationkey AS province_id, n_name AS province_name,
+         |       count(DISTINCT o_orderkey) AS order_count,
+         |       ${dsum("o_totalprice")} AS order_amount
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY 1, 2, 3, 4""".stripMargin,
+    "a4_keyword_stats" ->
+      """SELECT keyword, count(*) AS ct, 'search' AS source
+        |FROM (SELECT unnest(string_split(text, ' ')) AS keyword FROM documents)
+        |WHERE len(keyword) > 0 GROUP BY keyword""".stripMargin,
+    "a5_unique_visit" ->
+      s"""SELECT user_id, visit_date, event_id FROM (
+         |  SELECT user_id, strftime($EV, '%Y-%m-%d') AS visit_date, event_id,
+         |         row_number() OVER (PARTITION BY user_id, strftime($EV, '%Y-%m-%d')
+         |                            ORDER BY $EV, event_id) AS rn
+         |  FROM events) WHERE rn = 1""".stripMargin,
+    "a6_new_visitor_fix" ->
+      s"""SELECT event_id, user_id, CASE WHEN rn = 1 THEN 1 ELSE 0 END AS is_new FROM (
+         |  SELECT event_id, user_id,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY $EV, event_id) AS rn
+         |  FROM events)""".stripMargin,
+    "a7_ads_sum" ->
+      s"""SELECT strftime(o_orderdate, '%Y%m%d') AS dt,
+         |       ${dsum("o_totalprice")} AS order_amount,
+         |       count(*) AS order_ct
+         |FROM orders GROUP BY 1""".stripMargin,
+    "w6_user_jump" ->
+      s"""SELECT event_id, user_id FROM (
+         |  SELECT event_id, user_id, epoch_us($EV) AS us,
+         |         lead(epoch_us($EV)) OVER (PARTITION BY user_id ORDER BY $EV, event_id) AS next_us
+         |  FROM events)
+         |WHERE next_us IS NULL OR next_us - us > 600000000""".stripMargin,
+    "f1_date_functions" ->
+      """SELECT o_orderkey, create_time,
+        |       substr(create_time, 1, 10) AS create_date,
+        |       substr(create_time, 12, 2) AS create_hour,
+        |       CAST(epoch(CAST(create_time AS TIMESTAMP)) AS BIGINT) * 1000 AS create_ts,
+        |       strftime(make_timestamp(CAST(epoch(CAST(create_time AS TIMESTAMP)) AS BIGINT) * 1000000),
+        |                '%Y-%m-%d %H:%M:%S') AS roundtrip,
+        |       CAST(floor(date_diff('day', CAST(substr(create_time, 1, 10) AS DATE),
+        |                            DATE '1998-12-31') / 365) AS BIGINT) AS age_years
+        |FROM (SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS create_time
+        |      FROM orders)""".stripMargin,
+    "r1_rank_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) WHERE rnk <= 3""".stripMargin,
+    // (Spark output column is also `rnk` — `rank` is reserved in DuckDB.)
+    "d1_dedup_exact" ->
+      """SELECT md5(text) AS fingerprint, min(doc_id) AS keeper_id, count(*) AS dup_ct
+        |FROM documents GROUP BY 1""".stripMargin,
+    "d2_minhash_signature" ->
+      s"""$shingleCte
+         |SELECT doc_id, $minhashSelect
+         |FROM sh GROUP BY doc_id""".stripMargin,
+    "d3_minhash_lsh_pairs" ->
+      s"""$shingleCte,
+         |sig AS (SELECT doc_id, $minhashSelect FROM sh GROUP BY doc_id),
+         |bands AS (SELECT doc_id, 0 AS band, mh0 || mh1 AS bkey FROM sig
+         |          UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM sig
+         |          UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM sig
+         |          UNION ALL SELECT doc_id, 3, mh6 || mh7 FROM sig),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |$jaccardTail""".stripMargin,
+    "d4_simhash" ->
+      s"""SELECT doc_id, $simhashConcat AS simhash FROM (
+         |  SELECT doc_id, $simhashSums
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE len(word) > 0 GROUP BY doc_id)""".stripMargin,
+    "d5_ngram_jaccard" ->
+      s"""$shingleCte,
+         |cand AS (SELECT a.doc_id AS a, b.doc_id AS b
+         |         FROM documents a JOIN documents b
+         |           ON b.doc_id BETWEEN a.doc_id + 1 AND a.doc_id + 10),
+         |$jaccardTail""".stripMargin,
+    "n1_ann_cosine_topk" ->
+      s"""WITH ${cosineCommon.replace("%QLIM%", "10")},
+         |sims AS (SELECT query_id, vec_id AS neighbor_id,
+         |                floor(list_dot_product(qe, ee) /
+         |                      (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ee, ee)))
+         |                      * 10000.0 + 0.5) / 10000.0 AS sim
+         |         FROM q, e WHERE vec_id <> query_id)
+         |SELECT query_id, neighbor_id, rnk, sim FROM (
+         |  SELECT query_id, neighbor_id, sim,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |  FROM sims) WHERE rnk <= 5""".stripMargin,
+    "n2_ann_ivf_topk" ->
+      s"""WITH ${cosineCommon.replace("%QLIM%", "20")},
+         |q2 AS (SELECT q.query_id, emb.label, q.qe FROM q JOIN embeddings emb ON emb.vec_id = q.query_id),
+         |sims AS (SELECT q2.query_id, q2.label AS cell, e.vec_id AS neighbor_id,
+         |                floor(list_dot_product(qe, ee) /
+         |                      (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ee, ee)))
+         |                      * 10000.0 + 0.5) / 10000.0 AS sim
+         |         FROM q2 JOIN e ON e.label = q2.label AND e.vec_id <> q2.query_id)
+         |SELECT query_id, cell, neighbor_id, rnk, sim FROM (
+         |  SELECT query_id, cell, neighbor_id, sim,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |  FROM sims) WHERE rnk <= 3""".stripMargin,
+    "t1_lang_id" ->
+      """SELECT doc_id, n_words, stop_ct, char_ct,
+        |       CASE WHEN stop_ct * 25 >= n_words * 2 THEN 'en'
+        |            WHEN char_ct * 10 >= n_words * 46 THEN 'de'
+        |            ELSE 'xx' END AS predicted_lang
+        |FROM (SELECT doc_id,
+        |             len(string_split(text, ' ')) AS n_words,
+        |             len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a')) AS stop_ct,
+        |             length(replace(text, ' ', '')) AS char_ct
+        |      FROM documents)""".stripMargin,
+    "t2_text_quality" ->
+      """SELECT doc_id, n_chars, n_words, stop_ct, char_ct,
+        |       floor(char_ct * 100.0 / n_words + 0.5) / 100.0 AS avg_word_len,
+        |       CAST(CASE WHEN n_words >= 20 THEN 1 ELSE 0 END +
+        |            CASE WHEN stop_ct > 0 THEN 1 ELSE 0 END +
+        |            CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END AS INTEGER) AS quality_score
+        |FROM (SELECT doc_id, n_chars,
+        |             len(string_split(text, ' ')) AS n_words,
+        |             len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a')) AS stop_ct,
+        |             length(replace(text, ' ', '')) AS char_ct
+        |      FROM documents)""".stripMargin,
+    "t3_token_count" ->
+      """SELECT doc_id, n_chars,
+        |       len(string_split(text, ' ')) AS ws_tokens,
+        |       CAST(ceil(n_chars / 4.0) AS BIGINT) AS bpe_tokens
+        |FROM documents""".stripMargin,
+    "t4_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp_full,
+        |       md5(substr(text, 1, 64)) AS fp_head,
+        |       md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fp_sorted
+        |FROM documents""".stripMargin
+    // m1_multimodal_decode: stubbed decoder, rows-only check (no oracle).
+  )
 }

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Canonical loaders for the driver testdata (/root/repo/TESTDATA.md).
+  *
+  * Scale notes (100 TB design): every loader returns a plain parquet scan so
+  * Catalyst keeps predicate pushdown + column pruning; nothing is cached or
+  * collected here. `events.ts` is written as INT64 TIMESTAMP(NANOS) which
+  * Spark 4 cannot read natively — we read it as long nanos
+  * (spark.sql.legacy.parquet.nanosAsLong) and truncate to microseconds,
+  * matching DuckDB's TIMESTAMP_NS → TIMESTAMP cast (integer floor division).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one testdata table. Idempotently flips the nanos conf (runtime-settable). */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      // integer nanos DIV 1000 → exact µs truncation (no double rounding)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Exact decimal sum of a double column, surfaced back as double.
+    *
+    * Summing raw doubles is order-dependent and cannot hash-match an external
+    * oracle; both engines cast to DECIMAL(18,4) first (exact, associative),
+    * then the final cast back to double is a single deterministic rounding.
+    * Mirrors the reference's BigDecimal money columns (bean/OrderInfo.java:13-17).
+    */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  /** Deterministic decimal average surfaced as double (same rationale as dsum). */
+  def davg(c: Column): Column =
+    (sum(c.cast(DecimalType(18, 4))) / count(c)).cast(DecimalType(18, 4)).cast("double")
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.Tables.table
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (Array[Float] column, 64-dim).
+  *
+  * Scale notes: brute force broadcasts the (small) query set so the corpus
+  * side streams through map-side with zero shuffle — at 100 TB the cost is one
+  * corpus scan per query batch. The IVF variant prunes the corpus by cluster
+  * id (the `label` column models a coarse-quantizer assignment): the join key
+  * turns top-k into per-cell work, the standard inverted-file layout. Dot
+  * products use `zip_with`+`aggregate` in double precision — codegen'd, no
+  * UDF, deterministic left-to-right summation.
+  */
+object AnnOps {
+  /** Sequential-fold double dot product of two float arrays. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Cosine similarity quantized to 4 dp via floor(x*1e4 + 0.5)/1e4 —
+    * bit-deterministic in both engines (unlike round(), whose HALF_UP on the
+    * shortest decimal string diverges from value-based rounding) and absorbs
+    * sub-ulp summation-order jitter.
+    */
+  private def cosine(a: Column, b: Column): Column =
+    floor(dot(a, b) / (norm(a) * norm(b)) * 10000.0 + 0.5) / 10000.0
+
+  /** N1 — brute-force cosine top-k: the exact baseline. Queries = vec_id < 10,
+    * k = 5, self-pairs excluded; ties broken by neighbor id.
+    */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("embedding")).as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("query_id", "neighbor_id", "rnk", "sim")
+  }
+
+  /** N2 — IVF-style ANN: probe only the query's cell (`label` = coarse
+    * centroid assignment), top-3 per query. The scale path: corpus partitioned
+    * by cell, per-cell scans instead of full scans.
+    */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("label"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    e.join(broadcast(q), Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("label").as("cell"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("embedding")).as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("query_id", "cell", "neighbor_id", "rnk", "sim")
+  }
+}

@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.Tables.table
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard — all over the `documents` table.
+  *
+  * Scale notes (100 TB): every variant is candidate-bounded — no operator ever
+  * forms the full n² pair space. Exact dedup is a single hash-groupBy on the
+  * content hash; MinHash/LSH shuffles once on (band, band-key) so candidate
+  * generation is linear in bucket sizes; nearby-pair Jaccard fans out by a
+  * constant window via an equi-join (no nested-loop range join). Everything is
+  * built from codegen'd `functions._` higher-order array ops — no UDFs.
+  */
+object DedupOps {
+  private val ShingleN = 3
+  private val NumHashes = 8
+  private val NumBands = 4 // 2 hashes per band
+
+  /** 3-word shingles of a pre-split word array (docs with < n words excluded
+    * by the caller). `slice` is 1-based like DuckDB list slicing.
+    */
+  private def shingleExpr(words: Column): Column =
+    transform(sequence(lit(1), size(words) - (ShingleN - 1)),
+      i => concat_ws(" ", slice(words, i, lit(ShingleN))))
+
+  /** (doc_id, shingle) distinct pairs for docs with >= 3 words. */
+  private def shingles(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    d.withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= ShingleN)
+      .select(col("doc_id"), explode(shingleExpr(col("words"))).as("shingle"))
+      .distinct()
+  }
+
+  /** Salted MinHash: hash family i = md5("i:" ++ shingle), signature = min.
+    * String-min of md5 hex is engine-portable (byte-ordered, no murmur seeds).
+    */
+  private def minhashAggs: Seq[Column] =
+    (0 until NumHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i"))
+
+  /** D1 — exact dedup by content hash: one hash-groupBy, keeper = min id.
+    * Generalizes the reference's keyed dedup A5 (app/dwm/UniqueVisitApp.java:54-102)
+    * from keys to full content.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("fingerprint"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("dup_ct"))
+
+  /** D2 — per-document MinHash signature (8 hashes over 3-shingles). */
+  def minhashSignature(spark: SparkSession, dir: String): DataFrame =
+    shingles(spark, dir).groupBy("doc_id").agg(minhashAggs.head, minhashAggs.tail: _*)
+
+  /** D3 — MinHash LSH near-dup pairs: band the signature (4 bands × 2 hashes),
+    * bucket-join on (band, key) for candidates, then verify with exact Jaccard
+    * over the distinct shingle sets. Candidates, not n², hit the verify step.
+    */
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).cache()
+    val sig = sh.groupBy("doc_id").agg(minhashAggs.head, minhashAggs.tail: _*)
+    val bands = (0 until NumBands).map { b =>
+      sig.select(col("doc_id"), lit(b).as("band"),
+        concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bkey"))
+    }.reduce(_ unionByName _)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    jaccardOf(cand, sh)
+  }
+
+  /** D5 — n-gram Jaccard over a bounded candidate window (each doc vs the next
+    * 10 ids): the window fan-out is an `explode` + equi-join, so Catalyst plans
+    * a hash join instead of a nested-loop range join.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).cache()
+    val ids = table(spark, dir, "documents").select(col("doc_id"))
+    val cand = ids
+      .select(col("doc_id").as("a"),
+        explode(sequence(col("doc_id") + 1, col("doc_id") + 10)).as("b"))
+      .join(ids.select(col("doc_id").as("b")), Seq("b"))
+      .select("a", "b")
+    jaccardOf(cand, sh)
+  }
+
+  /** Exact Jaccard for candidate pairs: |A∩B| via a shingle equi-join,
+    * |A∪B| = |A|+|B|−|A∩B|. Pairs with an empty intersection drop out (inner
+    * join) — by construction LSH candidates always intersect.
+    */
+  private def jaccardOf(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a"), col("shingle")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("shingle")), Seq("b", "shingle"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("inter_ct"))
+    // floor(x*10^4 + 0.5)/10^4 instead of round(): bit-identical across engines
+    // (round() on doubles is shortest-decimal-string HALF_UP in Spark vs
+    // value-based in DuckDB — they disagree near .xxxx5 boundaries).
+    val uni = col("na") + col("nb") - col("inter_ct")
+    inter
+      .join(cnt.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(cnt.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("inter_ct"),
+        uni.as("union_ct"),
+        (floor(col("inter_ct") * 10000.0 / uni + 0.5) / 10000.0).as("jaccard"))
+  }
+
+  private val SimhashBits = 16
+  private val OddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+
+  /** D4 — SimHash: 16-bit fingerprint; bit j votes +1/−1 by the parity of the
+    * j-th hex digit of md5(word), weighted by term frequency; bit set iff the
+    * vote sum is positive. One explode + one hash-groupBy with 16 sums.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    val wordsDf = d.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .withColumn("h", md5(col("word")))
+    val sums = (1 to SimhashBits).map(j =>
+      sum(when(substring(col("h"), j, 1).isin(OddHex: _*), 1).otherwise(-1)).as(s"s$j"))
+    wordsDf.groupBy("doc_id")
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        concat((1 to SimhashBits).map(j =>
+          when(col(s"s$j") > 0, "1").otherwise("0")): _*).as("simhash"))
+  }
+}

@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.Tables.{table, dsum}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Projection / routing / union / join / rank operators (SURVEY §2.3, §2.4,
+  * §2.7, §2.10).
+  *
+  * Scale notes: the router config and all dimension tables are broadcast —
+  * the fact side never shuffles for enrichment. Interval joins carry an
+  * equi-key (orderkey / user_id) so Catalyst plans a shuffled hash/sort-merge
+  * join on the key with the time bound as a post-filter, not a cross product.
+  */
+object RelationalOps {
+
+  /** P5 — column projection + pushed filter (TableProcessFunction.filterColumn,
+    * app/function/TableProcessFunction.java:171-189). Declarative select/filter
+    * so ParquetScan shows PushedFilters + pruned ReadSchema.
+    */
+  def scanProject(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  /** P6+J4 — config-driven stream router (TableProcessFunction.processElement,
+    * app/function/TableProcessFunction.java:131-165; wiring app/dwd/BaseDBApp.java:74-97).
+    * The `table_process` config is a tiny table broadcast-joined to the fact
+    * stream; each record gets its sink family + sink table. Unmatched records
+    * are dropped (reference logs "不存在" and drops, :161-163).
+    */
+  def configRouter(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val cfg = routerConfig(spark)
+    ev.join(broadcast(cfg), Seq("event_type"))
+      .select("event_id", "event_type", "sink_type", "sink_table")
+  }
+
+  /** The reference's table_process rows (FIXTURES.md §3) transposed onto event types. */
+  def routerConfig(spark: SparkSession): DataFrame = {
+    val rows = Seq(
+      Row("purchase", "kafka", "dwd_order_info"),
+      Row("click", "kafka", "dwd_page_log"),
+      Row("view", "kafka", "dwd_display_log"),
+      Row("signup", "hbase", "dim_user_info"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("event_type", StringType),
+        StructField("sink_type", StringType),
+        StructField("sink_table", StringType))))
+  }
+
+  /** P9+U2/U3 — normalize heterogeneous streams to one shape and union
+    * (app/dws/ProductStatsApp.java:127-238: 7 topics → ProductStats;
+    * app/dws/VisitorStatsApp.java:65-129: 3 topics → VisitorStats).
+    * Union of projections is a zero-shuffle narrow op in Spark.
+    */
+  def normalizeUnion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val orders = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), lit("order_amount").as("metric_type"),
+        col("value").cast(DecimalType(18, 4)).cast("double").as("metric"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), lit("click_ct").as("metric_type"), lit(1.0).as("metric"))
+    val visits = ev.filter(col("event_type") === "signup")
+      .select(col("event_id"), lit("uv_ct").as("metric_type"), lit(1.0).as("metric"))
+    orders.unionByName(clicks).unionByName(visits)
+  }
+
+  /** J1 — event-time interval join (app/dwm/OrderWideApp.java:94-105:
+    * order_info ⋈ order_detail on id=order_id within ±5s). Testdata analog:
+    * orders ⋈ lineitem on orderkey with l_shipdate in [o_orderdate,
+    * o_orderdate + 90 days]. Equi-key first ⇒ hash join + residual range
+    * filter; no theta-join blowup at scale.
+    */
+  def intervalJoinOrder(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val l = table(spark, dir, "lineitem")
+    o.join(l, o("o_orderkey") === l("l_orderkey") &&
+        l("l_shipdate") >= o("o_orderdate") &&
+        l("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .select(col("o_orderkey"), col("l_linenumber"),
+        col("l_quantity"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+  }
+
+  /** J2 — asymmetric interval join (app/dwm/PaymentWideApp.java:85-94:
+    * payment ⋈ order_wide within [-15min, +5min] of payment). Testdata analog:
+    * purchase events joined to the same user's signup events with
+    * signup.ts ∈ [purchase.ts − 24h, purchase.ts + 1h].
+    */
+  def intervalJoinPayment(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val pay = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("payment_id"), col("ts").as("pay_ts"))
+    val ord = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("order_id"), col("ts").as("order_ts"))
+    pay.join(ord, Seq("user_id"))
+      .filter(col("order_ts") >= col("pay_ts") - expr("INTERVAL 24 HOURS") &&
+              col("order_ts") <= col("pay_ts") + expr("INTERVAL 1 HOUR"))
+      .select("user_id", "payment_id", "order_id")
+  }
+
+  /** J3 — dimension enrichment (app/dwm/OrderWideApp.java:123-233: six async
+    * Phoenix/Redis lookups). Spark-first: the async/cache apparatus collapses
+    * into chained broadcast hash joins — dims ship once per executor, the
+    * fact side streams through with zero shuffle. Age derivation analog
+    * (OrderWideApp.java:140-147) → acctbal tier.
+    */
+  def dimEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val c = table(spark, dir, "customer")
+    val n = table(spark, dir, "nation")
+    val r = table(spark, dir, "region")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(o("o_orderkey"), o("o_custkey"), c("c_name"),
+        c("c_mktsegment"), n("n_name").as("nation_name"), r("r_name").as("region_name"),
+        o("o_totalprice"),
+        floor(c("c_acctbal") / 1000.0).cast("long").as("acct_tier"))
+  }
+
+  /** §2.10 — ranking/top-k (absent in the reference; Catalyst gives it free).
+    * Top-3 orders per customer by price, deterministic tiebreak on key.
+    */
+  def rankTopN(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+  }
+
+  /** A7+K6 — ADS serving query (gmall-publisher ProductStatsMapper.java:12-13:
+    * `select sum(order_amount) ... where toYYYYMMDD(stt)=#{date}`).
+    */
+  def adsSum(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .withColumn("dt", date_format(col("o_orderdate"), "yyyyMMdd"))
+      .groupBy("dt")
+      .agg(dsum(col("o_totalprice")).as("order_amount"),
+        count(lit(1)).as("order_ct"))
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.Tables.{table, dsum}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DWS windowed aggregations (SURVEY §2.5/§2.6/§2.8), batch form over the
+  * driver testdata. Streaming twins with watermarks live in
+  * [[graft.streaming.StatsStreams]].
+  *
+  * Scale notes: each aggregation is a single hash-agg with map-side partial
+  * aggregation (Spark plans partial+final automatically — the reference's
+  * hand-written incremental ReduceFunction, app/dws/VisitorStatsApp.java:159-182,
+  * is subsumed). Exact count-distinct expands to a two-shuffle expand plan;
+  * that is the price of the reference's exact HashSet semantics
+  * (bean/ProductStats.java:77-87) — approx_count_distinct is the documented
+  * fallback at 100 TB where the oracle tolerates it.
+  */
+object StatsOps {
+
+  /** A1+W1 — VisitorStats: keyed tumbling window, summed counters + window
+    * bounds stamped yyyy-MM-dd HH:mm:ss (app/dws/VisitorStatsApp.java:145-198).
+    * Window = 1 hour over events.ts; key = event_type (stands in for the
+    * (ar,ch,is_new,vc) 4-tuple).
+    */
+  def visitorStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    ev.groupBy(date_trunc("hour", col("ts")).as("wstart"), col("event_type"))
+      .agg(
+        count(lit(1)).as("pv_ct"),
+        countDistinct(col("user_id")).as("uv_ct"),
+        dsum(col("value")).as("dur_sum"))
+      .select(
+        date_format(col("wstart"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("wstart") + expr("INTERVAL 1 HOUR"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("event_type").as("ch"), col("pv_ct"), col("uv_ct"), col("dur_sum"))
+  }
+
+  /** A2+P8+P9 — ProductStats: one pass computing per-key heterogeneous
+    * counters + exact distinct "order" sets (app/dws/ProductStatsApp.java:251-301;
+    * set-union buffers bean/ProductStats.java:77-87). Key = user_id (stands in
+    * for sku_id); conditional aggregation replaces the 7-stream union+reduce.
+    * Divergence from reference (SURVEY §7.4.6): display events feed display_ct,
+    * not click_ct (intent, not the :115-118 bug).
+    */
+  def productStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    ev.groupBy(col("user_id"))
+      .agg(
+        count(when(col("event_type") === "click", 1)).as("click_ct"),
+        count(when(col("event_type") === "view", 1)).as("display_ct"),
+        count(when(col("event_type") === "purchase", 1)).as("paid_ct"),
+        count(when(col("event_type") === "error", 1)).as("refund_ct"),
+        dsum(when(col("event_type") === "purchase", col("value"))).as("order_amount"),
+        countDistinct(when(col("event_type") === "purchase", col("event_id"))).as("order_ct"))
+  }
+
+  /** A3+W2+F3/F4 — ProvinceStats, the reference's flagship declarative query
+    * (app/dws/ProvinceStatsSQLApp.java:112-132): tumbling window × province
+    * dims → count(distinct order_id), sum(amount), formatted TUMBLE_START/END.
+    * Testdata analog: orders ⋈ customer ⋈ nation, monthly window × nation.
+    */
+  def provinceStats(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val c = table(spark, dir, "customer")
+    val n = table(spark, dir, "nation")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("wstart"),
+        n("n_nationkey").as("province_id"), n("n_name").as("province_name"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("order_count"),
+        dsum(col("o_totalprice")).as("order_amount"))
+      .select(
+        date_format(col("wstart"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(add_months(col("wstart"), 1), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("province_id"), col("province_name"), col("order_count"), col("order_amount"))
+  }
+
+  /** A4+X1 — KeywordStats (app/dws/KeywordStatsApp.java:82-124): tokenize,
+    * LATERAL explode, count per word, constant source column. Tokenizer =
+    * whitespace split (the IK analyzer is replaced per SURVEY §2.9 X1), with
+    * the reference's fallback semantics: blank tokens dropped.
+    */
+  def keywordStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    d.select(explode(split(col("text"), " ")).as("keyword"))
+      .filter(length(col("keyword")) > 0)
+      .groupBy("keyword")
+      .agg(count(lit(1)).as("ct"))
+      .withColumn("source", lit("search"))
+  }
+
+  /** F1-F9 — scalar date/time surface in one query:
+    * TO_TIMESTAMP (F1, ProvinceStatsSQLApp.java:68), FROM_UNIXTIME (F2,
+    * KeywordStatsApp.java:53), DATE_FORMAT (F3), UNIX_TIMESTAMP*1000 (F4),
+    * split-derived date/hour (F6, OrderWideApp.java:55-58), age bucket (F8,
+    * OrderWideApp.java:140-147).
+    */
+  def dateFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    o.select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("create_time"))
+      .withColumn("create_date", substring(col("create_time"), 1, 10))
+      .withColumn("create_hour", substring(col("create_time"), 12, 2))
+      .withColumn("create_ts", unix_timestamp(to_timestamp(col("create_time"))) * 1000)
+      .withColumn("roundtrip", date_format(to_timestamp(from_unixtime(col("create_ts") / 1000)),
+        "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("age_years",
+        floor(datediff(lit("1998-12-31").cast("date"), to_date(col("create_date"))) / 365)
+          .cast("long"))
+  }
+}
