@@ -1,0 +1,120 @@
+package graft.streaming
+
+import graft.model.Schemas
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One table_process routing rule (bean/TableProcess.java:14-26; FIXTURES §3). */
+case class RouteRule(sourceTable: String, operateType: String, sinkType: String,
+    sinkTable: String, sinkColumns: Seq[String], sinkPk: String)
+
+/** P6/K2/K3 — the config-driven DB router (BaseDBApp +
+  * TableProcessFunction + DimSinkFunction), Spark-first.
+  *
+  * Reference shape: per-record broadcast-state lookup keyed
+  * `sourceTable-operateType` (app/function/TableProcessFunction.java:131-165),
+  * project `sinkColumns` (:171-189), route kafka-vs-hbase, Phoenix upsert per
+  * dim record (app/function/DimSinkFunction.java:44-89) with auto-DDL
+  * (:70-127).
+  *
+  * Spark shape: the whole per-record apparatus becomes a `foreachBatch`
+  * set-oriented pass — one filter+projection per matched rule (a handful of
+  * rules ⇒ a handful of narrow jobs per micro-batch), fact rules appended to
+  * their sink path (the "topic"), dim rules MERGEd into a keyed snapshot.
+  *
+  * Scale notes: rules are metadata (tens of rows) — held on the driver like
+  * Flink's broadcast state. Facts never shuffle: filter+project+append.
+  * The dim upsert dedups by (pk → latest) within the batch, then merges with
+  * the existing snapshot; on a lake deployment this is exactly Delta/Iceberg
+  * `MERGE INTO` (BASELINE.json approach) — with plain parquet here, the merge
+  * materializes the combined snapshot and rewrites it atomically via a
+  * temp-dir swap. Dims are small by contract (they get broadcast in J3).
+  */
+class DbRouter(rules: Seq[RouteRule], sinkRoot: String) extends Serializable {
+
+  /** CDC-envelope micro-batch → routed sinks. Call from
+    * `writeStream.foreachBatch(router.processBatch _)` or directly in batch.
+    * Expects envelope columns: tableName, type, after (JSON string).
+    */
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    batch.persist()
+    try {
+      rules.foreach { r =>
+        val matched = batch.filter(col("tableName") === r.sourceTable &&
+          col("type") === r.operateType)
+        // project sinkColumns out of the dynamic JSON payload (P5)
+        val ddl = r.sinkColumns.map(c => s"`$c` STRING").mkString(", ")
+        val projected = matched
+          .withColumn("row", from_json(col("after"), org.apache.spark.sql.types.StructType.fromDDL(ddl)))
+          .select(col("row.*"))
+        r.sinkType match {
+          case "kafka" => // fact family: append to the per-rule sink path ("topic")
+            projected.write.mode(SaveMode.Append)
+              .parquet(s"$sinkRoot/kafka/${r.sinkTable}")
+          case "hbase" => // dim family: MERGE by pk into the snapshot
+            upsertDim(spark, projected, r)
+          case other =>
+            throw new IllegalArgumentException(s"unknown sinkType $other for ${r.sourceTable}")
+        }
+      }
+    } finally batch.unpersist()
+  }
+
+  /** Upsert semantics of DimSinkFunction (last write per pk wins). */
+  private def upsertDim(spark: SparkSession, updates: DataFrame, r: RouteRule): Unit = {
+    val path = s"$sinkRoot/dim/${r.sinkTable}"
+    val pk = if (r.sinkPk == null || r.sinkPk.isEmpty) "id" else r.sinkPk
+    val deduped = updates
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(pk)).orderBy(monotonically_increasing_id().desc)))
+      .filter(col("_rn") === 1).drop("_rn")
+    val existing =
+      try Some(spark.read.parquet(path)) catch { case _: Exception => None }
+    val merged = existing match {
+      case None => deduped
+      case Some(old) =>
+        old.join(deduped, Seq(pk), "left_anti").unionByName(deduped)
+    }
+    // atomic-ish swap: write staging, then move over the live path
+    val staging = s"$path._staging"
+    merged.write.mode(SaveMode.Overwrite).parquet(staging)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(path)
+    fs.delete(live, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), live)
+  }
+}
+
+object DbRouter {
+  /** The reference's table_process rules transposed (FIXTURES §3). */
+  def referenceRules: Seq[RouteRule] = Seq(
+    RouteRule("order_info", "insert", "kafka", "dwd_order_info",
+      Seq("id", "user_id", "province_id", "total_amount", "create_time"), "id"),
+    RouteRule("order_detail", "insert", "kafka", "dwd_order_detail",
+      Seq("id", "order_id", "sku_id", "order_price", "sku_num", "create_time"), "id"),
+    RouteRule("payment_info", "insert", "kafka", "dwd_payment_info",
+      Seq("id", "order_id", "user_id", "total_amount", "callback_time"), "id"),
+    RouteRule("user_info", "insert", "hbase", "dim_user_info",
+      Seq("id", "name", "gender", "birthday"), "id"),
+    RouteRule("user_info", "update", "hbase", "dim_user_info",
+      Seq("id", "name", "gender", "birthday"), "id"),
+    RouteRule("base_province", "insert", "hbase", "dim_base_province",
+      Seq("id", "name", "area_code", "iso_code"), "id"))
+
+  /** S2 — decode raw CDC-envelope JSON lines (CustomerDeserialization output,
+    * app/function/CustomerDeserialization.java:30-90) incl. `create`→`insert`
+    * normalization (:74-79) and the delete filter (P3,
+    * app/dwd/BaseDBApp.java:49-58). Input: one string column `value`.
+    */
+  def decodeEnvelope(raw: DataFrame): DataFrame =
+    raw.withColumn("j", from_json(col("value"), Schemas.cdcEnvelope))
+      .filter(col("j").isNotNull && col("j.tableName").isNotNull)
+      .select(col("j.database").as("database"), col("j.tableName").as("tableName"),
+        col("j.before").as("before"), col("j.after").as("after"),
+        when(lower(col("j.type")) === "create", "insert")
+          .otherwise(lower(col("j.type"))).as("type"))
+      .filter(col("type") =!= "delete")
+}

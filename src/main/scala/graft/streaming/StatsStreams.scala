@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.Tables.dsum
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DWS windowed streaming aggregations (SURVEY §2.5/§2.6) — the streaming
+  * twins of [[graft.operators.StatsOps]], with the reference's exact window
+  * and watermark widths.
+  *
+  * Scale notes: windowed streaming aggs keep incremental per-(key, window)
+  * state with partial aggregation on the map side; watermark closes windows
+  * and evicts state (the reference's window-close finisher + state purge,
+  * app/dws/VisitorStatsApp.java:158-198). Exact streaming count-distinct is
+  * not supported in append mode — the engine offers approx_count_distinct in
+  * stream mode and exact distinct in batch mode (SURVEY §7.4.1).
+  */
+object StatsStreams {
+
+  /** A1/W1/W3 — VisitorStats: 10s tumbling event-time window keyed by
+    * (vc, ch, ar, is_new), 11s watermark (app/dws/VisitorStatsApp.java:133-198).
+    * Input columns: common struct + page struct + ts (millis).
+    */
+  def visitorStats(pages: DataFrame): DataFrame =
+    pages
+      .select(col("common.vc").as("vc"), col("common.ch").as("ch"),
+        col("common.ar").as("ar"), col("common.is_new").as("is_new"),
+        col("page.during_time").as("during_time"),
+        timestamp_millis(col("ts")).as("event_time"))
+      .withWatermark("event_time", "11 seconds")
+      .groupBy(window(col("event_time"), "10 seconds"),
+        col("vc"), col("ch"), col("ar"), col("is_new"))
+      .agg(count(lit(1)).as("pv_ct"), sum(col("during_time")).as("dur_sum"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("vc"), col("ch"), col("ar"), col("is_new"),
+        col("pv_ct"), col("dur_sum"))
+
+  /** A3/W2/W5 — ProvinceStats streaming: 10s tumbling window × province with
+    * order count + amount (app/dws/ProvinceStatsSQLApp.java:112-132). Streaming
+    * append mode cannot do exact count(distinct) — approx_count_distinct is
+    * used here; the batch path (StatsOps.provinceStats) is exact.
+    * Input columns: province_id, province_name, order_id, split_total_amount,
+    * create_ts (millis).
+    */
+  def provinceStats(orders: DataFrame): DataFrame =
+    orders
+      .withColumn("rt", timestamp_millis(col("create_ts")))
+      .withWatermark("rt", "1 second")
+      .groupBy(window(col("rt"), "10 seconds"), col("province_id"), col("province_name"))
+      .agg(approx_count_distinct(col("order_id")).as("order_count"),
+        dsum(col("split_total_amount")).as("order_amount"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("province_id"), col("province_name"), col("order_count"), col("order_amount"))
+
+  /** A4/X1 — KeywordStats streaming: tokenize (whitespace UDTF replacement,
+    * app/function/SplitFunction.java:12-28) + 10s window count.
+    * Input columns: full_word string, ts (millis).
+    */
+  def keywordStats(searches: DataFrame): DataFrame =
+    searches
+      .withColumn("rt", timestamp_millis(col("ts")))
+      .withWatermark("rt", "1 second")
+      .select(col("rt"), explode(split(col("full_word"), "\\s+")).as("keyword"))
+      .filter(length(col("keyword")) > 0)
+      .groupBy(window(col("rt"), "10 seconds"), col("keyword"))
+      .agg(count(lit(1)).as("ct"))
+      .select(col("keyword"), col("ct"), lit("search").as("source"),
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"))
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Smoke + spot checks for every SparkEntry query (the DuckDB hash-match gate
+  * is the driver's; these pin down invariants the oracle can't see).
+  */
+class BatchQueriesSpec extends SparkSpec {
+
+  test("every declared query returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every query except m1 has an oracle") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing == Set("m1_multimodal_decode"), s"missing oracles: $missing")
+    assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("d1 dedup partitions all documents") {
+    val d = SparkEntry.queries("d1_dedup_exact")(spark, sf)
+    assert(d.agg(sum("dup_ct")).head.getLong(0) === 500L)
+  }
+
+  test("jaccard bounded in [0,1] and lsh candidates include exact dups") {
+    val j = SparkEntry.queries("d3_minhash_lsh_pairs")(spark, sf)
+    assert(j.filter(col("jaccard") < 0 || col("jaccard") > 1).count() === 0)
+    // exact duplicate texts (if any) must be LSH candidates with jaccard 1
+    val dups = SparkEntry.queries("d1_dedup_exact")(spark, sf)
+      .filter(col("dup_ct") > 1).count()
+    if (dups > 0) assert(j.filter(col("jaccard") === 1.0).count() > 0)
+  }
+
+  test("ann topk: rank 1 is the most similar, k bounded") {
+    val t = SparkEntry.queries("n1_ann_cosine_topk")(spark, sf)
+    assert(t.groupBy("query_id").count().filter(col("count") > 5).count() === 0)
+    val perQueryMax = t.groupBy("query_id").agg(max("sim").as("mx"))
+    val rank1 = t.filter(col("rnk") === 1).select(col("query_id"), col("sim"))
+    val joined = rank1.join(perQueryMax, "query_id")
+      .filter(col("sim") =!= col("mx"))
+    assert(joined.count() === 0)
+  }
+
+  test("interval join respects bounds") {
+    val j = SparkEntry.queries("j1_interval_join_order")(spark, sf)
+    val o = Tables.table(spark, sf, "orders").select(col("o_orderkey").as("k"), col("o_orderdate"))
+    val bad = j.join(o, j("o_orderkey") === o("k"))
+      .filter(to_date(col("ship_date")) < to_date(col("o_orderdate")) ||
+        to_date(col("ship_date")) > to_date(col("o_orderdate")) + expr("INTERVAL 90 DAYS"))
+    assert(bad.count() === 0)
+  }
+
+  test("rank topn: at most 3 per customer, descending") {
+    val r = SparkEntry.queries("r1_rank_topn")(spark, sf)
+    assert(r.groupBy("o_custkey").count().filter(col("count") > 3).count() === 0)
+    assert(r.filter(col("rnk") === 1).count() ===
+      r.select("o_custkey").distinct().count())
+  }
+
+  test("multimodal decode: byte_len equals document n_chars (ascii payload)") {
+    val m = SparkEntry.queries("m1_multimodal_decode")(spark, sf)
+    val d = Tables.table(spark, sf, "documents").select(col("doc_id"), col("n_chars"))
+    val bad = m.join(d, "doc_id").filter(col("byte_len") =!= col("n_chars"))
+    assert(bad.count() === 0)
+    assert(m.filter(col("width") < 64 || col("width") >= 2048).count() === 0)
+  }
+}

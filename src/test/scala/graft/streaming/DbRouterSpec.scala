@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class DbRouterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def envelope(table: String, tpe: String, after: String): String =
+    s"""{"database":"gmall-flink","tableName":"$table","before":"{}","after":"$after","type":"$tpe"}"""
+      .replace(after, after.replace("\"", "\\\""))
+
+  private def mkEnvelopes(rows: (String, String, String)*) =
+    rows.map { case (t, tp, after) =>
+      s"""{"database":"g","tableName":"$t","before":null,"after":${jsonStr(after)},"type":"$tp"}"""
+    }.toDF("value")
+
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  test("decodeEnvelope normalizes create→insert and drops deletes (S2/P3)") {
+    val raw = mkEnvelopes(
+      ("order_info", "create", """{"id":"1"}"""),
+      ("order_info", "UPDATE", """{"id":"2"}"""),
+      ("order_info", "delete", """{"id":"3"}"""))
+    val dec = DbRouter.decodeEnvelope(raw)
+    val types = dec.select("type").as[String].collect().sorted
+    assert(types.toSeq === Seq("insert", "update"))
+  }
+
+  test("router splits facts vs dims, projects sinkColumns, upserts dims (P5/P6/K2/K3)") {
+    val root = Files.createTempDirectory("router").toString
+    val router = new DbRouter(DbRouter.referenceRules, root)
+
+    val batch1 = DbRouter.decodeEnvelope(mkEnvelopes(
+      ("order_info", "insert",
+        """{"id":"1","user_id":"10","province_id":"3","total_amount":"99.5","create_time":"2024-01-01 00:00:00","extra_col":"DROP_ME"}"""),
+      ("user_info", "insert", """{"id":"10","name":"alice","gender":"F","birthday":"1990-01-01"}"""),
+      ("unrouted_table", "insert", """{"id":"7"}""")))
+    router.processBatch(batch1, 0L)
+
+    val fact = spark.read.parquet(s"$root/kafka/dwd_order_info")
+    assert(fact.count() === 1)
+    assert(fact.columns.toSet ===
+      Set("id", "user_id", "province_id", "total_amount", "create_time")) // extra_col projected away
+    val dim1 = spark.read.parquet(s"$root/dim/dim_user_info")
+    assert(dim1.filter(col("id") === "10").head.getAs[String]("name") === "alice")
+
+    // batch 2: dim update for the same pk → last write wins; new fact appends
+    val batch2 = DbRouter.decodeEnvelope(mkEnvelopes(
+      ("user_info", "update", """{"id":"10","name":"alice2","gender":"F","birthday":"1990-01-01"}"""),
+      ("user_info", "insert", """{"id":"11","name":"bob","gender":"M","birthday":"1991-02-02"}"""),
+      ("order_info", "insert",
+        """{"id":"2","user_id":"11","province_id":"4","total_amount":"10.0","create_time":"2024-01-02 00:00:00"}""")))
+    router.processBatch(batch2, 1L)
+
+    val dim2 = spark.read.parquet(s"$root/dim/dim_user_info")
+    assert(dim2.count() === 2)
+    assert(dim2.filter(col("id") === "10").head.getAs[String]("name") === "alice2")
+    assert(spark.read.parquet(s"$root/kafka/dwd_order_info").count() === 2)
+  }
+}

@@ -1,0 +1,45 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class Oi(id: Long, user_id: Long, total_amount: Double, create_ts: Long)
+case class Od(id: Long, order_id: Long, sku_id: Long, order_price: Double, create_ts: Long)
+
+class WideJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("orderWide interval join honors the ±5s bound (J1), streaming") {
+    implicit val sqlCtx = spark.sqlContext
+    val oi = MemoryStream[Oi]
+    val od = MemoryStream[Od]
+    val joined = WideJoins.orderWide(oi.toDF(), od.toDF())
+    val q = joined.writeStream.format("memory").queryName("order_wide")
+      .outputMode("append").start()
+    try {
+      oi.addData(Oi(1, 10, 100.0, 10000L), Oi(2, 11, 50.0, 10000L))
+      od.addData(
+        Od(100, 1, 7, 25.0, 12000L),  // +2s → in bound
+        Od(101, 1, 8, 25.0, 6000L),   // −4s → in bound
+        Od(102, 1, 9, 25.0, 16000L),  // +6s → out of bound
+        Od(103, 3, 9, 25.0, 11000L))  // no matching order
+      q.processAllAvailable()
+      val got = spark.table("order_wide").select("detail_id").as[Long].collect().toSet
+      assert(got === Set(100L, 101L), s"got $got")
+    } finally q.stop()
+  }
+
+  test("enrich left-joins broadcast dims and keeps unmatched facts (J3)") {
+    val fact = Seq((1L, 10L), (2L, 99L)).toDF("id", "user_key")
+    val dim = Seq((10L, "alice", "F")).toDF("id", "name", "gender")
+    val out = WideJoins.enrich(fact, Seq(("user_key", dim, "user_")))
+    assert(out.count() === 2)
+    val byId = out.collect().map(r => r.getLong(0) -> Option(r.getAs[String]("user_name"))).toMap
+    assert(byId(1L) === Some("alice"))
+    assert(byId(2L) === None)
+    // dim side must be broadcast: no shuffle exchange for the dim
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}
