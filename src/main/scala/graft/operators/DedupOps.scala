@@ -58,20 +58,29 @@ object DedupOps {
   /** D3 — MinHash LSH near-dup pairs: band the signature (4 bands × 2 hashes),
     * bucket-join on (band, key) for candidates, then verify with exact Jaccard
     * over the distinct shingle sets. Candidates, not n², hit the verify step.
+    *
+    * One aggregation pass produces the minhash signature AND the shingle set
+    * per doc (same groupBy key — one shuffle); the per-doc table is cached so
+    * the band self-join and both jaccard probe sides reuse it instead of
+    * recomputing the shingle pipeline (2 sides × 4 bands would otherwise
+    * re-derive it 8×).
     */
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir).cache()
-    val sig = sh.groupBy("doc_id").agg(minhashAggs.head, minhashAggs.tail: _*)
-    val bands = (0 until NumBands).map { b =>
-      sig.select(col("doc_id"), lit(b).as("band"),
-        concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bkey"))
-    }.reduce(_ unionByName _)
+    val docsig = shingles(spark, dir).groupBy("doc_id")
+      .agg(minhashAggs.head,
+        minhashAggs.tail ++ Seq(
+          collect_set(col("shingle")).as("shset"), count(lit(1)).as("n")): _*)
+      .cache()
+    val bandKeys = (0 until NumBands).map(b =>
+      concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
+    val bands = docsig.select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    jaccardOf(cand, sh)
+    jaccardOf(cand, docsig.select(col("doc_id"), col("shset"), col("n")))
   }
 
   /** D5 — n-gram Jaccard over a bounded candidate window (each doc vs the next
@@ -79,34 +88,36 @@ object DedupOps {
     * a hash join instead of a nested-loop range join.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir).cache()
+    val sets = shingles(spark, dir).groupBy("doc_id")
+      .agg(collect_set(col("shingle")).as("shset"), count(lit(1)).as("n"))
+      .cache()
     val ids = table(spark, dir, "documents").select(col("doc_id"))
     val cand = ids
       .select(col("doc_id").as("a"),
         explode(sequence(col("doc_id") + 1, col("doc_id") + 10)).as("b"))
       .join(ids.select(col("doc_id").as("b")), Seq("b"))
       .select("a", "b")
-    jaccardOf(cand, sh)
+    jaccardOf(cand, sets)
   }
 
-  /** Exact Jaccard for candidate pairs: |A∩B| via a shingle equi-join,
-    * |A∪B| = |A|+|B|−|A∩B|. Pairs with an empty intersection drop out (inner
-    * join) — by construction LSH candidates always intersect.
+  /** Exact Jaccard for candidate pairs: join the per-doc distinct-shingle-set
+    * table (`sets`: doc_id, shset, n) to both pair sides, |A∩B| =
+    * size(array_intersect). Versus the explode-equi-join-regroup formulation
+    * this removes two wide shuffles — the set table is one row per doc, so
+    * AQE broadcasts it and the pair side stays map-side. Pairs with an empty
+    * intersection are dropped, matching an inner shingle join (LSH candidates
+    * always intersect by construction).
     */
-  private def jaccardOf(cand: DataFrame, sh: DataFrame): DataFrame = {
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.select(col("doc_id").as("a"), col("shingle")), Seq("a"))
-      .join(sh.select(col("doc_id").as("b"), col("shingle")), Seq("b", "shingle"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("inter_ct"))
+  private def jaccardOf(cand: DataFrame, sets: DataFrame): DataFrame = {
     // floor(x*10^4 + 0.5)/10^4 instead of round(): bit-identical across engines
     // (round() on doubles is shortest-decimal-string HALF_UP in Spark vs
     // value-based in DuckDB — they disagree near .xxxx5 boundaries).
     val uni = col("na") + col("nb") - col("inter_ct")
-    inter
-      .join(cnt.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
-      .join(cnt.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("shset").as("sa"), col("n").as("na")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("shset").as("sb"), col("n").as("nb")), Seq("b"))
+      .withColumn("inter_ct", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .filter(col("inter_ct") > 0)
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("inter_ct"),
         uni.as("union_ct"),
         (floor(col("inter_ct") * 10000.0 / uni + 0.5) / 10000.0).as("jaccard"))
