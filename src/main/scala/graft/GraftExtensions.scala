@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.DotProductF
+
+/** Session extension wiring: registers the engine's native expressions for
+  * SQL use. Install with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  *
+  *   SELECT dot_product_f(embedding, embedding) FROM embeddings
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_product_f"),
+      new ExpressionInfo(classOf[DotProductF].getName, "dot_product_f"),
+      (children: Seq[Expression]) => DotProductF(children(0), children(1))))
+  }
+}

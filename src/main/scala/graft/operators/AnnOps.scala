@@ -17,14 +17,16 @@ import org.apache.spark.sql.functions._
   * UDF, deterministic left-to-right summation.
   */
 object AnnOps {
-  /** Sequential-fold double dot product of two float arrays. */
+  /** Sequential left-to-right double dot product of two float arrays —
+    * the native codegen'd expression [[graft.functions.DotProductF]] (bit-
+    * identical to the `aggregate(zip_with(...))` fold it replaces, without
+    * per-element lambda dispatch).
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.dot_f(a, b)
 
   private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+    graft.functions.VectorFunctions.norm_f(a)
 
   /** Cosine similarity quantized to 4 dp via floor(x*1e4 + 0.5)/1e4 —
     * bit-deterministic in both engines (unlike round(), whose HALF_UP on the

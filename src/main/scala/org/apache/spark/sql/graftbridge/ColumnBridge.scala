@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 split the public Column API from catalyst Expressions; the
+  * conversion helpers live in `private[sql]` scope. This bridge (placed in an
+  * `org.apache.spark.sql` subpackage, the standard pattern for Spark
+  * extension libraries) re-exports just the two conversions the engine needs
+  * to expose native expressions as Columns.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
