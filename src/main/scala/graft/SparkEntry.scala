@@ -46,19 +46,19 @@ object SparkEntry {
     "f1_date_functions" -> (StatsOps.dateFunctions _),
     "r1_rank_topn" -> (RelationalOps.rankTopN _),
     // LLM-data-pipeline: dedup
-    "d1_dedup_exact" -> (DedupOps.dedupExact _),
-    "d2_minhash_signature" -> (DedupOps.minhashSignature _),
-    "d3_minhash_lsh_pairs" -> (DedupOps.minhashLshPairs _),
-    "d4_simhash" -> (DedupOps.simhash _),
-    "d5_ngram_jaccard" -> (DedupOps.ngramJaccard _),
+    "d1_dedup_exact" -> ((s: SparkSession, d: String) => DedupOps.dedupExact(s, d)),
+    "d2_minhash_signature" -> ((s: SparkSession, d: String) => DedupOps.minhashSignature(s, d)),
+    "d3_minhash_lsh_pairs" -> ((s: SparkSession, d: String) => DedupOps.minhashLshPairs(s, d)),
+    "d4_simhash" -> ((s: SparkSession, d: String) => DedupOps.simhash(s, d)),
+    "d5_ngram_jaccard" -> ((s: SparkSession, d: String) => DedupOps.ngramJaccard(s, d)),
     // LLM-data-pipeline: similarity search
-    "n1_ann_cosine_topk" -> (AnnOps.cosineTopK _),
-    "n2_ann_ivf_topk" -> (AnnOps.ivfTopK _),
+    "n1_ann_cosine_topk" -> ((s: SparkSession, d: String) => AnnOps.cosineTopK(s, d)),
+    "n2_ann_ivf_topk" -> ((s: SparkSession, d: String) => AnnOps.ivfTopK(s, d)),
     // LLM-data-pipeline: text analysis
-    "t1_lang_id" -> (TextOps.langId _),
-    "t2_text_quality" -> (TextOps.textQuality _),
-    "t3_token_count" -> (TextOps.tokenCount _),
-    "t4_fingerprint" -> (TextOps.fingerprint _),
+    "t1_lang_id" -> ((s: SparkSession, d: String) => TextOps.langId(s, d)),
+    "t2_text_quality" -> ((s: SparkSession, d: String) => TextOps.textQuality(s, d)),
+    "t3_token_count" -> ((s: SparkSession, d: String) => TextOps.tokenCount(s, d)),
+    "t4_fingerprint" -> ((s: SparkSession, d: String) => TextOps.fingerprint(s, d)),
     // LLM-data-pipeline: multimodal (stubbed decode; rows-only check)
     "m1_multimodal_decode" -> (MultimodalOps.decodeFeatures _)
   )
@@ -71,6 +71,7 @@ object SparkEntry {
     Tables.table(spark, dir, "documents")
       .filter(col("doc_id") < 50)
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .withColumn("pos", col("pos").cast("long"))
       .filter(length(col("word")) > 0)
   }
 

@@ -39,8 +39,7 @@ object AnnOps {
   /** N1 — brute-force cosine top-k: the exact baseline. Queries = vec_id < 10,
     * k = 5, self-pairs excluded; ties broken by neighbor id.
     */
-  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = table(spark, dir, "embeddings")
+  def cosineTopK(e: DataFrame): DataFrame = {
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
@@ -48,17 +47,18 @@ object AnnOps {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qe"), col("embedding")).as("sim"))
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 5)
       .select("query_id", "neighbor_id", "rnk", "sim")
   }
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame =
+    cosineTopK(table(spark, dir, "embeddings"))
 
   /** N2 — IVF-style ANN: probe only the query's cell (`label` = coarse
     * centroid assignment), top-3 per query. The scale path: corpus partitioned
     * by cell, per-cell scans instead of full scans.
     */
-  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = table(spark, dir, "embeddings")
+  def ivfTopK(e: DataFrame): DataFrame = {
     val q = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("label"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
@@ -66,8 +66,10 @@ object AnnOps {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("label").as("cell"), col("vec_id").as("neighbor_id"),
         cosine(col("qe"), col("embedding")).as("sim"))
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)
       .select("query_id", "cell", "neighbor_id", "rnk", "sim")
   }
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfTopK(table(spark, dir, "embeddings"))
 }

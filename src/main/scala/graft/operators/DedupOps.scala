@@ -27,13 +27,11 @@ object DedupOps {
       i => concat_ws(" ", slice(words, i, lit(ShingleN))))
 
   /** (doc_id, shingle) distinct pairs for docs with >= 3 words. */
-  private def shingles(spark: SparkSession, dir: String): DataFrame = {
-    val d = table(spark, dir, "documents")
-    d.withColumn("words", split(col("text"), " "))
+  def shingles(docs: DataFrame): DataFrame =
+    docs.withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= ShingleN)
       .select(col("doc_id"), explode(shingleExpr(col("words"))).as("shingle"))
       .distinct()
-  }
 
   /** Salted MinHash: hash family i = md5("i:" ++ shingle), signature = min.
     * String-min of md5 hex is engine-portable (byte-ordered, no murmur seeds).
@@ -46,14 +44,17 @@ object DedupOps {
     * Generalizes the reference's keyed dedup A5 (app/dwm/UniqueVisitApp.java:54-102)
     * from keys to full content.
     */
-  def dedupExact(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "documents")
-      .groupBy(md5(col("text")).as("fingerprint"))
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("fingerprint"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("dup_ct"))
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    dedupExact(table(spark, dir, "documents"))
 
   /** D2 — per-document MinHash signature (8 hashes over 3-shingles). */
+  def minhashSignature(docs: DataFrame): DataFrame =
+    shingles(docs).groupBy("doc_id").agg(minhashAggs.head, minhashAggs.tail: _*)
   def minhashSignature(spark: SparkSession, dir: String): DataFrame =
-    shingles(spark, dir).groupBy("doc_id").agg(minhashAggs.head, minhashAggs.tail: _*)
+    minhashSignature(table(spark, dir, "documents"))
 
   /** D3 — MinHash LSH near-dup pairs: band the signature (4 bands × 2 hashes),
     * bucket-join on (band, key) for candidates, then verify with exact Jaccard
@@ -65,8 +66,8 @@ object DedupOps {
     * recomputing the shingle pipeline (2 sides × 4 bands would otherwise
     * re-derive it 8×).
     */
-  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val docsig = shingles(spark, dir).groupBy("doc_id")
+  def minhashLshPairs(docs: DataFrame): DataFrame = {
+    val docsig = shingles(docs).groupBy("doc_id")
       .agg(minhashAggs.head,
         minhashAggs.tail ++ Seq(
           collect_set(col("shingle")).as("shset"), count(lit(1)).as("n")): _*)
@@ -82,16 +83,18 @@ object DedupOps {
       .distinct()
     jaccardOf(cand, docsig.select(col("doc_id"), col("shset"), col("n")))
   }
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashLshPairs(table(spark, dir, "documents"))
 
   /** D5 — n-gram Jaccard over a bounded candidate window (each doc vs the next
     * 10 ids): the window fan-out is an `explode` + equi-join, so Catalyst plans
     * a hash join instead of a nested-loop range join.
     */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sets = shingles(spark, dir).groupBy("doc_id")
+  def ngramJaccard(docs: DataFrame): DataFrame = {
+    val sets = shingles(docs).groupBy("doc_id")
       .agg(collect_set(col("shingle")).as("shset"), count(lit(1)).as("n"))
       .cache()
-    val ids = table(spark, dir, "documents").select(col("doc_id"))
+    val ids = docs.select(col("doc_id"))
     val cand = ids
       .select(col("doc_id").as("a"),
         explode(sequence(col("doc_id") + 1, col("doc_id") + 10)).as("b"))
@@ -99,6 +102,8 @@ object DedupOps {
       .select("a", "b")
     jaccardOf(cand, sets)
   }
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccard(table(spark, dir, "documents"))
 
   /** Exact Jaccard for candidate pairs: join the per-doc distinct-shingle-set
     * table (`sets`: doc_id, shset, n) to both pair sides, |A∩B| =
@@ -130,9 +135,8 @@ object DedupOps {
     * j-th hex digit of md5(word), weighted by term frequency; bit set iff the
     * vote sum is positive. One explode + one hash-groupBy with 16 sums.
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val d = table(spark, dir, "documents")
-    val wordsDf = d.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+  def simhash(docs: DataFrame): DataFrame = {
+    val wordsDf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .withColumn("h", md5(col("word")))
     val sums = (1 to SimhashBits).map(j =>
@@ -143,4 +147,6 @@ object DedupOps {
         concat((1 to SimhashBits).map(j =>
           when(col(s"s$j") > 0, "1").otherwise("0")): _*).as("simhash"))
   }
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhash(table(spark, dir, "documents"))
 }

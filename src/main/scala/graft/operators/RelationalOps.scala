@@ -131,7 +131,7 @@ object RelationalOps {
     val o = table(spark, dir, "orders")
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    o.withColumn("rnk", row_number().over(w))
+    o.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)
       .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
   }

@@ -16,33 +16,36 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
   private def words(c: Column): Column = split(c, " ")
+  // counts surface as BIGINT to match the oracle engine's len()/length()
+  private def nWords(w: Column): Column = size(w).cast("long")
   private def stopCt(w: Column): Column =
-    size(filter(w, x => x === "the" || x === "a"))
-  private def charCt(text: Column): Column = length(regexp_replace(text, " ", ""))
+    size(filter(w, x => x === "the" || x === "a")).cast("long")
+  private def charCt(text: Column): Column =
+    length(regexp_replace(text, " ", "")).cast("long")
 
   /** T1 — language-ID by n-gram/stopword heuristic. Integer-ratio thresholds:
     * en iff stopword ratio ≥ 8% (25·stop ≥ 2·n), else de iff avg word length
     * ≥ 4.6 (10·chars ≥ 46·n), else unknown.
     */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val d = table(spark, dir, "documents")
+  def langId(d: DataFrame): DataFrame = {
     val w = words(col("text"))
-    d.select(col("doc_id"), size(w).as("n_words"), stopCt(w).as("stop_ct"),
+    d.select(col("doc_id"), nWords(w).as("n_words"), stopCt(w).as("stop_ct"),
         charCt(col("text")).as("char_ct"))
       .withColumn("predicted_lang",
         when(col("stop_ct") * 25 >= col("n_words") * 2, "en")
           .when(col("char_ct") * 10 >= col("n_words") * 46, "de")
           .otherwise("xx"))
   }
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    langId(table(spark, dir, "documents"))
 
   /** T2 — quality scoring: length / stopword signals with a small additive
     * score (the punctuation ratio of real corpora degenerates to 0 on this
     * synthetic text; the signal structure is what carries to 100 TB).
     */
-  def textQuality(spark: SparkSession, dir: String): DataFrame = {
-    val d = table(spark, dir, "documents")
+  def textQuality(d: DataFrame): DataFrame = {
     val w = words(col("text"))
-    d.select(col("doc_id"), col("n_chars"), size(w).as("n_words"),
+    d.select(col("doc_id"), col("n_chars"), nWords(w).as("n_words"),
         stopCt(w).as("stop_ct"), charCt(col("text")).as("char_ct"))
       // floor(x*100+0.5)/100: deterministic 2-dp quantization (see DedupOps)
       .withColumn("avg_word_len",
@@ -52,25 +55,29 @@ object TextOps {
          when(col("stop_ct") > 0, 1).otherwise(0) +
          when(col("n_chars") >= 100, 1).otherwise(0)).cast("int"))
   }
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    textQuality(table(spark, dir, "documents"))
 
   /** T3 — token counting: whitespace tokens + a BPE-ish estimate (chars/4,
     * the published GPT-style rule of thumb), both exact integers.
     */
-  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
-    val d = table(spark, dir, "documents")
-    d.select(col("doc_id"), col("n_chars"), size(words(col("text"))).as("ws_tokens"))
+  def tokenCount(d: DataFrame): DataFrame = {
+    d.select(col("doc_id"), col("n_chars"), nWords(words(col("text"))).as("ws_tokens"))
       .withColumn("bpe_tokens", ceil(col("n_chars") / 4.0).cast("long"))
   }
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    tokenCount(table(spark, dir, "documents"))
 
   /** T4 — document fingerprinting: full-content hash, head-64 hash (rolling
     * prefix), and an order-insensitive hash of the sorted token bag — the three
     * standard near-dup fingerprints.
     */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val d = table(spark, dir, "documents")
+  def fingerprint(d: DataFrame): DataFrame = {
     d.select(col("doc_id"),
       md5(col("text")).as("fp_full"),
       md5(substring(col("text"), 1, 64)).as("fp_head"),
       md5(concat_ws(" ", array_sort(words(col("text"))))).as("fp_sorted"))
   }
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    fingerprint(table(spark, dir, "documents"))
 }

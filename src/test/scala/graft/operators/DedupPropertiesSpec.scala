@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based checks (SURVEY §5.4) over ScalaCheck-generated corpora:
+  * invariants the DuckDB oracle can't express. Deterministic seeds — each
+  * property is exercised over several generated corpora.
+  */
+class DedupPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vocab = Seq("the", "a", "spark", "join", "hash", "scan", "merge",
+    "row", "data", "stream", "window", "batch")
+  private val docGen: Gen[String] =
+    Gen.chooseNum(3, 30).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+  private val corpusGen: Gen[List[String]] = Gen.chooseNum(5, 25).flatMap(Gen.listOfN(_, docGen))
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g(Gen.Parameters.default, Seed(seed)).get
+
+  private def docsDf(texts: Seq[String]) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t, t.replace(" ", "").length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+
+  test("exact dedup partitions the corpus: sum(dup_ct) == corpus size") {
+    (1L to 5L).foreach { s =>
+      val texts = sample(corpusGen, s)
+      val d = DedupOps.dedupExact(docsDf(texts))
+      assert(d.agg(sum("dup_ct")).head.getLong(0) === texts.size.toLong)
+      assert(d.select("fingerprint").distinct().count() === d.count())
+    }
+  }
+
+  test("identical texts always collide in every LSH band (jaccard 1)") {
+    (1L to 5L).foreach { s =>
+      val t = sample(docGen, s)
+      val pairs = DedupOps.minhashLshPairs(docsDf(Seq(t, t))).collect()
+      assert(pairs.length === 1, s"seed $s: $t")
+      assert(pairs.head.getAs[Double]("jaccard") === 1.0)
+    }
+  }
+
+  test("jaccard bounded, intersection <= union, pairs ordered a < b") {
+    (1L to 3L).foreach { s =>
+      val j = DedupOps.ngramJaccard(docsDf(sample(corpusGen, s)))
+      assert(j.filter(col("jaccard") < 0.0 || col("jaccard") > 1.0).count() === 0)
+      assert(j.filter(col("inter_ct") > col("union_ct")).count() === 0)
+      assert(j.filter(col("doc_a") >= col("doc_b")).count() === 0)
+    }
+  }
+
+  test("simhash and sorted-bag fingerprint are word-order-insensitive") {
+    (1L to 5L).foreach { s =>
+      val t = sample(docGen, s)
+      val shuffled = t.split(" ").reverse.mkString(" ")
+      val df = docsDf(Seq(t, t, shuffled))
+      val sh = DedupOps.simhash(df).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(sh(0L) === sh(1L))
+      assert(sh(0L) === sh(2L)) // bag-of-words hash ignores order
+      val fp = TextOps.fingerprint(df).collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+      assert(fp(0L) === fp(2L)) // fp_sorted ignores order
+    }
+  }
+
+  test("tokenCount: ws_tokens equals naive split count") {
+    (1L to 3L).foreach { s =>
+      val texts = sample(corpusGen, s)
+      val got = TextOps.tokenCount(docsDf(texts)).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        assert(got(i.toLong) === t.split(" ", -1).length.toLong)
+      }
+    }
+  }
+}

@@ -38,6 +38,9 @@ for name, sql in sorted(oracle.items()):
         fails += 1; continue
     if len(got) != len(exp):
         print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); fails += 1; continue
+    for c in sorted(got.columns):
+        if str(got[c].dtype) != str(exp[c].dtype):
+            print(f"  WARN {name}.{c}: dtype {got[c].dtype} vs {exp[c].dtype}")
     g, e = canon(got), canon(exp)
     # value compare with dtype normalization
     mismatch = None
