@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot keys at 100 TB (SURVEY §4 / build-prompt scale
+  * checklist). AQE's skew-join handling covers joins at runtime; these helpers
+  * cover the aggregation side, where one hot key (a viral sku, a bot mid)
+  * would otherwise serialize into a single reducer.
+  */
+object Skew {
+
+  /** Two-phase salted aggregation: groupBy (key, salt) computes partials on
+    * `saltBuckets` reducers per key, then a second groupBy (key) merges them.
+    * Correct for any algebraic aggregate supplied as (partial, merge) pairs —
+    * the caller gives partial aggregates keyed by output name and a merge
+    * expression over the partial column.
+    *
+    * Example — skew-safe count + sum:
+    * {{{
+    * Skew.saltedAgg(df, col("sku_id"), 16,
+    *   Seq(count(lit(1)).as("ct"), sum(col("amount")).as("amt")),
+    *   Seq(sum(col("ct")).as("ct"), sum(col("amt")).as("amt")))
+    * }}}
+    */
+  def saltedAgg(df: DataFrame, key: Column, saltBuckets: Int,
+      partials: Seq[Column], merges: Seq[Column]): DataFrame =
+    df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(),
+        lit(saltBuckets)))
+      .groupBy(key.as("_key"), col("_salt"))
+      .agg(partials.head, partials.tail: _*)
+      .groupBy(col("_key"))
+      .agg(merges.head, merges.tail: _*)
+
+  /** Salted broadcast-side replication for a skewed join: explode the small
+    * side over all salt values so the big side's (key, salt) hits exactly one
+    * replica. Use when one probe key dominates and the build side is small
+    * enough to replicate `saltBuckets` times.
+    */
+  def saltBigSide(big: DataFrame, saltBuckets: Int): DataFrame =
+    big.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(),
+      lit(saltBuckets)))
+
+  def replicateSmallSide(small: DataFrame, saltBuckets: Int): DataFrame =
+    small.withColumn("_salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
+}

@@ -38,21 +38,30 @@ object WideJoins {
 
   /** J2 — PaymentWide interval join (app/dwm/PaymentWideApp.java:85-94):
     * payment_info ⋈ order_wide on order_id, order events within
-    * [payment − 15 min, payment + 5 min].
+    * [payment − 15 min, payment + 5 min] of the payment's callback time.
+    *
+    * Contract: `paymentInfo` has `id, order_id, callback_ts` (millis);
+    * `orderWide` has `order_id, create_ts` (millis). The order side's
+    * `create_time` is surfaced as `order_create_time`
+    * (bean/PaymentWide.java:82) and its other columns pass through.
     */
   def paymentWide(paymentInfo: DataFrame, orderWide: DataFrame): DataFrame = {
     val pay = paymentInfo
       .withColumnRenamed("id", "payment_id")
       .withColumn("pay_time", timestamp_millis(col("callback_ts")))
       .withWatermark("pay_time", "0 seconds")
-    val ow = orderWide
+    val owRenamed = (if (orderWide.columns.contains("create_time"))
+        orderWide.withColumnRenamed("create_time", "order_create_time")
+      else orderWide)
+      .withColumnRenamed("order_id", "ow_order_id")
+    val ow = owRenamed
       .withColumn("ow_time", timestamp_millis(col("create_ts")))
       .withWatermark("ow_time", "0 seconds")
-      .withColumnRenamed("create_time", "order_create_time")
     pay.join(ow,
-      pay("order_id") === ow("order_id_w") &&
-        ow("ow_time") >= pay("pay_time") - expr("INTERVAL 15 MINUTES") &&
-        ow("ow_time") <= pay("pay_time") + expr("INTERVAL 5 MINUTES"))
+        pay("order_id") === ow("ow_order_id") &&
+          ow("ow_time") >= pay("pay_time") - expr("INTERVAL 15 MINUTES") &&
+          ow("ow_time") <= pay("pay_time") + expr("INTERVAL 5 MINUTES"))
+      .drop("ow_order_id")
   }
 
   /** J3 — dimension enrichment: broadcast joins against small dim snapshots.
