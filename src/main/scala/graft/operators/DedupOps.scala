@@ -33,12 +33,27 @@ object DedupOps {
       .select(col("doc_id"), explode(shingleExpr(col("words"))).as("shingle"))
       .distinct()
 
-  /** Salted MinHash: hash family i = md5("i:" ++ shingle), signature = min.
-    * String-min of md5 hex is engine-portable (byte-ordered, no murmur seeds).
+  /** Per-doc shingle table computed entirely MAP-SIDE — one row per doc with
+    * the shingle multiset, its distinct set, and the set size. No explode, no
+    * distinct shuffle: at 100 TB, signature extraction is a pure scan.
     */
-  private def minhashAggs: Seq[Column] =
+  private def docShingles(docs: DataFrame): DataFrame =
+    docs.withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= ShingleN)
+      .withColumn("shingles", shingleExpr(col("words")))
+      .withColumn("shset", array_distinct(col("shingles")))
+      .withColumn("n", size(col("shset")).cast("long"))
+      .select("doc_id", "shingles", "shset", "n")
+
+  /** Salted MinHash over the per-doc shingle array: hash family i =
+    * md5("i:" ++ shingle), signature = array_min. Min over the multiset
+    * equals min over the distinct set, so no dedup is needed. String-min of
+    * md5 hex is engine-portable (byte-ordered, no murmur seeds).
+    */
+  private def minhashCols: Seq[Column] =
     (0 until NumHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i"))
+      array_min(transform(col("shingles"),
+        s => md5(concat(lit(s"$i:"), s)))).as(s"mh$i"))
 
   /** D1 — exact dedup by content hash: one hash-groupBy, keeper = min id.
     * Generalizes the reference's keyed dedup A5 (app/dwm/UniqueVisitApp.java:54-102)
@@ -50,9 +65,11 @@ object DedupOps {
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     dedupExact(table(spark, dir, "documents"))
 
-  /** D2 — per-document MinHash signature (8 hashes over 3-shingles). */
+  /** D2 — per-document MinHash signature (8 hashes over 3-shingles), a pure
+    * per-row projection (zero shuffles — see [[docShingles]]).
+    */
   def minhashSignature(docs: DataFrame): DataFrame =
-    shingles(docs).groupBy("doc_id").agg(minhashAggs.head, minhashAggs.tail: _*)
+    docShingles(docs).select(col("doc_id") +: minhashCols: _*)
   def minhashSignature(spark: SparkSession, dir: String): DataFrame =
     minhashSignature(table(spark, dir, "documents"))
 
@@ -60,17 +77,12 @@ object DedupOps {
     * bucket-join on (band, key) for candidates, then verify with exact Jaccard
     * over the distinct shingle sets. Candidates, not n², hit the verify step.
     *
-    * One aggregation pass produces the minhash signature AND the shingle set
-    * per doc (same groupBy key — one shuffle); the per-doc table is cached so
-    * the band self-join and both jaccard probe sides reuse it instead of
-    * recomputing the shingle pipeline (2 sides × 4 bands would otherwise
-    * re-derive it 8×).
+    * The per-doc signature+set table is MAP-computed (no shuffle) and cached
+    * so the band self-join and both jaccard probe sides reuse it.
     */
   def minhashLshPairs(docs: DataFrame): DataFrame = {
-    val docsig = shingles(docs).groupBy("doc_id")
-      .agg(minhashAggs.head,
-        minhashAggs.tail ++ Seq(
-          collect_set(col("shingle")).as("shset"), count(lit(1)).as("n")): _*)
+    val docsig = docShingles(docs)
+      .select(Seq(col("doc_id"), col("shset"), col("n")) ++ minhashCols: _*)
       .cache()
     val bandKeys = (0 until NumBands).map(b =>
       concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
@@ -91,9 +103,7 @@ object DedupOps {
     * a hash join instead of a nested-loop range join.
     */
   def ngramJaccard(docs: DataFrame): DataFrame = {
-    val sets = shingles(docs).groupBy("doc_id")
-      .agg(collect_set(col("shingle")).as("shset"), count(lit(1)).as("n"))
-      .cache()
+    val sets = docShingles(docs).select("doc_id", "shset", "n").cache()
     val ids = docs.select(col("doc_id"))
     val cand = ids
       .select(col("doc_id").as("a"),
