@@ -138,6 +138,20 @@ object DedupOps {
         (floor(col("inter_ct") * 10000.0 / uni + 0.5) / 10000.0).as("jaccard"))
   }
 
+  /** Corpus-level near-dup REMOVAL: drop every doc that is ≥ `threshold`
+    * Jaccard-similar to a lower-id doc (greedy keep-first, the standard
+    * training-data dedup policy; exact duplicates always drop since their
+    * jaccard is 1). One anti-join against the LSH pair set — no iteration,
+    * so it composes with the candidate-bounded pair generation at any scale.
+    */
+  def dropNearDuplicates(docs: DataFrame, threshold: Double): DataFrame = {
+    val losers = minhashLshPairs(docs)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_b").as("doc_id"))
+      .distinct()
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   private val SimhashBits = 16
   private val OddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
 
