@@ -59,4 +59,38 @@ object MultimodalOps {
       .mapPartitions(_.map(fakeDecode))
       .toDF()
   }
+
+  /** M2 — frame sampling: one output row per sampled frame (every `everyN`th
+    * of `n_frames`), the flatMap shape a video pipeline needs. Frame bytes
+    * are the stubbed decoder's output (`???`-equivalent: deterministic fake);
+    * the row fan-out, schema, and partition behavior are the real thing.
+    */
+  def sampleFrames(spark: SparkSession, dir: String, everyN: Int): DataFrame = {
+    import spark.implicits._
+    mediaRecords(spark, dir)
+      .mapPartitions { it =>
+        it.flatMap { m =>
+          val f = fakeDecode(m)
+          (0 until f.n_frames by everyN).map { i =>
+            (m.doc_id, i, f.width, f.height,
+              // STUB: a real codec would decode frame i; fake = hash slice
+              java.util.Arrays.copyOfRange(m.content, 0,
+                math.min(16, m.content.length)))
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "width", "height", "frame_bytes")
+  }
+
+  /** M3 — resize: metadata-level transform (target dims + scale factors
+    * computed in-plan; the pixel work is the stubbed decode step). Shows the
+    * pattern: cheap columnar math stays in Catalyst, only the opaque codec
+    * call crosses into mapPartitions.
+    */
+  def resizePlan(features: DataFrame, maxSide: Int): DataFrame =
+    features
+      .withColumn("scale",
+        least(lit(1.0), lit(maxSide) / greatest(col("width"), col("height"))))
+      .withColumn("out_width", floor(col("width") * col("scale")).cast("int"))
+      .withColumn("out_height", floor(col("height") * col("scale")).cast("int"))
 }

@@ -56,6 +56,23 @@ object StatsStreams {
         date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
         col("province_id"), col("province_name"), col("order_count"), col("order_amount"))
 
+  /** A3 exact path — same query with EXACT windowed distinct via the typed
+    * [[graft.functions.ExactDistinct]] Aggregator (the reference's exact
+    * count(distinct) semantics); choose this when per-window distinct
+    * cardinality is bounded, the approx variant otherwise.
+    */
+  def provinceStatsExact(orders: DataFrame): DataFrame =
+    orders
+      .withColumn("rt", timestamp_millis(col("create_ts")))
+      .withWatermark("rt", "1 second")
+      .groupBy(window(col("rt"), "10 seconds"), col("province_id"), col("province_name"))
+      .agg(graft.functions.ExactDistinct(col("order_id")).as("order_count"),
+        dsum(col("split_total_amount")).as("order_amount"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("province_id"), col("province_name"), col("order_count"), col("order_amount"))
+
   /** A4/X1 — KeywordStats streaming: tokenize (whitespace UDTF replacement,
     * app/function/SplitFunction.java:12-28) + 10s window count.
     * Input columns: full_word string, ts (millis).

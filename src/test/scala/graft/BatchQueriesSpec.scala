@@ -64,6 +64,16 @@ class BatchQueriesSpec extends SparkSpec {
       r.select("o_custkey").distinct().count())
   }
 
+  test("multimodal frame sampling fans out rows; resize plan bounds dims") {
+    val frames = operators.MultimodalOps.sampleFrames(spark, sf, 10)
+    assert(frames.count() >= 500)  // at least one frame per doc
+    assert(frames.filter(col("frame_idx") % 10 =!= 0).count() === 0)
+    val resized = operators.MultimodalOps.resizePlan(
+      SparkEntry.queries("m1_multimodal_decode")(spark, sf), 256)
+    assert(resized.filter(col("out_width") > 256 || col("out_height") > 256).count() === 0)
+    assert(resized.filter(col("out_width") <= 0 || col("out_height") <= 0).count() === 0)
+  }
+
   test("multimodal decode: byte_len equals document n_chars (ascii payload)") {
     val m = SparkEntry.queries("m1_multimodal_decode")(spark, sf)
     val d = Tables.table(spark, sf, "documents").select(col("doc_id"), col("n_chars"))
