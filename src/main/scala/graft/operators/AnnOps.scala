@@ -72,4 +72,31 @@ object AnnOps {
   }
   def ivfTopK(spark: SparkSession, dir: String): DataFrame =
     ivfTopK(table(spark, dir, "embeddings"))
+
+  /** Coarse-quantizer training: centroid = element-wise mean vector per
+    * cluster. One shuffle on (cell, dim) — dimension count is a constant, so
+    * this scales as a plain aggregation of the corpus.
+    */
+  def centroids(e: DataFrame, cellCol: String): DataFrame =
+    e.select(col(cellCol).as("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("cell", "dim")
+      .agg(avg(col("v")).as("m"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("cell"),
+        transform(col("dm"), x => x.getField("m").cast("float")).as("centroid"))
+
+  /** IVF cell assignment: nearest centroid in euclidean distance over the
+    * broadcast centroid table — the real quantization step (ivfTopK's `label`
+    * column models its output). argmin ‖x−c‖² = argmax (2·x·c − ‖c‖²), so one
+    * native dot product per (vector, centroid). Corpus side is map-only:
+    * broadcast join + max_by.
+    */
+  def assignCells(e: DataFrame, cents: DataFrame): DataFrame =
+    e.join(broadcast(cents))
+      .select(col("vec_id"), col("cell"),
+        (dot(col("embedding"), col("centroid")) * 2.0 -
+          dot(col("centroid"), col("centroid"))).as("score"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cell"), struct(col("score"), -col("cell"))).as("assigned_cell"))
 }

@@ -65,7 +65,13 @@ object WarehouseMain {
     val dimEnv = customer.select(envelope("user_info", struct(
       col("c_custkey").as("id"), col("c_name").as("name"),
       col("c_mktsegment").as("segment"), col("c_acctbal").as("acctbal"))))
-    oiEnv.unionByName(odEnv).unionByName(dimEnv)
+    // payments: callback 10 minutes after order creation (within the −15m
+    // bound of J2, app/dwm/PaymentWideApp.java:87)
+    val payEnv = orders.select(envelope("payment_info", struct(
+      (col("o_orderkey") + 1000000).as("id"), col("o_orderkey").as("order_id"),
+      col("o_totalprice").as("total_amount"),
+      (unix_millis(col("o_orderdate").cast("timestamp")) + 600000L).as("callback_ts"))))
+    oiEnv.unionByName(odEnv).unionByName(dimEnv).unionByName(payEnv)
       .write.mode("overwrite").text(s"$work/ods_base_db")
 
     events.select(to_json(struct(
@@ -83,6 +89,8 @@ object WarehouseMain {
         Seq("id", "user_id", "total_amount", "create_time", "create_ts"), "id"),
       RouteRule("order_detail", "insert", "kafka", "dwd_order_detail",
         Seq("id", "order_id", "sku_id", "order_price", "create_ts"), "id"),
+      RouteRule("payment_info", "insert", "kafka", "dwd_payment_info",
+        Seq("id", "order_id", "total_amount", "callback_ts"), "id"),
       RouteRule("user_info", "insert", "hbase", "dim_user_info",
         Seq("id", "name", "segment", "acctbal"), "id"))
     val router = new DbRouter(rules, s"$work/sinks")
@@ -136,7 +144,28 @@ object WarehouseMain {
       .option("checkpointLocation", s"$work/ckpt/ow").outputMode("append").start()
     q5.processAllAvailable(); q5.stop()
 
+    // ---- DWM: payment-wide interval join (PaymentWideApp, J2) -------------
+    val payBatch = spark.read.parquet(s"$work/sinks/kafka/dwd_payment_info")
+    val payStream = spark.readStream.schema(payBatch.schema)
+      .parquet(s"$work/sinks/kafka/dwd_payment_info")
+      .withColumn("callback_ts", col("callback_ts").cast("long"))
+      .withColumn("order_id", col("order_id").cast("long"))
+      // order_wide carries its own total_amount (PaymentWide renames clash
+      // fields, bean/PaymentWide.java:82) — payment side gets the sink name
+      .withColumnRenamed("total_amount", "payment_amount")
+    val owBatch = spark.read.parquet(s"$work/sinks/dwm_order_wide")
+    val owStream = spark.readStream.schema(owBatch.schema)
+      .parquet(s"$work/sinks/dwm_order_wide")
+      .withColumn("order_id", col("order_id").cast("long"))
+      .withColumn("create_ts", col("create_ts").cast("long"))
+    val q6 = WideJoins.paymentWide(payStream, owStream)
+      .drop("pay_time", "ow_time")
+      .writeStream.format("parquet").option("path", s"$work/sinks/dwm_payment_wide")
+      .option("checkpointLocation", s"$work/ckpt/pw").outputMode("append").start()
+    q6.processAllAvailable(); q6.stop()
+
     val counts = Map(
+      "dwm_payment_wide" -> spark.read.parquet(s"$work/sinks/dwm_payment_wide").count(),
       "dwm_order_wide" -> spark.read.parquet(s"$work/sinks/dwm_order_wide").count(),
       "dwm_unique_visit" -> spark.read.parquet(s"$work/sinks/dwm_unique_visit").count(),
       "dwm_user_jump" -> spark.read.parquet(s"$work/sinks/dwm_user_jump").count(),
