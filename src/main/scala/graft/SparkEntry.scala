@@ -91,7 +91,10 @@ object SparkEntry {
       |         FROM w WHERE len(words) >= 3))""".stripMargin
 
   private def minhashSelect =
-    (0 until 8).map(i => s"min(md5('$i:' || shingle)) AS mh$i").mkString(", ")
+    (0 until 8).map { i =>
+      val (salt, slice) = (i / 4, i % 4)
+      s"min(substr(md5('$salt:' || shingle), ${1 + 8 * slice}, 8)) AS mh$i"
+    }.mkString(", ")
 
   private val jaccardTail =
     """cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

@@ -45,15 +45,20 @@ object DedupOps {
       .withColumn("n", size(col("shset")).cast("long"))
       .select("doc_id", "shingles", "shset", "n")
 
-  /** Salted MinHash over the per-doc shingle array: hash family i =
-    * md5("i:" ++ shingle), signature = array_min. Min over the multiset
-    * equals min over the distinct set, so no dedup is needed. String-min of
-    * md5 hex is engine-portable (byte-ordered, no murmur seeds).
+  /** Salted MinHash over the per-doc shingle array: two md5 digests per
+    * shingle yield all 8 hash families as 8-hex-char slices
+    * (mh_{4a+b} = substr(md5("a:" ++ shingle), 1+8b, 8)), signature =
+    * array_min per family. Min over the multiset equals min over the
+    * distinct set, so no dedup is needed; string-min of md5 hex is
+    * engine-portable (byte-ordered, no murmur seeds). 2 digests instead of 8
+    * per shingle — the hash is the hot loop of signature extraction.
     */
   private def minhashCols: Seq[Column] =
-    (0 until NumHashes).map(i =>
+    (0 until NumHashes).map { i =>
+      val (salt, slice) = (i / 4, i % 4)
       array_min(transform(col("shingles"),
-        s => md5(concat(lit(s"$i:"), s)))).as(s"mh$i"))
+        s => substring(md5(concat(lit(s"$salt:"), s)), 1 + 8 * slice, 8))).as(s"mh$i")
+    }
 
   /** D1 — exact dedup by content hash: one hash-groupBy, keeper = min id.
     * Generalizes the reference's keyed dedup A5 (app/dwm/UniqueVisitApp.java:54-102)
