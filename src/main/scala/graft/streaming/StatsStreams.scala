@@ -73,6 +73,49 @@ object StatsStreams {
         date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
         col("province_id"), col("province_name"), col("order_count"), col("order_amount"))
 
+  /** Beyond the reference (SURVEY §2.6 NOT-PRESENT row): sliding-window
+    * variant of visitor counts — same aggregation over `window(size, slide)`.
+    * The reference rejects sliding windows only because its mutable-bean
+    * reduce can't share state across panes (VisitorStatsApp.java:174);
+    * Spark's immutable agg buffers have no such constraint.
+    */
+  def slidingEventCounts(events: DataFrame, size: String, slide: String): DataFrame =
+    events
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", "11 seconds")
+      .groupBy(window(col("event_time"), size, slide), col("key"))
+      .agg(count(lit(1)).as("ct"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("key"), col("ct"))
+
+  /** Beyond the reference: session windows (gap-based) — the natural model
+    * for the reference's per-mid visit sessions (UserJump's 10s horizon is a
+    * hand-rolled session boundary). State closes when a key is idle past the
+    * gap + watermark.
+    */
+  def sessionCounts(events: DataFrame, gap: String): DataFrame =
+    events
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", "11 seconds")
+      .groupBy(session_window(col("event_time"), gap), col("key"))
+      .agg(count(lit(1)).as("ct"), sum(col("value")).as("value_sum"))
+      .select(
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("key"), col("ct"), col("value_sum"))
+
+  /** Streaming exact dedup by content hash — the streaming face of the batch
+    * D1 operator: watermark-scoped state, first occurrence wins.
+    */
+  def dedupExactStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withColumn("fingerprint", md5(col("text")))
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicates("fingerprint")
+
   /** A4/X1 — KeywordStats streaming: tokenize (whitespace UDTF replacement,
     * app/function/SplitFunction.java:12-28) + 10s window count.
     * Input columns: full_word string, ts (millis).

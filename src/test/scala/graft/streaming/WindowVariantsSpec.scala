@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class WindowVariantsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sliding windows emit one pane per slide covering each event") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val q = StatsStreams.slidingEventCounts(
+        input.toDF().toDF("key", "ts"), "10 seconds", "5 seconds")
+      .writeStream.format("memory").queryName("sliding").outputMode("append").start()
+    try {
+      input.addData(("a", 7000L)) // lives in panes [0,10) and [5,15)
+      q.processAllAvailable()
+      input.addData(("z", 100000L))
+      q.processAllAvailable()
+      val panes = spark.table("sliding").filter(col("key") === "a")
+        .select("stt").collect().map(_.getString(0)).toSet
+      assert(panes === Set("1970-01-01 00:00:00", "1970-01-01 00:00:05"))
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the gap, split across it") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Double)]
+    val q = StatsStreams.sessionCounts(
+        input.toDF().toDF("key", "ts", "value"), "10 seconds")
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // one session: 1s,5s,12s (each within 10s of previous); second session at 60s
+      input.addData(("m", 1000L, 1.0), ("m", 5000L, 2.0), ("m", 12000L, 3.0),
+        ("m", 60000L, 4.0))
+      q.processAllAvailable()
+      input.addData(("z", 300000L, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions").filter(col("key") === "m")
+        .collect().map(r => (r.getString(0), r.getLong(3), r.getDouble(4)))
+      assert(rows.length === 2, rows.mkString(","))
+      val bySize = rows.sortBy(-_._2)
+      assert(bySize.head._2 === 3L && bySize.head._3 === 6.0) // merged session
+      assert(bySize(1)._2 === 1L && bySize(1)._3 === 4.0)
+    } finally q.stop()
+  }
+
+  test("streaming exact dedup keeps the first occurrence per fingerprint") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long)]
+    val q = StatsStreams.dedupExactStream(
+        input.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    try {
+      input.addData((1L, "same text", 1000L), (2L, "other text", 2000L))
+      q.processAllAvailable()
+      input.addData((3L, "same text", 3000L)) // duplicate content, later batch
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("doc_id").as[Long].collect().toSet
+      assert(ids === Set(1L, 2L))
+    } finally q.stop()
+  }
+}
