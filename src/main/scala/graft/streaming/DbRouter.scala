@@ -31,7 +31,11 @@ case class RouteRule(sourceTable: String, operateType: String, sinkType: String,
   * materializes the combined snapshot and rewrites it atomically via a
   * temp-dir swap. Dims are small by contract (they get broadcast in J3).
   */
-class DbRouter(rules: Seq[RouteRule], sinkRoot: String) extends Serializable {
+class DbRouter(ruleSource: () => Seq[RouteRule], sinkRoot: String)
+    extends Serializable {
+
+  /** Static rule set (rules fixed for the router's lifetime). */
+  def this(rules: Seq[RouteRule], sinkRoot: String) = this(() => rules, sinkRoot)
 
   /** CDC-envelope micro-batch → routed sinks. Call from
     * `writeStream.foreachBatch(router.processBatch _)` or directly in batch.
@@ -40,6 +44,10 @@ class DbRouter(rules: Seq[RouteRule], sinkRoot: String) extends Serializable {
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
+    // rules re-read per micro-batch — the reference's broadcast-state config
+    // updates (TableProcessFunction.processBroadcastElement, :42-67): a rule
+    // added while the stream runs starts routing from the next batch
+    val rules = ruleSource()
     batch.persist()
     try {
       rules.foreach { r =>
@@ -89,6 +97,20 @@ class DbRouter(rules: Seq[RouteRule], sinkRoot: String) extends Serializable {
 }
 
 object DbRouter {
+  /** Rules loaded from a `table_process` parquet/csv-style config table
+    * (columns of Schemas.tableProcess) — re-read on every call, so a config
+    * writer updates routing live, like the reference's CDC-fed config stream
+    * (app/dwd/BaseDBApp.java:61-77).
+    */
+  def rulesFromTable(spark: SparkSession, path: String): Seq[RouteRule] =
+    spark.read.parquet(path).collect().toSeq.map { r =>
+      RouteRule(
+        r.getAs[String]("sourceTable"), r.getAs[String]("operateType"),
+        r.getAs[String]("sinkType"), r.getAs[String]("sinkTable"),
+        r.getAs[String]("sinkColumns").split(",").toSeq.map(_.trim),
+        r.getAs[String]("sinkPk"))
+    }
+
   /** The reference's table_process rules transposed (FIXTURES §3). */
   def referenceRules: Seq[RouteRule] = Seq(
     RouteRule("order_info", "insert", "kafka", "dwd_order_info",

@@ -37,6 +37,29 @@ object StatsStreams {
         col("vc"), col("ch"), col("ar"), col("is_new"),
         col("pv_ct"), col("dur_sum"))
 
+  /** A1 full shape — the reference's VisitorStats is a UNION of three
+    * normalized streams (page views, unique visits, user jumps:
+    * app/dws/VisitorStatsApp.java:65-129) windowed together, each input
+    * setting one metric column. Inputs share the key columns
+    * (vc, ch, ar, is_new) + metric columns (uv_ct, pv_ct, sv_ct, uj_ct,
+    * dur_sum) + ts millis; this unions and sums per 10s window (reduce at
+    * :160-182, finisher stamping stt/edt at :183-198).
+    */
+  def visitorStatsUnion(streams: Seq[DataFrame]): DataFrame =
+    streams.reduce(_ unionByName _)
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", "11 seconds")
+      .groupBy(window(col("event_time"), "10 seconds"),
+        col("vc"), col("ch"), col("ar"), col("is_new"))
+      .agg(sum("uv_ct").as("uv_ct"), sum("pv_ct").as("pv_ct"),
+        sum("sv_ct").as("sv_ct"), sum("uj_ct").as("uj_ct"),
+        sum("dur_sum").as("dur_sum"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("vc"), col("ch"), col("ar"), col("is_new"),
+        col("uv_ct"), col("pv_ct"), col("sv_ct"), col("uj_ct"), col("dur_sum"))
+
   /** A3/W2/W5 — ProvinceStats streaming: 10s tumbling window × province with
     * order count + amount (app/dws/ProvinceStatsSQLApp.java:112-132). Streaming
     * append mode cannot do exact count(distinct) — approx_count_distinct is
