@@ -72,15 +72,21 @@ object LogPipeline {
 
   /** A5 — UniqueVisit (app/dwm/UniqueVisitApp.java:54-102): keep the first
     * page-view per (mid, day), entry pages only (`last_page_id` empty, :79-84).
-    * Watermark-scoped `dropDuplicates` replaces the 24h-TTL ValueState — state
-    * for old days is evicted once the watermark passes, the same horizon.
+    * `dropDuplicatesWithinWatermark` replaces the 24h-TTL ValueState: dedup
+    * state for a key is evicted once the watermark passes its event time +
+    * delay — the same horizon, and state stays bounded even though the dedup
+    * key itself carries no event-time column. (Plain `dropDuplicates` with a
+    * watermark only evicts when the event-time column is PART of the key —
+    * with (mid, visit_date) keys it would grow without bound.)
     * Input columns: mid, page_id, last_page_id, ts (millis).
     */
-  def uniqueVisit(pages: DataFrame): DataFrame =
-    pages
+  def uniqueVisit(pages: DataFrame): DataFrame = {
+    val entries = pages
       .filter(col("last_page_id").isNull || col("last_page_id") === "")
       .withColumn("event_time", timestamp_millis(col("ts")))
       .withColumn("visit_date", date_format(col("event_time"), "yyyy-MM-dd"))
       .withWatermark("event_time", "24 hours")
-      .dropDuplicates("mid", "visit_date")
+    if (entries.isStreaming) entries.dropDuplicatesWithinWatermark("mid", "visit_date")
+    else entries.dropDuplicates("mid", "visit_date")
+  }
 }

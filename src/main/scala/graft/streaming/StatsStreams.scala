@@ -130,14 +130,18 @@ object StatsStreams {
         col("key"), col("ct"), col("value_sum"))
 
   /** Streaming exact dedup by content hash — the streaming face of the batch
-    * D1 operator: watermark-scoped state, first occurrence wins.
+    * D1 operator: first occurrence wins; `dropDuplicatesWithinWatermark`
+    * bounds per-fingerprint state to the watermark horizon (plain
+    * `dropDuplicates` on a non-event-time key never evicts).
     */
-  def dedupExactStream(docs: DataFrame): DataFrame =
-    docs
+  def dedupExactStream(docs: DataFrame): DataFrame = {
+    val fp = docs
       .withColumn("event_time", timestamp_millis(col("ts")))
       .withColumn("fingerprint", md5(col("text")))
       .withWatermark("event_time", "1 hour")
-      .dropDuplicates("fingerprint")
+    if (fp.isStreaming) fp.dropDuplicatesWithinWatermark("fingerprint")
+    else fp.dropDuplicates("fingerprint")
+  }
 
   /** A4/X1 — KeywordStats streaming: tokenize (whitespace UDTF replacement,
     * app/function/SplitFunction.java:12-28) + 10s window count.
