@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.Tables.table
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
@@ -36,19 +35,40 @@ object AnnOps {
   private def cosine(a: Column, b: Column): Column =
     floor(dot(a, b) / (norm(a) * norm(b)) * 10000.0 + 0.5) / 10000.0
 
+  /** Two-phase top-k per query: per-partition local top-k, then merge the
+    * bounded local lists. A `Window.partitionBy(query_id)` would pull EVERY
+    * (query, candidate) similarity onto one task per query — a single-reducer
+    * bottleneck at corpus scale; here the shuffle carries at most
+    * k·numPartitions rows per query. Ordering: sim desc, neighbor_id asc
+    * (ascending sort on struct(-sim, neighbor_id)).
+    */
+  private def topKPerQuery(sims: DataFrame, k: Int, keyCols: Seq[String]): DataFrame = {
+    val key = keyCols.map(col)
+    val item = struct((-col("sim")).as("negsim"), col("neighbor_id"), col("sim"))
+    def localTopK(df: DataFrame, grp: Seq[Column]) =
+      df.groupBy(grp: _*)
+        .agg(slice(array_sort(collect_list(item)), 1, k).as("top"))
+        .select(grp :+ explode(col("top")).as("it"): _*)
+        .select(grp ++ Seq(col("it.neighbor_id"), col("it.sim"), col("it.negsim")): _*)
+    val local = localTopK(sims.withColumn("_p", spark_partition_id()), key :+ col("_p"))
+    localTopK(local, key)
+      .groupBy(key: _*)
+      .agg(posexplode(slice(array_sort(collect_list(item)), 1, k)).as(Seq("i", "it")))
+      .select(key ++ Seq(col("it.neighbor_id").as("neighbor_id"),
+        (col("i") + 1).cast("long").as("rnk"), col("it.sim").as("sim")): _*)
+  }
+
   /** N1 — brute-force cosine top-k: the exact baseline. Queries = vec_id < 10,
     * k = 5, self-pairs excluded; ties broken by neighbor id.
     */
   def cosineTopK(e: DataFrame): DataFrame = {
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    e.crossJoin(broadcast(q))
+    val sims = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qe"), col("embedding")).as("sim"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 5)
+    topKPerQuery(sims, 5, Seq("query_id"))
       .select("query_id", "neighbor_id", "rnk", "sim")
   }
   def cosineTopK(spark: SparkSession, dir: String): DataFrame =
@@ -61,13 +81,11 @@ object AnnOps {
   def ivfTopK(e: DataFrame): DataFrame = {
     val q = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("label"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    e.join(broadcast(q), Seq("label"))
+    val sims = e.join(broadcast(q), Seq("label"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("label").as("cell"), col("vec_id").as("neighbor_id"),
         cosine(col("qe"), col("embedding")).as("sim"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 3)
+    topKPerQuery(sims, 3, Seq("query_id", "cell"))
       .select("query_id", "cell", "neighbor_id", "rnk", "sim")
   }
   def ivfTopK(spark: SparkSession, dir: String): DataFrame =
