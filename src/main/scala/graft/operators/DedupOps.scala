@@ -157,6 +157,45 @@ object DedupOps {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Transitive near-dup clusters: connected components over the LSH pair
+    * graph (a~b, b~c ⇒ {a,b,c} one cluster even if a,c never pair). Label
+    * propagation to the minimum reachable doc_id, iterated to a fixpoint with
+    * a hard cap — near-dup components are shallow (duplicates of one source),
+    * so convergence takes O(component diameter) rounds of one shuffle each;
+    * for adversarially deep graphs swap in alternating large/small-star.
+    * Returns (doc_id, cluster_id); cluster_id = min doc_id in the component.
+    */
+  def nearDupClusters(docs: DataFrame, threshold: Double, maxIter: Int = 10): DataFrame = {
+    val pairs = minhashLshPairs(docs)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+      .persist()
+    // undirected: propagate labels both ways
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("cluster_id")).as("nb_min"))
+      val next = labels.join(viaNeighbor, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id"))).as("cluster_id"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   private val SimhashBits = 16
   private val OddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
 

@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf(texts: Seq[String]) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t, t.replace(" ", "").length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+
+  test("nearDupClusters finds transitive components the greedy pass cannot") {
+    // 60 distinct words → 58 distinct shingles. One interior edit flips 3
+    // shingles: j(base, edit1) = 55/61 ≈ 0.90. Two edits apart: j ≈ 0.81.
+    // At threshold 0.85 doc0~doc1 and doc1~doc2 but NOT doc0~doc2 — only the
+    // transitive closure puts all three in one cluster. doc3 unrelated.
+    val base = (0 until 60).map(i => s"w$i")
+    val t0 = base.mkString(" ")
+    val t1 = base.updated(10, "EDIT_A").mkString(" ")
+    val t2 = base.updated(10, "EDIT_A").updated(40, "EDIT_B").mkString(" ")
+    val t3 = (0 until 60).map(i => s"z$i").mkString(" ")
+    val df = docsDf(Seq(t0, t1, t2, t3))
+
+    val clusters = DedupOps.nearDupClusters(df, 0.85)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L),
+      s"unexpected clustering: $clusters")
+    // sanity: the direct pair (0,2) is indeed below the threshold
+    val direct = DedupOps.minhashLshPairs(docsDf(Seq(t0, t2)))
+      .select("jaccard").collect().map(_.getDouble(0))
+    assert(direct.forall(_ < 0.85), direct.mkString(","))
+  }
+
+  test("clusters partition all docs; cluster_id is the component minimum") {
+    val df = graft.Tables.table(spark, sf, "documents")
+    val c = DedupOps.nearDupClusters(df, 0.9)
+    assert(c.count() === df.count())
+    assert(c.filter(col("cluster_id") > col("doc_id")).count() === 0)
+  }
+}
