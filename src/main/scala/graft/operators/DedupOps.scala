@@ -196,6 +196,14 @@ object DedupOps {
     labels
   }
 
+  /** Cluster-aware corpus dedup: keep exactly one document (the minimum id)
+    * per transitive near-dup cluster.
+    */
+  def dedupByCluster(docs: DataFrame, threshold: Double): DataFrame =
+    docs.join(nearDupClusters(docs, threshold), Seq("doc_id"))
+      .filter(col("doc_id") === col("cluster_id"))
+      .drop("cluster_id")
+
   private val SimhashBits = 16
   private val OddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
 

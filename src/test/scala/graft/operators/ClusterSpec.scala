@@ -26,6 +26,11 @@ class ClusterSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(clusters === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L),
       s"unexpected clustering: $clusters")
+    // cluster-aware dedup keeps exactly one doc per component
+    val kept = DedupOps.dedupByCluster(df, 0.85).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 3L))
+
     // sanity: the direct pair (0,2) is indeed below the threshold
     val direct = DedupOps.minhashLshPairs(docsDf(Seq(t0, t2)))
       .select("jaccard").collect().map(_.getDouble(0))
