@@ -59,9 +59,16 @@ class DbRouter(ruleSource: () => Seq[RouteRule], sinkRoot: String)
           .withColumn("row", from_json(col("after"), org.apache.spark.sql.types.StructType.fromDDL(ddl)))
           .select(col("row.*"))
         r.sinkType match {
-          case "kafka" => // fact family: append to the per-rule sink path ("topic")
-            projected.write.mode(SaveMode.Append)
-              .parquet(s"$sinkRoot/kafka/${r.sinkTable}")
+          case "kafka" =>
+            // fact family: one subdirectory per micro-batch, OVERWRITTEN on
+            // retry — a replayed batchId rewrites the same directory instead
+            // of appending duplicates, which is what makes
+            // checkpoint + foreachBatch exactly-once for this sink
+            // (the reference gets this from Kafka transactions,
+            // utils/MyKafkaUtil.java:39-42). Read the topic back with
+            // spark.read.option("recursiveFileLookup", "true").
+            projected.write.mode(SaveMode.Overwrite)
+              .parquet(s"$sinkRoot/kafka/${r.sinkTable}/batch_$batchId")
           case "hbase" => // dim family: MERGE by pk into the snapshot
             upsertDim(spark, projected, r)
           case other =>
@@ -97,6 +104,11 @@ class DbRouter(ruleSource: () => Seq[RouteRule], sinkRoot: String)
 }
 
 object DbRouter {
+  /** Read a routed fact "topic" (per-batch subdirectories) back as one table. */
+  def readTopic(spark: SparkSession, sinkRoot: String, sinkTable: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$sinkRoot/kafka/$sinkTable")
+
   /** Rules loaded from a `table_process` parquet/csv-style config table
     * (columns of Schemas.tableProcess) — re-read on every call, so a config
     * writer updates routing live, like the reference's CDC-fed config stream

@@ -100,8 +100,8 @@ object WarehouseMain {
       .option("checkpointLocation", s"$work/ckpt/db").start()
     q1.processAllAvailable(); q1.stop()
 
-    val facts = spark.read.parquet(s"$work/sinks/kafka/dwd_order_info")
-    val details = spark.read.parquet(s"$work/sinks/kafka/dwd_order_detail")
+    val facts = DbRouter.readTopic(spark, s"$work/sinks", "dwd_order_info")
+    val details = DbRouter.readTopic(spark, s"$work/sinks", "dwd_order_detail")
     val dimUser = spark.read.parquet(s"$work/sinks/dim/dim_user_info")
     println(s"DWD facts=${facts.count()} details=${details.count()} dim_user=${dimUser.count()}")
 
@@ -130,10 +130,12 @@ object WarehouseMain {
     // router payloads are all-string (the reference's all-varchar dims,
     // TableProcessFunction.java:88-105) — restore numeric types at the edge
     val oiStream = spark.readStream.schema(facts.schema)
+      .option("recursiveFileLookup", "true")
       .parquet(s"$work/sinks/kafka/dwd_order_info")
       .withColumn("create_ts", col("create_ts").cast("long"))
       .withColumn("user_id", col("user_id").cast("long"))
     val odStream = spark.readStream.schema(details.schema)
+      .option("recursiveFileLookup", "true")
       .parquet(s"$work/sinks/kafka/dwd_order_detail")
       .withColumn("create_ts", col("create_ts").cast("long"))
     val wide = WideJoins.orderWide(oiStream, odStream)
@@ -145,8 +147,9 @@ object WarehouseMain {
     q5.processAllAvailable(); q5.stop()
 
     // ---- DWM: payment-wide interval join (PaymentWideApp, J2) -------------
-    val payBatch = spark.read.parquet(s"$work/sinks/kafka/dwd_payment_info")
+    val payBatch = DbRouter.readTopic(spark, s"$work/sinks", "dwd_payment_info")
     val payStream = spark.readStream.schema(payBatch.schema)
+      .option("recursiveFileLookup", "true")
       .parquet(s"$work/sinks/kafka/dwd_payment_info")
       .withColumn("callback_ts", col("callback_ts").cast("long"))
       .withColumn("order_id", col("order_id").cast("long"))

@@ -40,7 +40,7 @@ class DbRouterSpec extends SparkSpec {
       ("unrouted_table", "insert", """{"id":"7"}""")))
     router.processBatch(batch1, 0L)
 
-    val fact = spark.read.parquet(s"$root/kafka/dwd_order_info")
+    val fact = DbRouter.readTopic(spark, root, "dwd_order_info")
     assert(fact.count() === 1)
     assert(fact.columns.toSet ===
       Set("id", "user_id", "province_id", "total_amount", "create_time")) // extra_col projected away
@@ -58,6 +58,12 @@ class DbRouterSpec extends SparkSpec {
     val dim2 = spark.read.parquet(s"$root/dim/dim_user_info")
     assert(dim2.count() === 2)
     assert(dim2.filter(col("id") === "10").head.getAs[String]("name") === "alice2")
-    assert(spark.read.parquet(s"$root/kafka/dwd_order_info").count() === 2)
+    assert(DbRouter.readTopic(spark, root, "dwd_order_info").count() === 2)
+
+    // retrying a batch (same batchId) must NOT duplicate facts — the
+    // per-batch overwrite makes foreachBatch idempotent
+    router.processBatch(batch2, 1L)
+    assert(DbRouter.readTopic(spark, root, "dwd_order_info").count() === 2)
+    assert(spark.read.parquet(s"$root/dim/dim_user_info").count() === 2)
   }
 }

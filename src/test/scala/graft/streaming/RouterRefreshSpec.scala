@@ -22,14 +22,14 @@ class RouterRefreshSpec extends SparkSpec {
 
     router.processBatch(DbRouter.decodeEnvelope(
       Seq(env("order_info", 1), env("new_table", 2)).toDF("value")), 0L)
-    assert(spark.read.parquet(s"$root/kafka/dwd_order_info").count() === 1)
+    assert(DbRouter.readTopic(spark, root, "dwd_order_info").count() === 1)
     // new_table unrouted in batch 0
     assert(!new java.io.File(s"$root/kafka/dwd_new_table").exists())
 
     rules = rules :+ RouteRule("new_table", "insert", "kafka", "dwd_new_table", Seq("id"), "id")
     router.processBatch(DbRouter.decodeEnvelope(
       Seq(env("new_table", 3)).toDF("value")), 1L)
-    assert(spark.read.parquet(s"$root/kafka/dwd_new_table").count() === 1)
+    assert(DbRouter.readTopic(spark, root, "dwd_new_table").count() === 1)
   }
 
   test("rulesFromTable round-trips the table_process schema") {
