@@ -342,7 +342,19 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS fp_full,
         |       md5(substr(text, 1, 64)) AS fp_head,
         |       md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fp_sorted
-        |FROM documents""".stripMargin
-    // m1_multimodal_decode: stubbed decoder, rows-only check (no oracle).
+        |FROM documents""".stripMargin,
+    // m1: the stubbed decoder derives dims from md5 bytes of the payload —
+    // byte i of the digest = 16*hex(2i+1) + hex(2i+2), expressible in SQL.
+    "m1_multimodal_decode" -> {
+      def hexByte(i: Int) = // 0-based digest byte index -> SQL int expression
+        s"((strpos('0123456789abcdef', substr(md5(text), ${2 * i + 1}, 1)) - 1) * 16 + " +
+          s"(strpos('0123456789abcdef', substr(md5(text), ${2 * i + 2}, 1)) - 1))"
+      s"""SELECT doc_id, 'image/fake-' || source AS mime,
+         |       CAST(length(text) AS BIGINT) AS byte_len,
+         |       CAST(64 + (${hexByte(0)} * 256 + ${hexByte(1)}) % 1984 AS INTEGER) AS width,
+         |       CAST(64 + (${hexByte(2)} * 256 + ${hexByte(3)}) % 1984 AS INTEGER) AS height,
+         |       CAST(1 AS INTEGER) AS n_frames
+         |FROM documents""".stripMargin
+    }
   )
 }

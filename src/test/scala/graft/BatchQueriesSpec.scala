@@ -14,9 +14,8 @@ class BatchQueriesSpec extends SparkSpec {
     }
   }
 
-  test("every query except m1 has an oracle") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(missing == Set("m1_multimodal_decode"), s"missing oracles: $missing")
+  test("every query has an oracle") {
+    assert((SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).isEmpty)
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
 
