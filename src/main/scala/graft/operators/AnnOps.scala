@@ -117,4 +117,30 @@ object AnnOps {
           dot(col("centroid"), col("centroid"))).as("score"))
       .groupBy("vec_id")
       .agg(max_by(col("cell"), struct(col("score"), -col("cell"))).as("assigned_cell"))
+
+  /** Full IVF search: corpus pre-assigned to cells, each query probes its
+    * `nProbe` nearest cells and ranks candidates by exact cosine — the
+    * standard recall/throughput dial (nProbe = all cells ⇒ exact brute
+    * force). The query side is small, so probe selection is a local sort; the
+    * corpus side touches only the probed cells via the equi-join on cell.
+    */
+  def ivfSearch(corpus: DataFrame, cents: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
+    val assigned = corpus.join(
+      assignCells(corpus, cents).withColumnRenamed("assigned_cell", "cell"), Seq("vec_id"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .join(broadcast(cents))
+      .select(col("query_id"), col("qe"), col("cell"),
+        (dot(col("qe"), col("centroid")) * 2.0 -
+          dot(col("centroid"), col("centroid"))).as("score"))
+      .withColumn("pr", expr(s"row_number() over (partition by query_id order by score desc, cell)"))
+      .filter(col("pr") <= nProbe)
+      .select("query_id", "qe", "cell")
+    val sims = assigned.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("embedding")).as("sim"))
+    topKPerQuery(sims, k, Seq("query_id"))
+  }
 }

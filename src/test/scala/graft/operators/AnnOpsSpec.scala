@@ -35,4 +35,24 @@ class AnnOpsSpec extends SparkSpec {
       .filter(col("nl") =!= col("cell"))
     assert(bad.count() === 0)
   }
+
+  test("ivfSearch with all cells probed equals brute-force top-k; fewer probes trade recall") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val cents = AnnOps.centroids(e, "label")
+    val nCells = cents.count().toInt
+    val queries = e.filter(col("vec_id") < 10)
+
+    val brute = AnnOps.cosineTopK(e)
+      .select("query_id", "neighbor_id", "rnk", "sim")
+    val full = AnnOps.ivfSearch(e, cents, queries, 5, nCells)
+      .select("query_id", "neighbor_id", "rnk", "sim")
+    assert(full.exceptAll(brute).count() === 0)
+    assert(brute.exceptAll(full).count() === 0)
+
+    // multi-probe with few cells: a valid top-k subset with partial recall
+    val probe2 = AnnOps.ivfSearch(e, cents, queries, 5, 2)
+    val recall = probe2.join(brute, Seq("query_id", "neighbor_id")).count()
+    assert(probe2.count() <= 50)
+    assert(recall > 0, "probing 2 cells recovered none of the true top-5")
+  }
 }
