@@ -43,7 +43,12 @@ object DedupOps {
       .withColumn("shingles", shingleExpr(col("words")))
       .withColumn("shset", array_distinct(col("shingles")))
       .withColumn("n", size(col("shset")).cast("long"))
-      .select("doc_id", "shingles", "shset", "n")
+      // materialize the two salted digest arrays ONCE — Catalyst does not
+      // CSE identical md5 calls across separately-named minhash columns, so
+      // without this each shingle would be hashed 8× instead of 2×
+      .withColumn("h0", transform(col("shingles"), s => md5(concat(lit("0:"), s))))
+      .withColumn("h1", transform(col("shingles"), s => md5(concat(lit("1:"), s))))
+      .select("doc_id", "shingles", "shset", "n", "h0", "h1")
 
   /** Salted MinHash over the per-doc shingle array: two md5 digests per
     * shingle yield all 8 hash families as 8-hex-char slices
@@ -56,8 +61,8 @@ object DedupOps {
   private def minhashCols: Seq[Column] =
     (0 until NumHashes).map { i =>
       val (salt, slice) = (i / 4, i % 4)
-      array_min(transform(col("shingles"),
-        s => substring(md5(concat(lit(s"$salt:"), s)), 1 + 8 * slice, 8))).as(s"mh$i")
+      array_min(transform(col(s"h$salt"),
+        h => substring(h, 1 + 8 * slice, 8))).as(s"mh$i")
     }
 
   /** D1 — exact dedup by content hash: one hash-groupBy, keeper = min id.
