@@ -17,6 +17,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("dot_product_f"),
       new ExpressionInfo(classOf[DotProductF].getName, "dot_product_f"),
-      (children: Seq[Expression]) => DotProductF(children(0), children(1))))
+      GraftExtensions.dotBuilder))
   }
+}
+
+object GraftExtensions {
+  private[graft] val dotBuilder: Seq[Expression] => Expression =
+    children => DotProductF(children(0), children(1))
+
+  /** Register the engine's SQL functions on an already-running session
+    * (withExtensions only takes effect at session construction).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.graftbridge.ColumnBridge
+      .registerFunction(spark, "dot_product_f", dotBuilder)
 }
