@@ -5,9 +5,14 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** One table_process routing rule (bean/TableProcess.java:14-26; FIXTURES §3). */
+/** One table_process routing rule (bean/TableProcess.java:14-26; FIXTURES §3).
+  * `history = true` keeps every dim version (SCD2-style) instead of
+  * last-write-wins — pair with [[graft.operators.TemporalJoin.asOf]] to
+  * restore the reference's lookup-at-event-time dim semantics exactly.
+  */
 case class RouteRule(sourceTable: String, operateType: String, sinkType: String,
-    sinkTable: String, sinkColumns: Seq[String], sinkPk: String)
+    sinkTable: String, sinkColumns: Seq[String], sinkPk: String,
+    history: Boolean = false)
 
 /** P6/K2/K3 — the config-driven DB router (BaseDBApp +
   * TableProcessFunction + DimSinkFunction), Spark-first.
@@ -69,6 +74,13 @@ class DbRouter(ruleSource: () => Seq[RouteRule], sinkRoot: String)
             // spark.read.option("recursiveFileLookup", "true").
             projected.write.mode(SaveMode.Overwrite)
               .parquet(s"$sinkRoot/kafka/${r.sinkTable}/batch_$batchId")
+          case "hbase" if r.history =>
+            // SCD2 dim history: append every version stamped with its batch
+            // (idempotent per-batch overwrite, like the fact sinks); resolve
+            // at read time with TemporalJoin.asOf on valid_from
+            projected.withColumn("valid_from", lit(batchId))
+              .write.mode(SaveMode.Overwrite)
+              .parquet(s"$sinkRoot/dimh/${r.sinkTable}/batch_$batchId")
           case "hbase" => // dim family: MERGE by pk into the snapshot
             upsertDim(spark, projected, r)
           case other =>
@@ -108,6 +120,11 @@ object DbRouter {
   def readTopic(spark: SparkSession, sinkRoot: String, sinkTable: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true")
       .parquet(s"$sinkRoot/kafka/$sinkTable")
+
+  /** Read a dim's full SCD2 version history (rules with history = true). */
+  def readDimHistory(spark: SparkSession, sinkRoot: String, sinkTable: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$sinkRoot/dimh/$sinkTable")
 
   /** Rules loaded from a `table_process` parquet/csv-style config table
     * (columns of Schemas.tableProcess) — re-read on every call, so a config
