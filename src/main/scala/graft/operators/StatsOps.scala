@@ -28,7 +28,10 @@ object StatsOps {
     ev.groupBy(date_trunc("hour", col("ts")).as("wstart"), col("event_type"))
       .agg(
         count(lit(1)).as("pv_ct"),
-        countDistinct(col("user_id")).as("uv_ct"),
+        // exact distinct via the typed Aggregator: one shuffle instead of the
+        // Expand plan (which doubles rows and code size); same exact count
+        // (user_id is non-null — the UDAF path does not skip nulls)
+        graft.functions.ExactDistinct(col("user_id")).as("uv_ct"),
         dsum(col("value")).as("dur_sum"))
       .select(
         date_format(col("wstart"), "yyyy-MM-dd HH:mm:ss").as("stt"),
