@@ -1,0 +1,49 @@
+package graft.sources
+
+import graft.streaming.DbRouter
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S1 — CDC ingestion in Spark terms. OSS Spark has no MySQL binlog reader;
+  * the engine's CDC contract is the envelope JSON stream
+  * (CustomerDeserialization's output shape, FIXTURES §2) over a "topic"
+  * directory — produced in production by a Debezium→Kafka→file/object-store
+  * relay or Delta CDF.
+  *
+  * `StartupOptions.initial` (snapshot-then-tail, app/dwd/BaseDBApp.java:61-73:
+  * the config stream starts with a full snapshot, then follows the binlog)
+  * maps to: materialize the current table state as insert-envelopes INTO the
+  * topic directory before tailing it — the file source reads snapshot files
+  * first, live envelopes after, giving the same totally-ordered
+  * snapshot-then-changes view the Debezium source provides.
+  */
+object CdcSource {
+
+  /** Encode a static table as insert envelopes (the snapshot phase). */
+  def toEnvelopes(snapshot: DataFrame, database: String, tableName: String): DataFrame =
+    snapshot.select(to_json(struct(
+      lit(database).as("database"),
+      lit(tableName).as("tableName"),
+      lit(null).cast("string").as("before"),
+      to_json(struct(snapshot.columns.map(col): _*)).as("after"),
+      lit("insert").as("type"))).as("value"))
+
+  /** Seed the topic directory with the snapshot (call once, before starting
+    * the tail query — mirrors StartupOptions.initial).
+    */
+  def seedSnapshot(snapshot: DataFrame, database: String, tableName: String,
+      topicDir: String): Unit =
+    toEnvelopes(snapshot, database, tableName)
+      .write.mode(SaveMode.Append).text(topicDir)
+
+  /** Tail the topic as a decoded CDC stream (normalized ops, deletes dropped
+    * — S2/P3 semantics via DbRouter.decodeEnvelope).
+    */
+  def tail(spark: SparkSession, topicDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema("value STRING")
+    val withRate = maxFilesPerTrigger
+      .map(n => reader.option("maxFilesPerTrigger", n)).getOrElse(reader)
+    DbRouter.decodeEnvelope(withRate.text(topicDir))
+  }
+}
