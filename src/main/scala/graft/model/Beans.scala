@@ -42,7 +42,11 @@ object Schemas {
     StructField("tableName", StringType),
     StructField("before", StringType),
     StructField("after", StringType),
-    StructField("type", StringType)))
+    StructField("type", StringType),
+    // binlog position / source timestamp (Debezium ts_ms, Maxwell ts) —
+    // defines source order for last-write-wins dim upserts; envelopes
+    // without it sort first (seq 0, i.e. snapshot phase)
+    StructField("ts", LongType)))
 
   /** Routing config row (table_process, bean/TableProcess.java:14-26). */
   val tableProcess: StructType = StructType(Seq(

@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.streaming.DbRouter
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** S1 — CDC ingestion in Spark terms. OSS Spark has no MySQL binlog reader;
@@ -19,14 +19,20 @@ import org.apache.spark.sql.functions._
   */
 object CdcSource {
 
-  /** Encode a static table as insert envelopes (the snapshot phase). */
-  def toEnvelopes(snapshot: DataFrame, database: String, tableName: String): DataFrame =
+  /** Encode a static table as insert envelopes (the snapshot phase).
+    * `seq` is the envelope's binlog-order stamp (Debezium ts_ms analog) —
+    * snapshots default to 0 so any tailed change (real binlog ts) outranks
+    * them in the router's last-write-wins dim upsert.
+    */
+  def toEnvelopes(snapshot: DataFrame, database: String, tableName: String,
+      seq: Column = lit(0L)): DataFrame =
     snapshot.select(to_json(struct(
       lit(database).as("database"),
       lit(tableName).as("tableName"),
       lit(null).cast("string").as("before"),
       to_json(struct(snapshot.columns.map(col): _*)).as("after"),
-      lit("insert").as("type"))).as("value"))
+      lit("insert").as("type"),
+      seq.cast("long").as("ts"))).as("value"))
 
   /** Seed the topic directory with the snapshot (call once, before starting
     * the tail query — mirrors StartupOptions.initial).

@@ -2,7 +2,6 @@ package graft.streaming
 
 import graft.model.Schemas
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** One table_process routing rule (bean/TableProcess.java:14-26; FIXTURES §3).
@@ -58,11 +57,12 @@ class DbRouter(ruleSource: () => Seq[RouteRule], sinkRoot: String)
       rules.foreach { r =>
         val matched = batch.filter(col("tableName") === r.sourceTable &&
           col("type") === r.operateType)
-        // project sinkColumns out of the dynamic JSON payload (P5)
+        // project sinkColumns out of the dynamic JSON payload (P5); the seq
+        // rides along for the dim upsert's source-order resolution
         val ddl = r.sinkColumns.map(c => s"`$c` STRING").mkString(", ")
         val projected = matched
           .withColumn("row", from_json(col("after"), org.apache.spark.sql.types.StructType.fromDDL(ddl)))
-          .select(col("row.*"))
+          .select(col("row.*"), col(DbRouter.SeqCol))
         r.sinkType match {
           case "kafka" =>
             // fact family: one subdirectory per micro-batch, OVERWRITTEN on
@@ -72,13 +72,13 @@ class DbRouter(ruleSource: () => Seq[RouteRule], sinkRoot: String)
             // (the reference gets this from Kafka transactions,
             // utils/MyKafkaUtil.java:39-42). Read the topic back with
             // spark.read.option("recursiveFileLookup", "true").
-            projected.write.mode(SaveMode.Overwrite)
+            projected.drop(DbRouter.SeqCol).write.mode(SaveMode.Overwrite)
               .parquet(s"$sinkRoot/kafka/${r.sinkTable}/batch_$batchId")
           case "hbase" if r.history =>
             // SCD2 dim history: append every version stamped with its batch
             // (idempotent per-batch overwrite, like the fact sinks); resolve
             // at read time with TemporalJoin.asOf on valid_from
-            projected.withColumn("valid_from", lit(batchId))
+            projected.drop(DbRouter.SeqCol).withColumn("valid_from", lit(batchId))
               .write.mode(SaveMode.Overwrite)
               .parquet(s"$sinkRoot/dimh/${r.sinkTable}/batch_$batchId")
           case "hbase" => // dim family: MERGE by pk into the snapshot
@@ -90,36 +90,75 @@ class DbRouter(ruleSource: () => Seq[RouteRule], sinkRoot: String)
     } finally batch.unpersist()
   }
 
-  /** Upsert semantics of DimSinkFunction (last write per pk wins). */
+  /** Upsert semantics of DimSinkFunction (last write per pk wins), in SOURCE
+    * order: winners are picked by the envelope's binlog seq, not by
+    * `monotonically_increasing_id` (whose ordering follows partition index —
+    * two same-pk updates landing in different partitions of one micro-batch
+    * could resolve to the older value). Ties on seq (e.g. seeded snapshots,
+    * all seq 0) break by in-partition arrival order, matching the reference's
+    * per-record upsert (app/function/DimSinkFunction.java:44-89).
+    */
   private def upsertDim(spark: SparkSession, updates: DataFrame, r: RouteRule): Unit = {
     val path = s"$sinkRoot/dim/${r.sinkTable}"
     val pk = if (r.sinkPk == null || r.sinkPk.isEmpty) "id" else r.sinkPk
+    val payloadCols = updates.columns.filter(_ != DbRouter.SeqCol)
     val deduped = updates
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(col(pk)).orderBy(monotonically_increasing_id().desc)))
-      .filter(col("_rn") === 1).drop("_rn")
-    val existing =
-      try Some(spark.read.parquet(path)) catch { case _: Exception => None }
+      .withColumn("_arrival", monotonically_increasing_id()) // seq-tie break only
+      .groupBy(col(pk))
+      .agg(max_by(struct(payloadCols.map(col): _*),
+        struct(col(DbRouter.SeqCol), col("_arrival"))).as("_w"))
+      .select(col("_w.*"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val existing = DbRouter.readDimSnapshot(spark, fs, path)
     val merged = existing match {
       case None => deduped
       case Some(old) =>
         old.join(deduped, Seq(pk), "left_anti").unionByName(deduped)
     }
-    // atomic-ish swap: write staging, then move over the live path
-    val staging = s"$path._staging"
-    merged.write.mode(SaveMode.Overwrite).parquet(staging)
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(s"$path._staging")
+    merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    // crash-safe promote: retire the live snapshot aside, promote staging,
+    // then gc — a crash at any point leaves either `live` or `._old` intact
+    // for readDimSnapshot to recover (never delete-before-rename)
     val live = new org.apache.hadoop.fs.Path(path)
-    fs.delete(live, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staging), live)
+    val retired = new org.apache.hadoop.fs.Path(s"$path._old")
+    fs.delete(retired, true)
+    if (fs.exists(live)) fs.rename(live, retired)
+    fs.rename(staging, live)
+    fs.delete(retired, true)
   }
 }
 
 object DbRouter {
+  /** Envelope column carrying binlog/source order (decodeEnvelope output). */
+  val SeqCol = "_seq"
+
   /** Read a routed fact "topic" (per-batch subdirectories) back as one table. */
   def readTopic(spark: SparkSession, sinkRoot: String, sinkTable: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true")
       .parquet(s"$sinkRoot/kafka/$sinkTable")
+
+  /** Read a dim snapshot, recovering from a crash mid-promote: prefers the
+    * live path, falls back to the retired `._old` copy (present only in the
+    * window between retire and promote). A half-written `._staging` is never
+    * read. Throws real read failures instead of treating them as "empty" —
+    * a transient FS error must not silently drop the snapshot from a merge.
+    */
+  def readDim(spark: SparkSession, sinkRoot: String, sinkTable: String): DataFrame = {
+    val path = s"$sinkRoot/dim/$sinkTable"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    readDimSnapshot(spark, fs, path).getOrElse(
+      throw new java.util.NoSuchElementException(s"no dim snapshot at $path"))
+  }
+
+  private[streaming] def readDimSnapshot(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Option[DataFrame] = {
+    val live = new org.apache.hadoop.fs.Path(path)
+    val retired = new org.apache.hadoop.fs.Path(s"$path._old")
+    if (fs.exists(live)) Some(spark.read.parquet(path))
+    else if (fs.exists(retired)) Some(spark.read.parquet(retired.toString))
+    else None
+  }
 
   /** Read a dim's full SCD2 version history (rules with history = true). */
   def readDimHistory(spark: SparkSession, sinkRoot: String, sinkTable: String): DataFrame =
@@ -166,6 +205,9 @@ object DbRouter {
       .select(col("j.database").as("database"), col("j.tableName").as("tableName"),
         col("j.before").as("before"), col("j.after").as("after"),
         when(lower(col("j.type")) === "create", "insert")
-          .otherwise(lower(col("j.type"))).as("type"))
+          .otherwise(lower(col("j.type"))).as("type"),
+        // source-order sequence for last-write-wins (binlog ts); envelopes
+        // without one fall back to 0 = snapshot phase
+        coalesce(col("j.ts"), lit(0L)).as(SeqCol))
       .filter(col("type") =!= "delete")
 }

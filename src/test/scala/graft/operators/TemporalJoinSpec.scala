@@ -26,6 +26,19 @@ class TemporalJoinSpec extends SparkSpec {
     assert(tiers(5L) === None)
   }
 
+  test("asOf keeps duplicate left rows and non-groupable (map) columns") {
+    val dimHistory = Seq((10L, "bronze", 0L)).toDF("user_id", "tier", "valid_from")
+    // two byte-identical facts plus a MapType column — the old all-columns
+    // groupBy collapsed the twins and failed analysis on the map
+    val facts = Seq((10L, 50L, Map("k" -> "v")), (10L, 50L, Map("k" -> "v")))
+      .toDF("user_id", "ts", "attrs")
+    val out = TemporalJoin.asOf(facts, dimHistory, "user_id", "ts", "valid_from")
+    assert(out.count() === 2)
+    val rows = out.collect()
+    assert(rows.forall(_.getAs[String]("r_tier") == "bronze"))
+    assert(rows.forall(_.getAs[Map[String, String]]("attrs") == Map("k" -> "v")))
+  }
+
   test("router dim history + asOf restores lookup-at-event-time semantics") {
     import java.nio.file.Files
     import graft.streaming.{DbRouter, RouteRule}

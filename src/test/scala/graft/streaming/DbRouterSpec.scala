@@ -66,4 +66,62 @@ class DbRouterSpec extends SparkSpec {
     assert(DbRouter.readTopic(spark, root, "dwd_order_info").count() === 2)
     assert(spark.read.parquet(s"$root/dim/dim_user_info").count() === 2)
   }
+
+  private def tsEnvelope(t: String, tp: String, after: String, ts: Long): String =
+    s"""{"database":"g","tableName":"$t","before":null,"after":${jsonStr(after)},"type":"$tp","ts":$ts}"""
+
+  test("dim upsert resolves same-pk updates by binlog seq, not partition order") {
+    val root = Files.createTempDirectory("router-seq").toString
+    val router = new DbRouter(DbRouter.referenceRules, root)
+    // The NEWER update (ts=500) goes in partition 0, the OLDER (ts=300) in
+    // partition 1: a union of single-row DFs keeps each row in its own
+    // partition, so monotonically_increasing_id-desc ordering (the old bug)
+    // would pick the partition-1 row — the stale one.
+    val newer = Seq(tsEnvelope("user_info", "update",
+      """{"id":"10","name":"NEW","gender":"F","birthday":"1990-01-01"}""", 500L)).toDF("value")
+    val older = Seq(tsEnvelope("user_info", "update",
+      """{"id":"10","name":"OLD","gender":"F","birthday":"1990-01-01"}""", 300L)).toDF("value")
+    val batch = DbRouter.decodeEnvelope(newer.union(older))
+    assert(batch.rdd.getNumPartitions === 2)
+    router.processBatch(batch, 0L)
+    val dim = DbRouter.readDim(spark, root, "dim_user_info")
+    assert(dim.count() === 1)
+    assert(dim.head.getAs[String]("name") === "NEW")
+  }
+
+  test("dim snapshot survives a crash between retire and promote") {
+    val root = Files.createTempDirectory("router-crash").toString
+    val router = new DbRouter(DbRouter.referenceRules, root)
+    router.processBatch(DbRouter.decodeEnvelope(mkEnvelopes(
+      ("user_info", "insert", """{"id":"10","name":"alice","gender":"F","birthday":"1990-01-01"}"""))), 0L)
+
+    // simulate a crash after `live` was retired but before staging promoted:
+    // the live dir is gone, only ._old remains
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$root/dim/dim_user_info")
+    fs.rename(live, new org.apache.hadoop.fs.Path(s"$root/dim/dim_user_info._old"))
+
+    // reads recover from the retired copy...
+    assert(DbRouter.readDim(spark, root, "dim_user_info").count() === 1)
+    // ...and the next batch merges with it instead of starting empty
+    router.processBatch(DbRouter.decodeEnvelope(mkEnvelopes(
+      ("user_info", "insert", """{"id":"11","name":"bob","gender":"M","birthday":"1991-02-02"}"""))), 1L)
+    val dim = DbRouter.readDim(spark, root, "dim_user_info")
+    assert(dim.count() === 2)
+    assert(dim.filter(col("id") === "10").head.getAs[String]("name") === "alice")
+  }
+
+  test("a corrupt dim snapshot read fails loudly instead of dropping history") {
+    val root = Files.createTempDirectory("router-corrupt").toString
+    val router = new DbRouter(DbRouter.referenceRules, root)
+    // a live path that exists but isn't parquet must throw, not be treated
+    // as "no snapshot" (which would silently lose all prior dim rows)
+    val dimDir = new java.io.File(s"$root/dim/dim_user_info")
+    dimDir.mkdirs()
+    Files.write(dimDir.toPath.resolve("part-00000.parquet"), "not parquet".getBytes)
+    intercept[Exception] {
+      router.processBatch(DbRouter.decodeEnvelope(mkEnvelopes(
+        ("user_info", "insert", """{"id":"10","name":"alice","gender":"F","birthday":"1990-01-01"}"""))), 0L)
+    }
+  }
 }
