@@ -22,8 +22,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  private[graft] val dotBuilder: Seq[Expression] => Expression =
-    children => DotProductF(children(0), children(1))
+  private[graft] val dotBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => DotProductF(a, b)
+    case children => throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map(
+        "functionName" -> "`dot_product_f`", "expectedNum" -> "2",
+        "actualNum" -> children.length.toString, "docroot" -> ""))
+  }
 
   /** Register the engine's SQL functions on an already-running session
     * (withExtensions only takes effect at session construction).

@@ -25,12 +25,22 @@ object Skew {
     */
   def saltedAgg(df: DataFrame, key: Column, saltBuckets: Int,
       partials: Seq[Column], merges: Seq[Column]): DataFrame =
-    df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(),
-        lit(saltBuckets)))
+    df.withColumn("_salt", rowSalt(df, saltBuckets))
       .groupBy(key.as("_key"), col("_salt"))
       .agg(partials.head, partials.tail: _*)
       .groupBy(col("_key"))
       .agg(merges.head, merges.tail: _*)
+
+  /** Deterministic per-row salt: a hash of ALL row columns mod buckets. A
+    * partition-id/monotonic-id salt changes if a map task is recomputed after
+    * some reducers already fetched its output (the SPARK-23207 shuffle-replay
+    * class of bug), double-counting or dropping rows from the merged
+    * aggregate; a row-content hash reassigns recomputed rows identically.
+    * Identical rows sharing a bucket is fine — the salt only needs to spread
+    * a hot key, not be unique.
+    */
+  private def rowSalt(df: DataFrame, saltBuckets: Int): Column =
+    pmod(hash(df.columns.map(col): _*), lit(saltBuckets))
 
   /** Salted broadcast-side replication for a skewed join: explode the small
     * side over all salt values so the big side's (key, salt) hits exactly one
@@ -38,8 +48,7 @@ object Skew {
     * enough to replicate `saltBuckets` times.
     */
   def saltBigSide(big: DataFrame, saltBuckets: Int): DataFrame =
-    big.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(),
-      lit(saltBuckets)))
+    big.withColumn("_salt", rowSalt(big, saltBuckets))
 
   def replicateSmallSide(small: DataFrame, saltBuckets: Int): DataFrame =
     small.withColumn("_salt", explode(sequence(lit(0), lit(saltBuckets - 1))))

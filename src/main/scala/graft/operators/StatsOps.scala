@@ -25,14 +25,25 @@ object StatsOps {
     */
   def visitorStats(spark: SparkSession, dir: String): DataFrame = {
     val ev = table(spark, dir, "events")
-    ev.groupBy(date_trunc("hour", col("ts")).as("wstart"), col("event_type"))
+    // Exact uv_ct via the spillable two-phase plan: pre-aggregate on
+    // (window, key, user_id) — high-cardinality shuffle, every partial is a
+    // plain hash-agg row that spills — then count rows per (window, key).
+    // This replaces the ExactDistinct set-Aggregator here: its per-group
+    // in-memory Set[Long] cannot spill, so at 100× an hour's worth of
+    // distinct users would sit in ONE reducer's heap. The typed Aggregator
+    // remains the streaming-append-mode path (StatsStreams), where a
+    // multi-shuffle plan is not expressible. pv_ct/dur_sum fold through the
+    // first phase as partial sums, so no extra pass and no Expand plan.
+    ev.groupBy(date_trunc("hour", col("ts")).as("wstart"), col("event_type"),
+        col("user_id"))
       .agg(
-        count(lit(1)).as("pv_ct"),
-        // exact distinct via the typed Aggregator: one shuffle instead of the
-        // Expand plan (which doubles rows and code size); same exact count
-        // (user_id is non-null — the UDAF path does not skip nulls)
-        graft.functions.ExactDistinct(col("user_id")).as("uv_ct"),
-        dsum(col("value")).as("dur_sum"))
+        count(lit(1)).as("_pv"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("_dv"))
+      .groupBy(col("wstart"), col("event_type"))
+      .agg(
+        sum(col("_pv")).as("pv_ct"),
+        count(lit(1)).as("uv_ct"),
+        sum(col("_dv")).cast("double").as("dur_sum"))
       .select(
         date_format(col("wstart"), "yyyy-MM-dd HH:mm:ss").as("stt"),
         date_format(col("wstart") + expr("INTERVAL 1 HOUR"), "yyyy-MM-dd HH:mm:ss").as("edt"),
