@@ -45,8 +45,12 @@ object Schemas {
     StructField("type", StringType),
     // binlog position / source timestamp (Debezium ts_ms, Maxwell ts) —
     // defines source order for last-write-wins dim upserts; envelopes
-    // without it sort first (seq 0, i.e. snapshot phase)
-    StructField("ts", LongType)))
+    // without it sort first (seq 0, i.e. snapshot phase). Parsed as STRING:
+    // a LongType field would make PERMISSIVE-mode from_json null out the
+    // WHOLE struct on a non-numeric ts from a foreign producer, silently
+    // dropping the envelope at decodeEnvelope's isNotNull filter — the
+    // string survives and is cast (null on garbage → seq 0) downstream.
+    StructField("ts", StringType)))
 
   /** Routing config row (table_process, bean/TableProcess.java:14-26). */
   val tableProcess: StructType = StructType(Seq(

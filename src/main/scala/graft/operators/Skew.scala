@@ -31,16 +31,34 @@ object Skew {
       .groupBy(col("_key"))
       .agg(merges.head, merges.tail: _*)
 
-  /** Deterministic per-row salt: a hash of ALL row columns mod buckets. A
+  /** Deterministic per-row salt: a hash of the row's columns mod buckets. A
     * partition-id/monotonic-id salt changes if a map task is recomputed after
     * some reducers already fetched its output (the SPARK-23207 shuffle-replay
     * class of bug), double-counting or dropping rows from the merged
     * aggregate; a row-content hash reassigns recomputed rows identically.
     * Identical rows sharing a bucket is fine — the salt only needs to spread
-    * a hot key, not be unique.
+    * a hot key, not be unique (byte-identical duplicate rows DO share one
+    * bucket; a duplicate-dominated hot key needs upstream dedup first).
+    *
+    * MapType columns can't feed `hash` (unordered entries — Spark rejects
+    * them under the default `spark.sql.legacy.allowHashOnMapType=false`), so
+    * they are hashed through a sorted-entry canonical form instead of being
+    * dropped from the salt input.
     */
-  private def rowSalt(df: DataFrame, saltBuckets: Int): Column =
-    pmod(hash(df.columns.map(col): _*), lit(saltBuckets))
+  private def rowSalt(df: DataFrame, saltBuckets: Int): Column = {
+    val hashable = df.schema.fields.map { f =>
+      f.dataType match {
+        case m: org.apache.spark.sql.types.MapType =>
+          // canonical order: sort entries by key so equal maps salt equally
+          val entries = map_entries(col(f.name))
+          to_json(array_sort(entries, (a, b) =>
+            when(a.getField("key") < b.getField("key"), -1)
+              .when(a.getField("key") > b.getField("key"), 1).otherwise(0)))
+        case _ => col(f.name)
+      }
+    }
+    pmod(hash(hashable.toSeq: _*), lit(saltBuckets))
+  }
 
   /** Salted broadcast-side replication for a skewed join: explode the small
     * side over all salt values so the big side's (key, salt) hits exactly one

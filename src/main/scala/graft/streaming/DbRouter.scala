@@ -117,14 +117,29 @@ class DbRouter(ruleSource: () => Seq[RouteRule], sinkRoot: String)
     }
     val staging = new org.apache.hadoop.fs.Path(s"$path._staging")
     merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    // crash-safe promote: retire the live snapshot aside, promote staging,
-    // then gc — a crash at any point leaves either `live` or `._old` intact
-    // for readDimSnapshot to recover (never delete-before-rename)
+    promoteStaging(fs, staging, path)
+  }
+
+  /** Crash-safe promote: retire the live snapshot aside, promote staging,
+    * then gc — a crash at any point leaves either `live` or `._old` intact
+    * for readDimSnapshot to recover (never delete-before-rename).
+    * `FileSystem.rename` reports failure by RETURNING false, not throwing —
+    * both renames are checked, and the retired copy is only gc'd after the
+    * promote is known good; an unchecked promote failure here would let the
+    * trailing delete destroy the last good snapshot.
+    */
+  private[streaming] def promoteStaging(fs: org.apache.hadoop.fs.FileSystem,
+      staging: org.apache.hadoop.fs.Path, path: String): Unit = {
     val live = new org.apache.hadoop.fs.Path(path)
     val retired = new org.apache.hadoop.fs.Path(s"$path._old")
     fs.delete(retired, true)
-    if (fs.exists(live)) fs.rename(live, retired)
-    fs.rename(staging, live)
+    if (fs.exists(live) && !fs.rename(live, retired))
+      throw new java.io.IOException(
+        s"dim promote: failed to retire live snapshot $live -> $retired")
+    if (!fs.rename(staging, live))
+      throw new java.io.IOException(
+        s"dim promote: failed to promote staging $staging -> $live " +
+          s"(last good snapshot preserved at $retired)")
     fs.delete(retired, true)
   }
 }
@@ -207,7 +222,11 @@ object DbRouter {
         when(lower(col("j.type")) === "create", "insert")
           .otherwise(lower(col("j.type"))).as("type"),
         // source-order sequence for last-write-wins (binlog ts); envelopes
-        // without one fall back to 0 = snapshot phase
-        coalesce(col("j.ts"), lit(0L)).as(SeqCol))
+        // without one — or with a non-numeric one from a foreign producer —
+        // fall back to 0 = snapshot phase (ts is parsed as string so a bad
+        // value can't null the whole envelope struct in PERMISSIVE mode)
+        // try_cast, not cast: ANSI mode (Spark 4 default) makes a plain
+        // cast THROW on a non-numeric ts instead of yielding null
+        coalesce(expr("try_cast(j.ts AS LONG)"), lit(0L)).as(SeqCol))
       .filter(col("type") =!= "delete")
 }

@@ -21,6 +21,20 @@ class SkewSpec extends SparkSpec {
     assert(salted("hot")._1 === 10000L)
   }
 
+  test("saltedAgg handles MapType columns (hash-on-map is illegal)") {
+    // hash() rejects MapType under spark.sql.legacy.allowHashOnMapType=false
+    // — the salt must canonicalize maps instead of failing analysis
+    val hot = Seq.fill(500)(("hot", 1.0, Map("a" -> "1", "b" -> "2")))
+    val tail = (1 to 10).map(i => (s"k$i", i.toDouble, Map("c" -> s"$i")))
+    val df = (hot ++ tail).toDF("k", "v", "attrs")
+    val salted = Skew.saltedAgg(df, col("k"), 8,
+      Seq(count(lit(1)).as("ct"), sum(col("v")).as("amt")),
+      Seq(sum(col("ct")).as("ct"), sum(col("amt")).as("amt")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(salted("hot") === (500L, 500.0))
+    assert(salted("k3") === (1L, 3.0))
+  }
+
   test("salted join replication preserves join results") {
     val big = Seq.fill(1000)(("hot", 1)).++((1 to 20).map(i => (s"k$i", i))).toDF("k", "v")
     val small = Seq(("hot", "H"), ("k1", "A")).toDF("k", "name")

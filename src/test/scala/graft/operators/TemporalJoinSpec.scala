@@ -39,6 +39,30 @@ class TemporalJoinSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Map[String, String]]("attrs") == Map("k" -> "v")))
   }
 
+  test("asOf is recompute-safe: no nondeterministic expressions, stable under repartition") {
+    // the old formulation tagged left rows with monotonically_increasing_id
+    // (SPARK-23207 recompute hazard); the union+window form must carry no
+    // nondeterministic expression anywhere in the plan
+    val dimHistory = (0L until 50L).map(v => (v % 5, s"t$v", v * 10))
+      .toDF("user_id", "tier", "valid_from")
+    val facts = (0L until 200L).map(i => (i, i % 7, i * 3)).toDF("fact_id", "user_id", "ts")
+    val out = TemporalJoin.asOf(facts, dimHistory, "user_id", "ts", "valid_from")
+    val nonDet = out.queryExecution.optimizedPlan
+      .collect { case p => p.expressions.filterNot(_.deterministic) }.flatten
+    assert(nonDet.isEmpty, s"nondeterministic expressions in asOf plan: $nonDet")
+
+    // partitioning must not change the answer (recomputed/refetched maps
+    // land rows in different partitions — the result must be invariant)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("fact_id"), Option(r.getAs[String]("r_tier")))
+    val base = out.collect().map(key).sorted
+    val reparted = TemporalJoin.asOf(
+      facts.repartition(7), dimHistory.repartition(3),
+      "user_id", "ts", "valid_from").collect().map(key).sorted
+    assert(base.toSeq === reparted.toSeq)
+    assert(base.length === 200)
+  }
+
   test("router dim history + asOf restores lookup-at-event-time semantics") {
     import java.nio.file.Files
     import graft.streaming.{DbRouter, RouteRule}

@@ -111,6 +111,39 @@ class DbRouterSpec extends SparkSpec {
     assert(dim.filter(col("id") === "10").head.getAs[String]("name") === "alice")
   }
 
+  test("a failed staging promote throws and preserves the retired snapshot") {
+    val root = Files.createTempDirectory("router-promote").toString
+    val router = new DbRouter(DbRouter.referenceRules, root)
+    router.processBatch(DbRouter.decodeEnvelope(mkEnvelopes(
+      ("user_info", "insert", """{"id":"10","name":"alice","gender":"F","birthday":"1990-01-01"}"""))), 0L)
+
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val path = s"$root/dim/dim_user_info"
+    // promote with a vanished staging dir: rename(staging, live) returns
+    // FALSE (local FS semantics) — the old unchecked code would swallow
+    // that and the trailing gc delete would destroy the ONLY good snapshot
+    intercept[java.io.IOException] {
+      router.promoteStaging(fs,
+        new org.apache.hadoop.fs.Path(s"$path._staging.missing"), path)
+    }
+    // the retired copy must have survived and reads must recover from it
+    assert(DbRouter.readDim(spark, root, "dim_user_info").count() === 1)
+  }
+
+  test("decodeEnvelope survives a non-numeric ts from a foreign producer") {
+    // a LongType ts in the envelope schema would null the WHOLE struct in
+    // PERMISSIVE mode and silently drop the record at the isNotNull filter
+    val raw = Seq(
+      """{"database":"g","tableName":"t","before":null,"after":"{\"id\":\"1\"}","type":"insert","ts":"2024-01-01T00:00:00Z"}""",
+      """{"database":"g","tableName":"t","before":null,"after":"{\"id\":\"2\"}","type":"insert","ts":77}""",
+      """{"database":"g","tableName":"t","before":null,"after":"{\"id\":\"3\"}","type":"insert"}""")
+      .toDF("value")
+    val dec = DbRouter.decodeEnvelope(raw)
+    assert(dec.count() === 3) // nothing dropped
+    val seqs = dec.select(DbRouter.SeqCol).as[Long].collect().sorted
+    assert(seqs.toSeq === Seq(0L, 0L, 77L)) // garbage→0, missing→0, numeric kept
+  }
+
   test("a corrupt dim snapshot read fails loudly instead of dropping history") {
     val root = Files.createTempDirectory("router-corrupt").toString
     val router = new DbRouter(DbRouter.referenceRules, root)
