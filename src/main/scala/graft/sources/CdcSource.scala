@@ -42,14 +42,26 @@ object CdcSource {
     toEnvelopes(snapshot, database, tableName)
       .write.mode(SaveMode.Append).text(topicDir)
 
+  /** Seed via any [[TopicBus]] (file or kafka transport). */
+  def seedSnapshot(snapshot: DataFrame, database: String, tableName: String,
+      bus: TopicBus, topic: String): Unit =
+    bus.append(toEnvelopes(snapshot, database, tableName), topic)
+
   /** Tail the topic as a decoded CDC stream (normalized ops, deletes dropped
     * — S2/P3 semantics via DbRouter.decodeEnvelope).
     */
   def tail(spark: SparkSession, topicDir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val reader = spark.readStream.schema("value STRING")
+    val reader = spark.readStream.schema(TopicIO.valueSchema)
     val withRate = maxFilesPerTrigger
       .map(n => reader.option("maxFilesPerTrigger", n)).getOrElse(reader)
     DbRouter.decodeEnvelope(withRate.text(topicDir))
   }
+
+  /** Transport-agnostic tail: same decoded stream over a [[FileBus]] topic
+    * dir or a [[KafkaBus]] topic (S3 — the `format("kafka")` path).
+    */
+  def tail(spark: SparkSession, bus: TopicBus, topic: String,
+      maxPerTrigger: Option[Int]): DataFrame =
+    DbRouter.decodeEnvelope(bus.tail(spark, topic, maxPerTrigger))
 }

@@ -83,6 +83,10 @@ object WarehouseMain {
         unix_millis(col("ts")).as("ts"))).as("value"))
       .write.mode("overwrite").text(s"$work/ods_base_log")
 
+    // topic transport: file bus here; a deployment flips to KafkaBus via
+    // TopicIO.fromConf (spark.graft.bus=kafka://…) with no code change
+    val bus = graft.sources.FileBus(work)
+
     // ---- DWD: CDC router (BaseDBApp) --------------------------------------
     val rules = Seq(
       RouteRule("order_info", "insert", "kafka", "dwd_order_info",
@@ -94,8 +98,7 @@ object WarehouseMain {
       RouteRule("user_info", "insert", "hbase", "dim_user_info",
         Seq("id", "name", "segment", "acctbal"), "id"))
     val router = new DbRouter(rules, s"$work/sinks")
-    val dbStream = DbRouter.decodeEnvelope(
-      spark.readStream.schema("value STRING").text(s"$work/ods_base_db"))
+    val dbStream = DbRouter.decodeEnvelope(bus.tail(spark, "ods_base_db"))
     val q1 = dbStream.writeStream.foreachBatch(router.processBatch _)
       .option("checkpointLocation", s"$work/ckpt/db").start()
     q1.processAllAvailable(); q1.stop()
@@ -106,8 +109,7 @@ object WarehouseMain {
     println(s"DWD facts=${facts.count()} details=${details.count()} dim_user=${dimUser.count()}")
 
     // ---- DWD: log pipeline (BaseLogApp) -----------------------------------
-    val (clean, dirty) = LogPipeline.parse(
-      spark.readStream.schema("value STRING").text(s"$work/ods_base_log"))
+    val (clean, dirty) = LogPipeline.parse(bus.tail(spark, "ods_base_log"))
     val pages = clean.select(col("common.mid").as("mid"),
       col("page.page_id").as("page_id"), col("page.last_page_id").as("last_page_id"),
       col("ts"))
@@ -125,6 +127,24 @@ object WarehouseMain {
       .option("checkpointLocation", s"$work/ckpt/vs").outputMode("append").start()
     Seq(q2, q3, q4).foreach(_.processAllAvailable())
     Seq(q2, q3, q4).foreach(_.stop())
+
+    // ---- DWM: exact-TTL unique-visit dedup (UniqueVisitApp via
+    // transformWithState) — RocksDB-backed keyed state with 24h TTL; driven
+    // with AvailableNow (processing-time TTL keeps continuous queries busy)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val qTws = UniqueVisitTws(spark, bus.tail(spark, "ods_base_log")
+          .transform(raw => LogPipeline.parse(raw)._1)
+          .select(col("common.mid").as("mid"), col("page.page_id").as("page_id"),
+            col("page.last_page_id").as("last_page_id"), col("ts")))
+        .writeStream.format("parquet")
+        .option("path", s"$work/sinks/dwm_unique_visit_tws")
+        .option("checkpointLocation", s"$work/ckpt/uv_tws")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append").start()
+      qTws.awaitTermination(300000); qTws.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
     // ---- DWM: order-wide interval join + dim enrichment (OrderWideApp) ----
     // router payloads are all-string (the reference's all-varchar dims,
@@ -171,6 +191,7 @@ object WarehouseMain {
       "dwm_payment_wide" -> spark.read.parquet(s"$work/sinks/dwm_payment_wide").count(),
       "dwm_order_wide" -> spark.read.parquet(s"$work/sinks/dwm_order_wide").count(),
       "dwm_unique_visit" -> spark.read.parquet(s"$work/sinks/dwm_unique_visit").count(),
+      "dwm_unique_visit_tws" -> spark.read.parquet(s"$work/sinks/dwm_unique_visit_tws").count(),
       "dwm_user_jump" -> spark.read.parquet(s"$work/sinks/dwm_user_jump").count(),
       "dws_visitor_stats" -> spark.read.parquet(s"$work/sinks/dws_visitor_stats").count())
     counts.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"$k=$v") }
