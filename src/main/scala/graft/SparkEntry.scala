@@ -59,8 +59,10 @@ object SparkEntry {
     "t2_text_quality" -> ((s: SparkSession, d: String) => TextOps.textQuality(s, d)),
     "t3_token_count" -> ((s: SparkSession, d: String) => TextOps.tokenCount(s, d)),
     "t4_fingerprint" -> ((s: SparkSession, d: String) => TextOps.fingerprint(s, d)),
-    // LLM-data-pipeline: multimodal (stubbed decode; rows-only check)
-    "m1_multimodal_decode" -> (MultimodalOps.decodeFeatures _)
+    // LLM-data-pipeline: multimodal (m1 = deterministic fake decoder with a
+    // full arithmetic oracle; m2 = REAL javax.imageio PNG encode→decode)
+    "m1_multimodal_decode" -> (MultimodalOps.decodeFeatures _),
+    "m2_image_decode" -> (MultimodalOps.decodeImages _)
   )
 
   /** X1 positional tokenize (LATERAL TABLE(split_words(...)),
@@ -355,6 +357,15 @@ object SparkEntry {
          |       CAST(64 + (${hexByte(2)} * 256 + ${hexByte(3)}) % 1984 AS INTEGER) AS height,
          |       CAST(1 AS INTEGER) AS n_frames
          |FROM documents""".stripMargin
-    }
+    },
+    // m2: Spark really encodes a (1+id%64) × (1+id%48) PNG per doc and
+    // really decodes it with javax.imageio; the oracle states the expected
+    // output arithmetically — a hash match proves the codec round trip.
+    "m2_image_decode" ->
+      """SELECT doc_id,
+        |       1 + doc_id % 64 AS width,
+        |       1 + doc_id % 48 AS height,
+        |       (1 + doc_id % 64) * (1 + doc_id % 48) AS n_pixels
+        |FROM documents""".stripMargin
   )
 }

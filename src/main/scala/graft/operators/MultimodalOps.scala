@@ -15,16 +15,53 @@ case class MediaRecord(doc_id: Long, mime: String, content: Array[Byte])
 case class MediaFeatures(doc_id: Long, mime: String, byte_len: Long,
     width: Int, height: Int, n_frames: Int)
 
+/** Pluggable codec boundary: bytes → features. Implementations must be
+  * Serializable (shipped to executors) and cheap to reuse within a partition.
+  */
+trait MediaCodec extends Serializable {
+  def decode(m: MediaRecord): MediaFeatures
+}
+
+/** REAL image decode via the in-JDK `javax.imageio` (PNG/BMP/GIF/JPEG — no
+  * external codec libs needed). Dimensions come from a header-level
+  * `ImageReader` read: the PNG plugin parses the IHDR chunk without
+  * decompressing pixel data, which is the only affordable path when scanning
+  * 100 TB of blobs for metadata (full pixel decode is reserved for stages
+  * that need pixels — see MultimodalOpsSpec's round-trip test).
+  */
+object ImageIoCodec extends MediaCodec {
+  javax.imageio.ImageIO.setUseCache(false) // no executor-local temp files
+
+  override def decode(m: MediaRecord): MediaFeatures = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(m.content))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext)
+        throw new java.io.IOException(s"no image reader for doc ${m.doc_id} (${m.mime})")
+      val r = readers.next()
+      try {
+        r.setInput(iis)
+        MediaFeatures(m.doc_id, m.mime, m.content.length.toLong,
+          width = r.getWidth(0), height = r.getHeight(0),
+          n_frames = math.max(1, r.getNumImages(false)))
+      } finally r.dispose()
+    } finally iis.close()
+  }
+}
+
 /** Multimodal column plumbing: binary payloads with typed metadata, decoded
   * per-partition in batches.
   *
-  * The decode step is a STUB (no image/audio codecs in this container): a
-  * deterministic fake derives dimensions from the payload hash. The Spark-side
-  * plumbing is real and is the part that must hold at 100 TB — binary columns
-  * stay columnar in parquet, `mapPartitions` amortizes decoder init per
-  * partition (the idiomatic Scala analog of a batched pandas UDF), and
-  * partition sizing is controlled upstream by files.maxPartitionBytes so a
-  * partition of blobs fits executor memory.
+  * Two decode paths: [[ImageIoCodec]] is a REAL in-JDK image decoder
+  * (exercised end-to-end by m2's encode→decode round trip); the
+  * deterministic fake below stands in for codecs this container lacks
+  * (audio/video). The Spark-side plumbing is identical for both and is the
+  * part that must hold at 100 TB — binary columns stay columnar in parquet,
+  * `mapPartitions` amortizes decoder init per partition (the idiomatic Scala
+  * analog of a batched pandas UDF), and partition sizing is controlled
+  * upstream by files.maxPartitionBytes so a partition of blobs fits executor
+  * memory.
   */
 object MultimodalOps {
 
@@ -58,6 +95,53 @@ object MultimodalOps {
     mediaRecords(spark, dir)
       .mapPartitions(_.map(fakeDecode))
       .toDF()
+  }
+
+  /** Deterministic tiny PNG: a (w × h) RGB gradient seeded by the doc id —
+    * the pixel pattern MultimodalOpsSpec round-trips. Real ImageIO encoding,
+    * so the decode side exercises the genuine PNG plugin, not a fixture.
+    */
+  private[operators] def syntheticPng(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((x * 31 + y * 17 + docId) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** PNG payloads with oracle-predictable dimensions: width = 1 + id % 64,
+    * height = 1 + id % 48 (so the DuckDB side can state the expected decode
+    * output arithmetically while Spark actually encodes AND decodes pixels).
+    */
+  def imageRecords(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    table(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRecord(id, "image/png",
+        syntheticPng(id, 1 + (id % 64).toInt, 1 + (id % 48).toInt))))
+  }
+
+  /** M2b — REAL image decode end-to-end: encode a PNG per document, decode
+    * it with [[ImageIoCodec]], emit (doc_id, width, height, n_pixels). The
+    * oracle predicts the same rows from the id arithmetic — any codec or
+    * plumbing fault (corrupt bytes, wrong dims, dropped rows) breaks the
+    * hash match.
+    */
+  def decodeImages(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    imageRecords(spark, dir)
+      .mapPartitions(_.map(ImageIoCodec.decode))
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        (col("width") * col("height")).cast("long").as("n_pixels"))
   }
 
   /** M2 — frame sampling: one output row per sampled frame (every `everyN`th

@@ -37,6 +37,21 @@ class ClusterSpec extends SparkSpec {
     assert(direct.forall(_ < 0.85), direct.mkString(","))
   }
 
+  test("a 60-deep chain converges inside the default cap with constant plan size") {
+    // worst-case topology for plain min-propagation (one hop per round =
+    // 60 rounds); pointer jumping must close it in O(log D) <= 10 rounds
+    val vertices = (0L to 60L).toDF("doc_id")
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = DedupOps.connectedComponents(vertices, chain) // default maxIter = 10
+    val labels = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.values.toSet === Set(0L), s"chain did not converge: $labels")
+
+    // per-round localCheckpoint keeps the result's lineage flat — the plan
+    // must be a scan of materialized blocks, not 10 rounds of stacked joins
+    val planLines = out.queryExecution.optimizedPlan.toString.linesIterator.size
+    assert(planLines <= 5, s"lineage not truncated: $planLines plan lines")
+  }
+
   test("clusters partition all docs; cluster_id is the component minimum") {
     val df = graft.Tables.table(spark, sf, "documents")
     val c = DedupOps.nearDupClusters(df, 0.9)
