@@ -24,6 +24,29 @@ class WritersSpec extends SparkSpec {
     assert(orders.count() === 2 && pages.count() === 1)
   }
 
+  test("writeJdbc round-trips a stats frame through a live embedded database (K4)") {
+    // Derby ships in the Spark jars dir — a real JDBC write+read, in-process
+    // (parity: ClickHouseUtil.getSink's batched PreparedStatement inserts,
+    // utils/ClickHouseUtil.java:41-70)
+    System.setProperty("derby.stream.error.file", "/tmp/derby_graft.log")
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val df = Seq(("p1", 10L, 99.5), ("p2", 3L, 10.0)).toDF("sku", "ct", "amount")
+      .withColumn("internal_set", lit("DROP_ME"))
+    Writers.writeJdbc(df, url, "product_stats", transientCols = Seq("internal_set"))
+
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "product_stats").load()
+    assert(back.columns.map(_.toLowerCase).toSet === Set("sku", "ct", "amount"))
+    val rows = back.collect().map(r =>
+      (r.getAs[String]("sku"), r.getAs[Long]("ct"), r.getAs[Double]("amount"))).toSet
+    assert(rows === Set(("p1", 10L, 99.5), ("p2", 3L, 10.0)))
+
+    // the sink appends (streaming micro-batches accumulate), never clobbers
+    Writers.writeJdbc(df, url, "product_stats", transientCols = Seq("internal_set"))
+    assert(spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "product_stats").load().count() === 4)
+  }
+
   test("publisher gmvByDay filters by yyyyMMdd over stt (K6/A7)") {
     val stats = Seq(
       ("2024-01-01 00:00:00", 10.0), ("2024-01-01 12:00:10", 5.0),
