@@ -43,27 +43,21 @@ object DedupOps {
       .withColumn("shingles", shingleExpr(col("words")))
       .withColumn("shset", array_distinct(col("shingles")))
       .withColumn("n", size(col("shset")).cast("long"))
-      // materialize the two salted digest arrays ONCE — Catalyst does not
-      // CSE identical md5 calls across separately-named minhash columns, so
-      // without this each shingle would be hashed 8× instead of 2×
-      .withColumn("h0", transform(col("shingles"), s => md5(concat(lit("0:"), s))))
-      .withColumn("h1", transform(col("shingles"), s => md5(concat(lit("1:"), s))))
-      .select("doc_id", "shingles", "shset", "n", "h0", "h1")
+      // the full 8-family signature in ONE native expression call
+      // (graft.functions.MinHashSig): 2 md5 digests per shingle, mins
+      // tracked as u32s off the digest bytes. Runtime subexpression
+      // elimination shares this one call across the 8 mh columns.
+      .withColumn("sig", graft.functions.MinHashSig(col("shingles")))
+      .select("doc_id", "shingles", "shset", "n", "sig")
 
-  /** Salted MinHash over the per-doc shingle array: two md5 digests per
-    * shingle yield all 8 hash families as 8-hex-char slices
-    * (mh_{4a+b} = substr(md5("a:" ++ shingle), 1+8b, 8)), signature =
-    * array_min per family. Min over the multiset equals min over the
-    * distinct set, so no dedup is needed; string-min of md5 hex is
-    * engine-portable (byte-ordered, no murmur seeds). 2 digests instead of 8
-    * per shingle — the hash is the hot loop of signature extraction.
+  /** Salted MinHash signature columns, sliced from the native [[graft.functions.MinHashSig]]
+    * array: mh_{4a+b} = min over shingles of substr(md5("a:" ++ shingle), 1+8b, 8).
+    * Min over the multiset equals min over the distinct set, so no dedup is
+    * needed; string-min of md5 hex is engine-portable (byte-ordered, no
+    * murmur seeds — the DuckDB oracle states the same arithmetic).
     */
   private def minhashCols: Seq[Column] =
-    (0 until NumHashes).map { i =>
-      val (salt, slice) = (i / 4, i % 4)
-      array_min(transform(col(s"h$salt"),
-        h => substring(h, 1 + 8 * slice, 8))).as(s"mh$i")
-    }
+    (0 until NumHashes).map(i => element_at(col("sig"), i + 1).as(s"mh$i"))
 
   /** D1 — exact dedup by content hash: one hash-groupBy, keeper = min id.
     * Generalizes the reference's keyed dedup A5 (app/dwm/UniqueVisitApp.java:54-102)

@@ -43,6 +43,13 @@ sealed trait TopicBus extends Serializable {
     * utils/MyKafkaUtil.java:29-43): one job, rows land on their own topics.
     */
   def appendDynamic(df: DataFrame, topicCol: String): Unit
+
+  /** Streaming producer: continuously append a streaming frame's `value`
+    * column to one topic (K1 as a sink on a running query,
+    * utils/MyKafkaUtil.java:19-25 attached at app/dwd/BaseLogApp.java:154-156).
+    */
+  def startAppendStream(df: DataFrame, topic: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery
 }
 
 object TopicIO {
@@ -106,6 +113,14 @@ final case class FileBus(root: String) extends TopicBus {
 
   override def append(df: DataFrame, topic: String): Unit =
     df.select(col("value").cast("string")).write.mode(SaveMode.Append).text(dir(topic))
+
+  override def startAppendStream(df: DataFrame, topic: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.select(col("value").cast("string"))
+      .writeStream.format("text")
+      .option("path", dir(topic))
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append").start()
 
   /** One partitioned write job fans rows out to `_staging/topic=<t>/`, then
     * driver-side moves promote each partition's files into its topic dir —
@@ -189,4 +204,11 @@ final case class KafkaBus(bootstrapServers: String,
     df.select(col(topicCol).cast("string").as("topic"),
         col("value").cast("string").as("value"))
       .write.format("kafka").options(writerOptions(None)).save()
+
+  override def startAppendStream(df: DataFrame, topic: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.select(col("value").cast("string").as("value"))
+      .writeStream.format("kafka").options(writerOptions(Some(topic)))
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append").start()
 }

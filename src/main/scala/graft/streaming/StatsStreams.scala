@@ -96,6 +96,27 @@ object StatsStreams {
         date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
         col("province_id"), col("province_name"), col("order_count"), col("order_amount"))
 
+  /** A3 bounded-state path — same query with the [[graft.functions.HllSketch]]
+    * sketch kept as a column: per-(window, province) state is a constant
+    * 4 KiB regardless of distinct-order cardinality (the shape that survives
+    * unbounded keys at 100 TB), the emitted count is the sketch estimate,
+    * and the persisted sketch re-aggregates (day→week, province→country)
+    * via [[graft.functions.HllMergeCount]] without rescanning events.
+    */
+  def provinceStatsHll(orders: DataFrame): DataFrame =
+    orders
+      .withColumn("rt", timestamp_millis(col("create_ts")))
+      .withWatermark("rt", "1 second")
+      .groupBy(window(col("rt"), "10 seconds"), col("province_id"), col("province_name"))
+      .agg(graft.functions.HllSketch(col("order_id")).as("order_count_sketch"),
+        dsum(col("split_total_amount")).as("order_amount"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("province_id"), col("province_name"),
+        graft.functions.HllSketchEstimate(col("order_count_sketch")).as("order_count"),
+        col("order_count_sketch"), col("order_amount"))
+
   /** Beyond the reference (SURVEY §2.6 NOT-PRESENT row): sliding-window
     * variant of visitor counts — same aggregation over `window(size, slide)`.
     * The reference rejects sliding windows only because its mutable-bean

@@ -106,6 +106,25 @@ class TopicIOSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("FileBus streaming producer appends a running query's output to a topic (K1)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("bus-stream").toString
+    val bus = FileBus(root)
+    val input = MemoryStream[String]
+    val q = bus.startAppendStream(input.toDF().toDF("value"), "dwd_page_log",
+      s"$root/_ckpt")
+    try {
+      input.addData("a", "b")
+      q.processAllAvailable()
+      assert(bus.read(spark, "dwd_page_log").as[String].collect().sorted.toSeq ===
+        Seq("a", "b"))
+      input.addData("c")
+      q.processAllAvailable()
+      assert(bus.read(spark, "dwd_page_log").count() === 3)
+    } finally q.stop()
+  }
+
   test("toJsonValues serializes any frame to the wire shape") {
     val df = Seq((1L, "a")).toDF("id", "name")
     val wire = TopicIO.toJsonValues(df)
