@@ -51,6 +51,7 @@ object SparkEntry {
     "d3_minhash_lsh_pairs" -> ((s: SparkSession, d: String) => DedupOps.minhashLshPairs(s, d)),
     "d4_simhash" -> ((s: SparkSession, d: String) => DedupOps.simhash(s, d)),
     "d5_ngram_jaccard" -> ((s: SparkSession, d: String) => DedupOps.ngramJaccard(s, d)),
+    "d6_embedding_neardup" -> ((s: SparkSession, d: String) => AnnOps.embeddingNearDups(s, d)),
     // LLM-data-pipeline: similarity search
     "n1_ann_cosine_topk" -> ((s: SparkSession, d: String) => AnnOps.cosineTopK(s, d)),
     "n2_ann_ivf_topk" -> ((s: SparkSession, d: String) => AnnOps.ivfTopK(s, d)),
@@ -291,6 +292,22 @@ object SparkEntry {
          |         FROM documents a JOIN documents b
          |           ON b.doc_id BETWEEN a.doc_id + 1 AND a.doc_id + 10),
          |$jaccardTail""".stripMargin,
+    // d6: nearest within-cell neighbor per vector + dup flag; cosine rounded
+    // to 4 dp BEFORE ranking (same convention as n1/n2) so tie-breaks agree.
+    "d6_embedding_neardup" ->
+      """WITH s AS (
+        |  SELECT a.vec_id, b.vec_id AS nn_id,
+        |         floor(list_dot_product(a.embedding, b.embedding) /
+        |               (sqrt(list_dot_product(a.embedding, a.embedding)) *
+        |                sqrt(list_dot_product(b.embedding, b.embedding)))
+        |               * 10000.0 + 0.5) / 10000.0 AS sim
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id)
+        |SELECT vec_id, nn_id, sim, sim >= 0.95 AS is_dup
+        |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                                   ORDER BY sim DESC, nn_id) AS rnk
+        |      FROM s)
+        |WHERE rnk = 1""".stripMargin,
     "n1_ann_cosine_topk" ->
       s"""WITH ${cosineCommon.replace("%QLIM%", "10")},
          |sims AS (SELECT query_id, vec_id AS neighbor_id,

@@ -91,6 +91,30 @@ object AnnOps {
   def ivfTopK(spark: SparkSession, dir: String): DataFrame =
     ivfTopK(table(spark, dir, "embeddings"))
 
+  /** D6 — embedding-cosine near-dup detection, the vector-space member of the
+    * dedup family (exact/MinHash/SimHash/n-gram live in [[DedupOps]]): every
+    * vector gets its nearest neighbor WITHIN ITS IVF CELL (`label` = coarse
+    * quantizer output, as in [[ivfTopK]]) and an `is_dup` flag at
+    * `threshold`. Bucketing-by-cell is the standard scale path for embedding
+    * dedup — candidate pairs are bounded by cell population, never the n²
+    * corpus, exactly like d3's LSH band buckets; the top-1 reduction uses the
+    * two-phase partial top-k, so no per-vector single-reducer window. Drop
+    * rows where `is_dup && vec_id > nn_id` for greedy keep-first removal.
+    */
+  def embeddingNearDups(e: DataFrame, threshold: Double = 0.95): DataFrame = {
+    val left = e.select(col("label"), col("vec_id"), col("embedding").as("ea"))
+    val right = e.select(col("label"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("eb"))
+    val sims = left.join(right, Seq("label"))
+      .filter(col("neighbor_id") =!= col("vec_id"))
+      .select(col("vec_id"), col("neighbor_id"), cosine(col("ea"), col("eb")).as("sim"))
+    topKPerQuery(sims, 1, Seq("vec_id"))
+      .select(col("vec_id"), col("neighbor_id").as("nn_id"), col("sim"),
+        (col("sim") >= threshold).as("is_dup"))
+  }
+  def embeddingNearDups(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDups(table(spark, dir, "embeddings"))
+
   /** Coarse-quantizer training: centroid = element-wise mean vector per
     * cluster. One shuffle on (cell, dim) — dimension count is a constant, so
     * this scales as a plain aggregation of the corpus.

@@ -24,6 +24,28 @@ class AnnOpsSpec extends SparkSpec {
     assert(assigned.count() === total) // every vector assigned exactly once
   }
 
+  test("embeddingNearDups flags planted duplicates within a cell (D6)") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),  // exact dup pair in cell 0
+      (2L, Array(1.0f, 0.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.0f), 0),  // orthogonal — not a dup
+      (4L, Array(0.0f, 0.0f, 1.0f), 2),  // alone in cell 2 → no candidate row
+      (5L, Array(0.0f, 0.9f, 0.1f), 1),
+      (6L, Array(0.0f, 0.9f, 0.1f), 1))  // dup of 5 in cell 1
+      .toDF("vec_id", "embedding", "label")
+    val out = AnnOps.embeddingNearDups(e, threshold = 0.95)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("nn_id"), r.getAs[Double]("sim"), r.getAs[Boolean]("is_dup"))).toMap
+    assert(out(1L) === ((2L, 1.0, true)))
+    assert(out(2L) === ((1L, 1.0, true)))
+    assert(out(3L)._3 === false)          // nearest is orthogonal, not flagged
+    assert(!out.contains(4L))             // singleton cell: no pair to compare
+    assert(out(5L) === ((6L, 1.0, true)))
+    // cell boundary respected: 3's neighbor must be in cell 0
+    assert(Set(1L, 2L).contains(out(3L)._1))
+  }
+
   test("ivf results are a subset of brute-force candidates per query") {
     val e = Tables.table(spark, sf, "embeddings")
     val ivf = AnnOps.ivfTopK(e)
