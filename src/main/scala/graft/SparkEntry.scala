@@ -52,6 +52,7 @@ object SparkEntry {
     "d4_simhash" -> ((s: SparkSession, d: String) => DedupOps.simhash(s, d)),
     "d5_ngram_jaccard" -> ((s: SparkSession, d: String) => DedupOps.ngramJaccard(s, d)),
     "d6_embedding_neardup" -> ((s: SparkSession, d: String) => AnnOps.embeddingNearDups(s, d)),
+    "d7_simhash_pairs" -> ((s: SparkSession, d: String) => DedupOps.simhashPairs(s, d)),
     // LLM-data-pipeline: similarity search
     "n1_ann_cosine_topk" -> ((s: SparkSession, d: String) => AnnOps.cosineTopK(s, d)),
     "n2_ann_ivf_topk" -> ((s: SparkSession, d: String) => AnnOps.ivfTopK(s, d)),
@@ -292,6 +293,28 @@ object SparkEntry {
          |         FROM documents a JOIN documents b
          |           ON b.doc_id BETWEEN a.doc_id + 1 AND a.doc_id + 10),
          |$jaccardTail""".stripMargin,
+    // d7: banded SimHash pairing — 4 bands of 4 bits (hamming <= 3 ⇒ one
+    // band identical), exact hamming verify as 16 per-position compares.
+    "d7_simhash_pairs" -> {
+      val hamming = (1 to 16).map(i =>
+        s"CASE WHEN substr(a.simhash, $i, 1) <> substr(b.simhash, $i, 1) THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val bandKeys = (0 until 4).map(b => s"substr(simhash, ${1 + 4 * b}, 4)").mkString(", ")
+      s"""WITH sh AS (SELECT doc_id, $simhashConcat AS simhash FROM (
+         |  SELECT doc_id, $simhashSums
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE len(word) > 0 GROUP BY doc_id)),
+         |bands AS (SELECT doc_id, unnest([0, 1, 2, 3]) AS band,
+         |                 unnest([$bandKeys]) AS bkey FROM sh),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM (
+         |  SELECT cand.doc_a, cand.doc_b, CAST($hamming AS BIGINT) AS hamming
+         |  FROM cand JOIN sh a ON a.doc_id = cand.doc_a
+         |            JOIN sh b ON b.doc_id = cand.doc_b)
+         |WHERE hamming <= 3""".stripMargin
+    },
     // d6: nearest within-cell neighbor per vector + dup flag; cosine rounded
     // to 4 dp BEFORE ranking (same convention as n1/n2) so tie-breaks agree.
     "d6_embedding_neardup" ->

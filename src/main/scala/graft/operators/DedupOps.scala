@@ -225,7 +225,40 @@ object DedupOps {
       .drop("cluster_id")
 
   private val SimhashBits = 16
+  private val SimhashBands = 4
   private val OddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+
+  /** D7 — SimHash near-dup pairs: band the 16-bit fingerprint into 4 bands
+    * of 4 bits; any pair with hamming distance <= 3 shares at least one
+    * identical band (pigeonhole over 4 bands), so the band-bucket self-join
+    * yields ALL such pairs as candidates — linear in bucket population like
+    * d3's LSH bands, never n². Candidates verify by exact hamming over the
+    * bit string (16 codegen'd char compares — portable to the SQL oracle,
+    * no engine-specific popcount).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs).cache() // (doc_id, simhash bit string)
+    val width = SimhashBits / SimhashBands
+    val bandKeys = (0 until SimhashBands).map(b =>
+      substring(col("simhash"), 1 + width * b, width))
+    val bands = sh.select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val hamming = (1 to SimhashBits).map(i =>
+      when(substring(col("sa"), i, 1) =!= substring(col("sb"), i, 1), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("sa")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), hamming.cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(table(spark, dir, "documents"))
 
   /** D4 — SimHash: 16-bit fingerprint; bit j votes +1/−1 by the parity of the
     * j-th hex digit of md5(word), weighted by term frequency; bit set iff the

@@ -65,6 +65,32 @@ class DedupPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("simhashPairs: identical docs pair at hamming 0; pairing is pigeonhole-complete (D7)") {
+    // planted: docs 0 and 1 identical, doc 2 a heavy rewrite, doc 3 unrelated
+    val texts = Seq(
+      "spark join hash scan merge row data stream window batch",
+      "spark join hash scan merge row data stream window batch",
+      "spark join hash scan merge row data stream window patch",
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val pairs = DedupOps.simhashPairs(df, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((0L, 1L)) === 0L) // identical ⇒ identical fingerprint
+
+    // pigeonhole completeness: EVERY pair within the hamming bound must be
+    // found by the banded join — compare against the brute-force pair set
+    val corpora = Gen.listOfN(18, docGen).apply(Gen.Parameters.default, Seed(7L)).get
+    val cdf = corpora.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val banded = DedupOps.simhashPairs(cdf, maxHamming = 3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = DedupOps.simhash(cdf).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val brute = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      h = sh(a).zip(sh(b)).count { case (x, y) => x != y } if h <= 3
+    } yield (a, b)).toSet
+    assert(banded === brute, s"banded=$banded brute=$brute")
+  }
+
   test("tokenCount: ws_tokens equals naive split count") {
     (1L to 3L).foreach { s =>
       val texts = sample(corpusGen, s)
