@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProductF
+import graft.functions.{DotProductF, MinHashSigExpr}
 
 /** Session extension wiring: registers the engine's native expressions for
   * SQL use. Install with
@@ -11,6 +11,7 @@ import graft.functions.DotProductF
   * `SparkSession.builder().withExtensions(new GraftExtensions)`.
   *
   *   SELECT dot_product_f(embedding, embedding) FROM embeddings
+  *   SELECT minhash_sig(shingles)[0] FROM doc_shingles
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -18,23 +19,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product_f"),
       new ExpressionInfo(classOf[DotProductF].getName, "dot_product_f"),
       GraftExtensions.dotBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
+      GraftExtensions.minhashBuilder))
   }
 }
 
 object GraftExtensions {
-  private[graft] val dotBuilder: Seq[Expression] => Expression = {
-    case Seq(a, b) => DotProductF(a, b)
-    case children => throw new org.apache.spark.sql.AnalysisException(
+  private def wrongArgs(name: String, expected: Int, actual: Int): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
       errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
       messageParameters = Map(
-        "functionName" -> "`dot_product_f`", "expectedNum" -> "2",
-        "actualNum" -> children.length.toString, "docroot" -> ""))
+        "functionName" -> s"`$name`", "expectedNum" -> expected.toString,
+        "actualNum" -> actual.toString, "docroot" -> ""))
+
+  private[graft] val dotBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => DotProductF(a, b)
+    case children => wrongArgs("dot_product_f", 2, children.length)
+  }
+
+  private[graft] val minhashBuilder: Seq[Expression] => Expression = {
+    case Seq(a) => MinHashSigExpr(a)
+    case children => wrongArgs("minhash_sig", 1, children.length)
   }
 
   /** Register the engine's SQL functions on an already-running session
-    * (withExtensions only takes effect at session construction).
+    * (withExtensions only takes effect at session construction). The typed
+    * aggregators (exact_count_distinct, hll sketches) register as UDAFs.
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    org.apache.spark.sql.graftbridge.ColumnBridge
-      .registerFunction(spark, "dot_product_f", dotBuilder)
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val bridge = org.apache.spark.sql.graftbridge.ColumnBridge
+    bridge.registerFunction(spark, "dot_product_f", dotBuilder)
+    bridge.registerFunction(spark, "minhash_sig", minhashBuilder)
+    spark.udf.register("exact_count_distinct", graft.functions.ExactDistinct.asUdaf)
+    spark.udf.register("hll_count_distinct", graft.functions.HllDistinct.asUdaf)
+    spark.udf.register("hll_sketch", graft.functions.HllSketch.asUdaf)
+    spark.udf.register("hll_merge_count", graft.functions.HllMergeCount.asUdaf)
+  }
 }

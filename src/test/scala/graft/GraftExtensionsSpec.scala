@@ -11,6 +11,26 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r === 11.0)
   }
 
+  test("minhash_sig and hll aggregators callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    // native expression: same first family as md5("0:" ++ s) sliced to 8 hex
+    val sig = spark.sql("SELECT minhash_sig(array('a b c', 'b c d')) AS s")
+      .head.getSeq[String](0)
+    assert(sig.length === 8)
+    assert(sig.forall(_.matches("[0-9a-f]{8}")))
+
+    spark.range(1000).selectExpr("id % 500 AS v")
+      .createOrReplaceTempView("ids")
+    val exact = spark.sql("SELECT exact_count_distinct(v) FROM ids").head.getLong(0)
+    assert(exact === 500L)
+    val approx = spark.sql("SELECT hll_count_distinct(v) FROM ids").head.getLong(0)
+    assert(math.abs(approx - 500L) <= 25L)
+    val rolled = spark.sql(
+      "SELECT hll_merge_count(s) FROM (SELECT v % 4 AS g, hll_sketch(v) AS s FROM ids GROUP BY 1)")
+      .head.getLong(0)
+    assert(math.abs(rolled - 500L) <= 25L)
+  }
+
   test("ads catalog registration exposes stats tables to spark.sql (K6)") {
     import spark.implicits._
     val stats = Seq(("2024-01-01 00:00:00", 10.0), ("2024-01-01 10:00:00", 5.0))
