@@ -27,13 +27,20 @@ object AnnOps {
   private def norm(a: Column): Column =
     graft.functions.VectorFunctions.norm_f(a)
 
-  /** Cosine similarity quantized to 4 dp via floor(x*1e4 + 0.5)/1e4 —
-    * bit-deterministic in both engines (unlike round(), whose HALF_UP on the
-    * shortest decimal string diverges from value-based rounding) and absorbs
-    * sub-ulp summation-order jitter.
+  /** Cosine similarity with PRE-COMPUTED norms, quantized to 4 dp via
+    * floor(x*1e4 + 0.5)/1e4 — bit-deterministic in both engines (unlike
+    * round(), whose HALF_UP on the shortest decimal string diverges from
+    * value-based rounding) and absorbs sub-ulp summation-order jitter.
+    *
+    * Why the norms are arguments instead of `norm(a) * norm(b)` inline: the
+    * inline form costs THREE 64-dim dot products per candidate pair; norms
+    * are per-VECTOR quantities, so each join side computes its norm once in
+    * a projection below the join and the per-pair cost drops to one dot.
+    * Catalyst never merges a below-join Project into the pair-side
+    * projection, so the caching survives optimization.
     */
-  private def cosine(a: Column, b: Column): Column =
-    floor(dot(a, b) / (norm(a) * norm(b)) * 10000.0 + 0.5) / 10000.0
+  private def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    floor(dot(a, b) / (na * nb) * 10000.0 + 0.5) / 10000.0
 
   /** Two-phase top-k per query: per-partition local top-k, then merge the
     * bounded local lists. A `Window.partitionBy(query_id)` would pull EVERY
@@ -63,11 +70,14 @@ object AnnOps {
     */
   def cosineTopK(e: DataFrame): DataFrame = {
     val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val sims = e.crossJoin(broadcast(q))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        norm(col("embedding")).as("nq"))
+    val corpus = e.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nv")) // norm once per vector, below the join
+    val sims = corpus.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qe"), col("embedding")).as("sim"))
+        cosinePre(col("qe"), col("embedding"), col("nq"), col("nv")).as("sim"))
     topKPerQuery(sims, 5, Seq("query_id"))
       .select("query_id", "neighbor_id", "rnk", "sim")
   }
@@ -80,11 +90,14 @@ object AnnOps {
     */
   def ivfTopK(e: DataFrame): DataFrame = {
     val q = e.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("label"))
-    val sims = e.join(broadcast(q), Seq("label"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("label"), norm(col("embedding")).as("nq"))
+    val corpus = e.select(col("label"), col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nv"))
+    val sims = corpus.join(broadcast(q), Seq("label"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("label").as("cell"), col("vec_id").as("neighbor_id"),
-        cosine(col("qe"), col("embedding")).as("sim"))
+        cosinePre(col("qe"), col("embedding"), col("nq"), col("nv")).as("sim"))
     topKPerQuery(sims, 3, Seq("query_id", "cell"))
       .select("query_id", "cell", "neighbor_id", "rnk", "sim")
   }
@@ -102,12 +115,14 @@ object AnnOps {
     * rows where `is_dup && vec_id > nn_id` for greedy keep-first removal.
     */
   def embeddingNearDups(e: DataFrame, threshold: Double = 0.95): DataFrame = {
-    val left = e.select(col("label"), col("vec_id"), col("embedding").as("ea"))
+    val left = e.select(col("label"), col("vec_id"), col("embedding").as("ea"),
+      norm(col("embedding")).as("na"))
     val right = e.select(col("label"), col("vec_id").as("neighbor_id"),
-      col("embedding").as("eb"))
+      col("embedding").as("eb"), norm(col("embedding")).as("nb"))
     val sims = left.join(right, Seq("label"))
       .filter(col("neighbor_id") =!= col("vec_id"))
-      .select(col("vec_id"), col("neighbor_id"), cosine(col("ea"), col("eb")).as("sim"))
+      .select(col("vec_id"), col("neighbor_id"),
+        cosinePre(col("ea"), col("eb"), col("na"), col("nb")).as("sim"))
     topKPerQuery(sims, 1, Seq("vec_id"))
       .select(col("vec_id"), col("neighbor_id").as("nn_id"), col("sim"),
         (col("sim") >= threshold).as("is_dup"))
@@ -153,18 +168,21 @@ object AnnOps {
     val assigned = corpus.join(
       assignCells(corpus, cents).withColumnRenamed("assigned_cell", "cell"), Seq("vec_id"))
     val probes = queries
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        norm(col("embedding")).as("nq"))
       .join(broadcast(cents))
-      .select(col("query_id"), col("qe"), col("cell"),
+      .select(col("query_id"), col("qe"), col("nq"), col("cell"),
         (dot(col("qe"), col("centroid")) * 2.0 -
           dot(col("centroid"), col("centroid"))).as("score"))
       .withColumn("pr", expr(s"row_number() over (partition by query_id order by score desc, cell)"))
       .filter(col("pr") <= nProbe)
-      .select("query_id", "qe", "cell")
-    val sims = assigned.join(probes, Seq("cell"))
+      .select("query_id", "qe", "nq", "cell")
+    val sims = assigned
+      .withColumn("nv", norm(col("embedding")))
+      .join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qe"), col("embedding")).as("sim"))
+        cosinePre(col("qe"), col("embedding"), col("nq"), col("nv")).as("sim"))
     topKPerQuery(sims, k, Seq("query_id"))
   }
 }
