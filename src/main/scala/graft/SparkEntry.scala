@@ -53,10 +53,13 @@ object SparkEntry {
     "d5_ngram_jaccard" -> ((s: SparkSession, d: String) => DedupOps.ngramJaccard(s, d)),
     "d6_embedding_neardup" -> ((s: SparkSession, d: String) => AnnOps.embeddingNearDups(s, d)),
     "d7_simhash_pairs" -> ((s: SparkSession, d: String) => DedupOps.simhashPairs(s, d)),
+    "d8_simhash64_pairs" -> ((s: SparkSession, d: String) => DedupOps.simhash64Pairs(s, d)),
     // LLM-data-pipeline: similarity search
     "n1_ann_cosine_topk" -> ((s: SparkSession, d: String) => AnnOps.cosineTopK(s, d)),
     "n2_ann_ivf_topk" -> ((s: SparkSession, d: String) => AnnOps.ivfTopK(s, d)),
+    "n3_ann_lsh_topk" -> ((s: SparkSession, d: String) => AnnOps.lshTopK(s, d)),
     // LLM-data-pipeline: text analysis
+    "c1_corpus_curation" -> ((s: SparkSession, d: String) => TextOps.curateCorpus(s, d)),
     "t1_lang_id" -> ((s: SparkSession, d: String) => TextOps.langId(s, d)),
     "t2_text_quality" -> ((s: SparkSession, d: String) => TextOps.textQuality(s, d)),
     "t3_token_count" -> ((s: SparkSession, d: String) => TextOps.tokenCount(s, d)),
@@ -315,6 +318,85 @@ object SparkEntry {
          |            JOIN sh b ON b.doc_id = cand.doc_b)
          |WHERE hamming <= 3""".stripMargin
     },
+    // d8: 64-bit SimHash (bits = parity of md5(word) || md5('x:'||word) hex
+    // digits), 4 bands × 16 bits, hamming <= 3 verified as 64 compares.
+    "d8_simhash64_pairs" -> {
+      val sums64 = (1 to 64).map(j =>
+        s"sum(CASE WHEN substr(md5(word) || md5('x:' || word), $j, 1) " +
+          s"IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS s$j")
+        .mkString(", ")
+      val concat64 = (1 to 64).map(j =>
+        s"CASE WHEN s$j > 0 THEN '1' ELSE '0' END").mkString(" || ")
+      val hamming64 = (1 to 64).map(i =>
+        s"CASE WHEN substr(a.simhash, $i, 1) <> substr(b.simhash, $i, 1) THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val bandKeys64 = (0 until 4).map(b => s"substr(simhash, ${1 + 16 * b}, 16)").mkString(", ")
+      s"""WITH sh AS (SELECT doc_id, $concat64 AS simhash FROM (
+         |  SELECT doc_id, $sums64
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE len(word) > 0 GROUP BY doc_id)),
+         |bands AS (SELECT doc_id, unnest([0, 1, 2, 3]) AS band,
+         |                 unnest([$bandKeys64]) AS bkey FROM sh),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM (
+         |  SELECT cand.doc_a, cand.doc_b, CAST($hamming64 AS BIGINT) AS hamming
+         |  FROM cand JOIN sh a ON a.doc_id = cand.doc_a
+         |            JOIN sh b ON b.doc_id = cand.doc_b)
+         |WHERE hamming <= 3""".stripMargin
+    },
+    // n3: SRP-LSH ANN — the Rademacher hyperplanes are deterministic
+    // constants (md5-parity, see AnnOps.hyperplanes), embedded here as
+    // literal lists so both engines project onto identical planes; the
+    // sign bit quantizes the projection to 4 dp first, like every other
+    // cross-engine float compare in this file.
+    "n3_ann_lsh_topk" -> {
+      val planes = AnnOps.hyperplanes()
+      val sigConcat = planes.map { p =>
+        val lst = p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+        s"(CASE WHEN floor(list_dot_product(ee, $lst) * 10000.0 + 0.5) > 0 THEN '1' ELSE '0' END)"
+      }.mkString(" || ")
+      val bandKeys = (0 until 4).map(b => s"substr(sig, ${1 + 8 * b}, 8)").mkString(", ")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ee
+         |           FROM embeddings),
+         |sg AS (SELECT vec_id, ee, $sigConcat AS sig FROM e),
+         |bands AS (SELECT vec_id, unnest([0, 1, 2, 3]) AS band,
+         |                 unnest([$bandKeys]) AS bkey FROM sg),
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |         FROM bands q JOIN bands c ON q.band = c.band AND q.bkey = c.bkey
+         |         WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+         |sims AS (SELECT cand.query_id, cand.neighbor_id,
+         |                floor(list_dot_product(a.ee, b.ee) /
+         |                      (sqrt(list_dot_product(a.ee, a.ee)) * sqrt(list_dot_product(b.ee, b.ee)))
+         |                      * 10000.0 + 0.5) / 10000.0 AS sim
+         |         FROM cand JOIN e a ON a.vec_id = cand.query_id
+         |                   JOIN e b ON b.vec_id = cand.neighbor_id)
+         |SELECT query_id, neighbor_id, rnk, sim FROM (
+         |  SELECT query_id, neighbor_id, sim,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |  FROM sims) WHERE rnk <= 5""".stripMargin
+    },
+    // c1: curation pipeline = d1 keeper ∧ t1 'en' ∧ t2 score>=2, t3 tokens.
+    "c1_corpus_curation" ->
+      """WITH t AS (SELECT doc_id, n_chars, md5(text) AS fp,
+        |                  len(string_split(text, ' ')) AS n_words,
+        |                  len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a')) AS stop_ct,
+        |                  length(replace(text, ' ', '')) AS char_ct
+        |           FROM documents),
+        |k AS (SELECT min(doc_id) AS doc_id FROM t GROUP BY fp),
+        |s AS (SELECT doc_id, n_words,
+        |             CASE WHEN stop_ct * 25 >= n_words * 2 THEN 'en'
+        |                  WHEN char_ct * 10 >= n_words * 46 THEN 'de'
+        |                  ELSE 'xx' END AS predicted_lang,
+        |             CAST(CASE WHEN n_words >= 20 THEN 1 ELSE 0 END +
+        |                  CASE WHEN stop_ct > 0 THEN 1 ELSE 0 END +
+        |                  CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END AS INTEGER) AS quality_score,
+        |             CAST(ceil(n_chars / 4.0) AS BIGINT) AS bpe_tokens
+        |      FROM t)
+        |SELECT s.doc_id, n_words, quality_score, bpe_tokens
+        |FROM s JOIN k ON s.doc_id = k.doc_id
+        |WHERE predicted_lang = 'en' AND quality_score >= 2""".stripMargin,
     // d6: nearest within-cell neighbor per vector + dup flag; cosine rounded
     // to 4 dp BEFORE ranking (same convention as n1/n2) so tie-breaks agree.
     "d6_embedding_neardup" ->

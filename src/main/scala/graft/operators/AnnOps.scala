@@ -130,6 +130,80 @@ object AnnOps {
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame =
     embeddingNearDups(table(spark, dir, "embeddings"))
 
+  // ---- Random-hyperplane (SRP) LSH -----------------------------------------
+
+  private val LshPlanes = 32
+  private val LshBands = 4 // 8 bits per band → 256 buckets per band
+  private val LshDims = 64
+
+  /** Deterministic Rademacher hyperplanes for sign-random-projection LSH:
+    * entry (p, d) = +1 if the first hex nibble of md5("p_d") < 8, else −1.
+    * Charikar's SRP scheme (STOC'02) with ±1 entries — E[sign agreement] =
+    * 1 − θ/π, same guarantee as Gaussian planes. Deriving the matrix from md5
+    * makes it a reproducible constant everywhere (any executor, any engine:
+    * the DuckDB oracle embeds the same values as literals), with no
+    * driver-side RNG state to ship.
+    */
+  def hyperplanes(nPlanes: Int = LshPlanes, dims: Int = LshDims): Array[Array[Float]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes) { p =>
+      Array.tabulate(dims) { d =>
+        md.reset()
+        val h = md.digest(s"${p}_${d}".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 0xF) < 8) 1.0f else -1.0f
+      }
+    }
+  }
+
+  /** Bit p of the LSH signature = sign of the projection onto plane p,
+    * as '1'/'0' chars concatenated into a bit string. The projection is
+    * 4-dp-quantized before the sign test so the bit is stable against
+    * sub-ulp cross-engine summation jitter (same trick as [[cosinePre]]).
+    * Pure map-side: one codegen'd dot product per plane.
+    */
+  private[graft] def lshSignature(emb: Column, planes: Array[Array[Float]]): Column =
+    concat(planes.map { p =>
+      when(floor(dot(emb, typedlit(p)) * 10000.0 + 0.5) > 0, "1").otherwise("0")
+    }: _*)
+
+  /** N3 — LSH-bucketed ANN (the data-INDEPENDENT scale path, complementing
+    * IVF which needs a centroid training pass): queries = vec_id < 20, k = 5.
+    *
+    * Plan shape at 100 TB: signatures are map-side (32 dots/vector); the
+    * exploded query bands are broadcast, so the corpus is NEVER shuffled —
+    * candidates fall out of a map-side broadcast hash join on (band, key).
+    * Similarity is computed right there (the norm is precomputed per vector
+    * below the join), and only (query_id, neighbor_id, sim) triples — never
+    * embeddings — reach the one narrow shuffle that dedups pairs matching in
+    * multiple bands. Recall dials with planes/bands (32/4 → 8-bit bands);
+    * a missed true neighbor is the accepted ANN trade, and the oracle mirrors
+    * the same algorithm so the contract is exact.
+    */
+  def lshTopK(e: DataFrame, k: Int = 5): DataFrame = {
+    val planes = hyperplanes()
+    val width = LshPlanes / LshBands
+    def withBands(df: DataFrame, keep: Seq[Column]): DataFrame = {
+      val keys = (0 until LshBands).map(b => substring(col("_sig"), 1 + width * b, width))
+      df.withColumn("_sig", lshSignature(col("embedding"), planes))
+        .select(keep :+ posexplode(array(keys: _*)).as(Seq("band", "bkey")): _*)
+    }
+    val q = withBands(e.filter(col("vec_id") < 20),
+      Seq(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        norm(col("embedding")).as("nq")))
+    val c = withBands(e,
+      Seq(col("vec_id"), col("embedding"), norm(col("embedding")).as("nv")))
+    val sims = c.join(broadcast(q), Seq("band", "bkey"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosinePre(col("qe"), col("embedding"), col("nq"), col("nv")).as("sim"))
+      .groupBy("query_id", "neighbor_id") // a pair can match in up to 4 bands
+      .agg(max(col("sim")).as("sim"))
+    topKPerQuery(sims, k, Seq("query_id"))
+      .select("query_id", "neighbor_id", "rnk", "sim")
+  }
+  def lshTopK(spark: SparkSession, dir: String): DataFrame =
+    lshTopK(table(spark, dir, "embeddings"))
+
   /** Coarse-quantizer training: centroid = element-wise mean vector per
     * cluster. One shuffle on (cell, dim) — dimension count is a constant, so
     * this scales as a plain aggregation of the corpus.

@@ -235,11 +235,39 @@ object DedupOps {
     * d3's LSH bands, never n². Candidates verify by exact hamming over the
     * bit string (16 codegen'd char compares — portable to the SQL oracle,
     * no engine-specific popcount).
+    *
+    * 16 bits is the demo width: 4-bit band keys give only 2⁴ buckets per
+    * band, so bucket population (and with it candidate count) grows with
+    * corpus size. [[simhash64Pairs]] is the same operator at the production
+    * width — use it beyond toy scale.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(docs).cache() // (doc_id, simhash bit string)
-    val width = SimhashBits / SimhashBands
-    val bandKeys = (0 until SimhashBands).map(b =>
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(simhash(docs), SimhashBits, SimhashBands, maxHamming)
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(table(spark, dir, "documents"))
+
+  /** D8 — 64-bit SimHash near-dup pairs, the SCALE form of d7 and the layout
+    * of the published web-dedup systems (Manku/Jain/Sarma, WWW'07: 64-bit
+    * fingerprints, hamming ≤ 3, table-per-band): 4 bands × 16 bits give
+    * 2¹⁶ buckets per band, so at fixed near-dup density the bucket
+    * population — and the candidate pair count — stays ~4000× smaller than
+    * d7's 2⁴ buckets at any corpus size. Pigeonhole still guarantees every
+    * hamming ≤ 3 pair shares a band, so candidates are complete, and the
+    * verify step is 64 codegen'd char compares.
+    */
+  def simhash64Pairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(simhash64(docs), Simhash64Bits, Simhash64Bands, maxHamming)
+  def simhash64Pairs(spark: SparkSession, dir: String): DataFrame =
+    simhash64Pairs(table(spark, dir, "documents"))
+
+  /** Shared d7/d8 machinery: bucket-join the banded fingerprint for
+    * candidates (doc_a < doc_b), verify by exact hamming distance.
+    */
+  private def bandedHammingPairs(sh0: DataFrame, bits: Int, nBands: Int,
+      maxHamming: Int): DataFrame = {
+    val sh = sh0.cache() // (doc_id, simhash bit string)
+    val width = bits / nBands
+    val bandKeys = (0 until nBands).map(b =>
       substring(col("simhash"), 1 + width * b, width))
     val bands = sh.select(col("doc_id"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
@@ -248,7 +276,7 @@ object DedupOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val hamming = (1 to SimhashBits).map(i =>
+    val hamming = (1 to bits).map(i =>
       when(substring(col("sa"), i, 1) =!= substring(col("sb"), i, 1), 1).otherwise(0))
       .reduce(_ + _)
     cand
@@ -257,8 +285,6 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), hamming.cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
-  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
-    simhashPairs(table(spark, dir, "documents"))
 
   /** D4 — SimHash: 16-bit fingerprint; bit j votes +1/−1 by the parity of the
     * j-th hex digit of md5(word), weighted by term frequency; bit set iff the
@@ -278,4 +304,28 @@ object DedupOps {
   }
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhash(table(spark, dir, "documents"))
+
+  private val Simhash64Bits = 64
+  private val Simhash64Bands = 4 // 16-bit band keys → 2^16 buckets per band
+
+  /** 64-bit SimHash fingerprint: bit source = the 32 hex digits of md5(word)
+    * followed by the 32 of md5("x:" ++ word) — the same salted-digest family
+    * trick as the MinHash signature (d2), giving 64 independent parity bits
+    * per word with two digests. Same plan shape as [[simhash]]: one explode +
+    * one hash-agg, now with 64 sums.
+    */
+  def simhash64(docs: DataFrame): DataFrame = {
+    val wordsDf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .withColumn("h", concat(md5(col("word")), md5(concat(lit("x:"), col("word")))))
+    val sums = (1 to Simhash64Bits).map(j =>
+      sum(when(substring(col("h"), j, 1).isin(OddHex: _*), 1).otherwise(-1)).as(s"s$j"))
+    wordsDf.groupBy("doc_id")
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        concat((1 to Simhash64Bits).map(j =>
+          when(col(s"s$j") > 0, "1").otherwise("0")): _*).as("simhash"))
+  }
+  def simhash64(spark: SparkSession, dir: String): DataFrame =
+    simhash64(table(spark, dir, "documents"))
 }

@@ -80,4 +80,42 @@ object TextOps {
   }
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     fingerprint(table(spark, dir, "documents"))
+
+  /** C1 — the end-to-end training-data CURATION pipeline, composed from the
+    * family's own stages exactly as a 100 TB corpus run would chain them:
+    * exact-dedup keeper selection (d1's min-id-per-content-hash) ∧ language
+    * filter (t1, keep 'en') ∧ quality filter (t2, score ≥ 2), then per-doc
+    * token accounting (t3) on the survivors.
+    *
+    * Plan shape: ALL per-doc signals come out of one map-side projection (the
+    * lang/quality/token formulas share the split-words subexpression — no
+    * repeated scans, no join between t1/t2/t3); the only shuffles are the
+    * content-hash groupBy that picks keepers and the doc_id semi-join that
+    * applies them — both shuffle-key-balanced, nothing quadratic, so the
+    * pipeline is two narrow shuffles regardless of corpus size.
+    */
+  def curateCorpus(d: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val enriched = d.select(col("doc_id"), col("n_chars"),
+        nWords(w).as("n_words"), stopCt(w).as("stop_ct"),
+        charCt(col("text")).as("char_ct"))
+      .withColumn("predicted_lang",
+        when(col("stop_ct") * 25 >= col("n_words") * 2, "en")
+          .when(col("char_ct") * 10 >= col("n_words") * 46, "de")
+          .otherwise("xx"))
+      .withColumn("quality_score",
+        (when(col("n_words") >= 20, 1).otherwise(0) +
+         when(col("stop_ct") > 0, 1).otherwise(0) +
+         when(col("n_chars") >= 100, 1).otherwise(0)).cast("int"))
+      .withColumn("bpe_tokens", ceil(col("n_chars") / 4.0).cast("long"))
+    val keepers = d.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    enriched
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .filter(col("predicted_lang") === "en" && col("quality_score") >= 2)
+      .select("doc_id", "n_words", "quality_score", "bpe_tokens")
+  }
+  def curateCorpus(spark: SparkSession, dir: String): DataFrame =
+    curateCorpus(table(spark, dir, "documents"))
 }

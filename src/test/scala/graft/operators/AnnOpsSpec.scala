@@ -58,6 +58,44 @@ class AnnOpsSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("SRP-LSH: identical vectors share all bands and rank each other first (N3)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val twin = vec()
+    // vec 0 and 1 are identical queries; 20..79 corpus noise
+    val rows = Seq(0L -> twin, 1L -> twin) ++ (20L until 80L).map(_ -> vec())
+    val e = rows.map { case (id, v) => (id, v, 0) }.toDF("vec_id", "embedding", "label")
+
+    val out = AnnOps.lshTopK(e).collect()
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    // identical vectors have identical signatures ⇒ candidates in every band,
+    // and cosine 1.0 beats any random neighbor
+    for ((q, other) <- Seq(0L -> 1L, 1L -> 0L)) {
+      val top = byQuery(q).minBy(_.getAs[Long]("rnk"))
+      assert(top.getAs[Long]("neighbor_id") === other)
+      assert(top.getAs[Double]("sim") === 1.0)
+    }
+    // k bound and rank/sim coherence per query
+    assert(byQuery.values.forall(_.length <= 5))
+    byQuery.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("rnk"))
+      val sims = sorted.map(_.getAs[Double]("sim")).toSeq
+      assert(sims.zip(sims.drop(1)).forall { case (a, b) => a >= b })
+    }
+    // every returned neighbor really shares >= 1 band with its query (LSH
+    // contract): recompute signatures and compare band slices
+    val planes = AnnOps.hyperplanes()
+    val sig = e.select(col("vec_id"),
+        AnnOps.lshSignature(col("embedding"), planes).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val (q, n) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      val shares = (0 until 4).exists(b => sig(q).slice(8 * b, 8 * b + 8) == sig(n).slice(8 * b, 8 * b + 8))
+      assert(shares, s"pair ($q, $n) shares no signature band")
+    }
+  }
+
   test("ivfSearch with all cells probed equals brute-force top-k; fewer probes trade recall") {
     val e = Tables.table(spark, sf, "embeddings")
     val cents = AnnOps.centroids(e, "label")

@@ -91,6 +91,46 @@ class DedupPropertiesSpec extends SparkSpec {
     assert(banded === brute, s"banded=$banded brute=$brute")
   }
 
+  test("simhash64Pairs: identical docs pair at hamming 0; pigeonhole-complete at 64 bits (D8)") {
+    val texts = Seq(
+      "spark join hash scan merge row data stream window batch",
+      "spark join hash scan merge row data stream window batch", // dup of 0
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val pairs = DedupOps.simhash64Pairs(df, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((0L, 1L)) === 0L) // identical ⇒ identical 64-bit fingerprint
+    assert(!pairs.contains((0L, 2L)) && !pairs.contains((1L, 2L))) // unrelated
+
+    // completeness vs brute force, as in the d7 test but at the 64-bit width
+    val corpora = Gen.listOfN(18, docGen).apply(Gen.Parameters.default, Seed(11L)).get
+    val cdf = corpora.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val banded = DedupOps.simhash64Pairs(cdf, maxHamming = 3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = DedupOps.simhash64(cdf).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sh.values.forall(_.length == 64))
+    val brute = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      h = sh(a).zip(sh(b)).count { case (x, y) => x != y } if h <= 3
+    } yield (a, b)).toSet
+    assert(banded === brute, s"banded=$banded brute=$brute")
+  }
+
+  test("curateCorpus keeps exactly the en/quality keepers (C1)") {
+    val good = ("the spark engine joins the stream with a window and " * 3).trim // en, long
+    val noStops = "alpha beta gamma delta epsilon zeta eta theta iota kappa"     // not en
+    val short = "the a"                                                          // quality < 2? n_chars tiny
+    val df = docsDf(Seq(good, good, noStops, short)) // doc 1 = exact dup of doc 0
+    val out = TextOps.curateCorpus(df).collect().map(_.getLong(0)).toSet
+    assert(out.contains(0L), "keeper of the duplicate pair must survive")
+    assert(!out.contains(1L), "non-keeper duplicate must be dropped")
+    assert(!out.contains(2L), "stopword-free doc must fail the language filter")
+    assert(!out.contains(3L), "short doc must fail the quality filter")
+    // surviving rows satisfy the advertised predicates
+    val rows = TextOps.curateCorpus(df)
+    assert(rows.filter(col("quality_score") < 2).count() === 0)
+  }
+
   test("tokenCount: ws_tokens equals naive split count") {
     (1L to 3L).foreach { s =>
       val texts = sample(corpusGen, s)
