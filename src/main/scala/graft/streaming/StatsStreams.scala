@@ -164,6 +164,28 @@ object StatsStreams {
     else fp.dropDuplicates("fingerprint")
   }
 
+  /** Streaming embedding near-dup dedup — the streaming face of the vector
+    * dedup family (batch d6/n3): the dedup key is the full 32-bit SRP-LSH
+    * signature ([[graft.operators.AnnOps.lshSignature]], deterministic
+    * md5-parity hyperplanes), so vectors whose projection signs agree on all
+    * 32 hyperplanes — cosine ≈ 1 w.h.p. — collapse to the first arrival.
+    * Signature extraction is map-side (32 codegen'd dot products per
+    * vector); dedup state is one row per distinct signature, evicted at the
+    * watermark horizon like [[dedupExactStream]]'s fingerprint state, so
+    * state never grows with corpus size — only with the live window's
+    * signature cardinality.
+    */
+  def embeddingDedupStream(vectors: DataFrame): DataFrame = {
+    val planes = graft.operators.AnnOps.hyperplanes()
+    val sig = vectors
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withColumn("lsh_sig",
+        graft.operators.AnnOps.lshSignature(col("embedding"), planes))
+      .withWatermark("event_time", "1 hour")
+    if (sig.isStreaming) sig.dropDuplicatesWithinWatermark("lsh_sig")
+    else sig.dropDuplicates("lsh_sig")
+  }
+
   /** A4/X1 — KeywordStats streaming: tokenize (whitespace UDTF replacement,
     * app/function/SplitFunction.java:12-28) + 10s window count.
     * Input columns: full_word string, ts (millis).

@@ -46,6 +46,25 @@ class WindowVariantsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming embedding dedup collapses same-signature vectors, keeps distinct ones") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val (a, b) = (vec(), vec())
+    val input = MemoryStream[(Long, Array[Float], Long)]
+    val q = StatsStreams.embeddingDedupStream(
+        input.toDF().toDF("vec_id", "embedding", "ts"))
+      .writeStream.format("memory").queryName("vec_dedup").outputMode("append").start()
+    try {
+      input.addData((1L, a, 1000L), (2L, b, 2000L))
+      q.processAllAvailable()
+      input.addData((3L, a, 3000L)) // identical vector, later batch → same signature
+      q.processAllAvailable()
+      val ids = spark.table("vec_dedup").select("vec_id").as[Long].collect().toSet
+      assert(ids === Set(1L, 2L))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup keeps the first occurrence per fingerprint") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, Long)]
