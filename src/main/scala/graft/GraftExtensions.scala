@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProductF, MinHashSigExpr}
+import graft.functions.{DotProductF, MinHashSigExpr, SimHashBitsExpr}
 
 /** Session extension wiring: registers the engine's native expressions for
   * SQL use. Install with
@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
       GraftExtensions.minhashBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_bits"),
+      new ExpressionInfo(classOf[SimHashBitsExpr].getName, "simhash_bits"),
+      GraftExtensions.simhashBuilder))
   }
 }
 
@@ -44,6 +48,13 @@ object GraftExtensions {
     case children => wrongArgs("minhash_sig", 1, children.length)
   }
 
+  /** `simhash_bits(words, bits)` — bits must be a foldable integer literal. */
+  private[graft] val simhashBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) if b.foldable =>
+      SimHashBitsExpr(a, b.eval().asInstanceOf[Number].intValue())
+    case children => wrongArgs("simhash_bits", 2, children.length)
+  }
+
   /** Register the engine's SQL functions on an already-running session
     * (withExtensions only takes effect at session construction). The typed
     * aggregators (exact_count_distinct, hll sketches) register as UDAFs.
@@ -52,6 +63,7 @@ object GraftExtensions {
     val bridge = org.apache.spark.sql.graftbridge.ColumnBridge
     bridge.registerFunction(spark, "dot_product_f", dotBuilder)
     bridge.registerFunction(spark, "minhash_sig", minhashBuilder)
+    bridge.registerFunction(spark, "simhash_bits", simhashBuilder)
     spark.udf.register("exact_count_distinct", graft.functions.ExactDistinct.asUdaf)
     spark.udf.register("hll_count_distinct", graft.functions.HllDistinct.asUdaf)
     spark.udf.register("hll_sketch", graft.functions.HllSketch.asUdaf)

@@ -226,7 +226,6 @@ object DedupOps {
 
   private val SimhashBits = 16
   private val SimhashBands = 4
-  private val OddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
 
   /** D7 — SimHash near-dup pairs: band the 16-bit fingerprint into 4 bands
     * of 4 bits; any pair with hamming distance <= 3 shares at least one
@@ -262,46 +261,59 @@ object DedupOps {
 
   /** Shared d7/d8 machinery: bucket-join the banded fingerprint for
     * candidates (doc_a < doc_b), verify by exact hamming distance.
+    *
+    * The verify is bit-parallel: the bit string is packed into 32-bit words
+    * ONCE per doc (map-side, on the cached fingerprint table), so each
+    * candidate pair costs `bits/32` xor+bit_count integer ops instead of
+    * `bits` substring compares. That is the step that dominates when the
+    * corpus makes buckets hot — same-profile documents cluster on band keys,
+    * and every bucket is quadratic in its own population — so the per-pair
+    * constant is what decides whether millions of candidates are fine.
     */
   private def bandedHammingPairs(sh0: DataFrame, bits: Int, nBands: Int,
       maxHamming: Int): DataFrame = {
-    val sh = sh0.cache() // (doc_id, simhash bit string)
+    val nWords = (bits + 31) / 32
+    val packCols: Seq[Column] = (0 until nWords).map { i =>
+      conv(substring(col("simhash"), 1 + 32 * i, math.min(32, bits - 32 * i)), 2, 10)
+        .cast("long").as(s"w$i")
+    }
     val width = bits / nBands
     val bandKeys = (0 until nBands).map(b =>
       substring(col("simhash"), 1 + width * b, width))
-    val bands = sh.select(col("doc_id"),
-      posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    val hamming = (1 to bits).map(i =>
-      when(substring(col("sa"), i, 1) =!= substring(col("sb"), i, 1), 1).otherwise(0))
+    // (doc_id, packed words, band, key) — 1 row per (doc, band), all map-side
+    val bands = sh0.select(
+      Seq(col("doc_id")) ++ packCols :+
+        posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")): _*)
+      .cache()
+    val hamming = (0 until nWords).map(i =>
+      bit_count(col(s"aw$i").bitwiseXOR(col(s"bw$i"))))
       .reduce(_ + _)
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("sa")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("sb")), Seq("doc_b"))
+    def side(tag: String) = bands.select(
+      Seq(col("doc_id").as(s"doc_$tag"), col("band"), col("bkey")) ++
+        (0 until nWords).map(i => col(s"w$i").as(s"$tag" + s"w$i")): _*)
+    // verify INLINE on the bucket join output, before any shuffle: the
+    // packed words ride along (nWords longs), so no join-back against the
+    // fingerprint table is needed and only hamming-surviving pairs reach the
+    // final distinct — for selective fingerprints (d8) the near-quadratic
+    // hot-bucket candidate stream dies map-side.
+    side("a").join(side("b"), Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), hamming.cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** D4 — SimHash: 16-bit fingerprint; bit j votes +1/−1 by the parity of the
     * j-th hex digit of md5(word), weighted by term frequency; bit set iff the
-    * vote sum is positive. One explode + one hash-groupBy with 16 sums.
+    * vote sum is positive. Computed map-side in ONE native expression call
+    * per document ([[graft.functions.SimHashBits]] — bit-identical to the
+    * explode + 16-conditional-sums groupBy it replaces, without the shuffle
+    * or the wide-aggregate codegen): fingerprinting is a pure scan-project.
     */
-  def simhash(docs: DataFrame): DataFrame = {
-    val wordsDf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .filter(length(col("word")) > 0)
-      .withColumn("h", md5(col("word")))
-    val sums = (1 to SimhashBits).map(j =>
-      sum(when(substring(col("h"), j, 1).isin(OddHex: _*), 1).otherwise(-1)).as(s"s$j"))
-    wordsDf.groupBy("doc_id")
-      .agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"),
-        concat((1 to SimhashBits).map(j =>
-          when(col(s"s$j") > 0, "1").otherwise("0")): _*).as("simhash"))
-  }
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.SimHashBits(split(col("text"), " "), SimhashBits).as("simhash"))
+      .filter(col("simhash").isNotNull) // docs with no words had no groupBy row
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhash(table(spark, dir, "documents"))
 
@@ -311,21 +323,13 @@ object DedupOps {
   /** 64-bit SimHash fingerprint: bit source = the 32 hex digits of md5(word)
     * followed by the 32 of md5("x:" ++ word) — the same salted-digest family
     * trick as the MinHash signature (d2), giving 64 independent parity bits
-    * per word with two digests. Same plan shape as [[simhash]]: one explode +
-    * one hash-agg, now with 64 sums.
+    * per word with two digests. Map-side like [[simhash]]: the 64-sum
+    * explode/groupBy form this replaces cost ~7s of janino compile alone.
     */
-  def simhash64(docs: DataFrame): DataFrame = {
-    val wordsDf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .filter(length(col("word")) > 0)
-      .withColumn("h", concat(md5(col("word")), md5(concat(lit("x:"), col("word")))))
-    val sums = (1 to Simhash64Bits).map(j =>
-      sum(when(substring(col("h"), j, 1).isin(OddHex: _*), 1).otherwise(-1)).as(s"s$j"))
-    wordsDf.groupBy("doc_id")
-      .agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"),
-        concat((1 to Simhash64Bits).map(j =>
-          when(col(s"s$j") > 0, "1").otherwise("0")): _*).as("simhash"))
-  }
+  def simhash64(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.SimHashBits(split(col("text"), " "), Simhash64Bits).as("simhash"))
+      .filter(col("simhash").isNotNull)
   def simhash64(spark: SparkSession, dir: String): DataFrame =
     simhash64(table(spark, dir, "documents"))
 }
