@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProductF, MinHashSigExpr, SimHashBitsExpr}
+import graft.functions.{DotProductF, MinHashSigExpr, SimHashBitsExpr, SrpSigExpr}
 
 /** Session extension wiring: registers the engine's native expressions for
   * SQL use. Install with
@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash_bits"),
       new ExpressionInfo(classOf[SimHashBitsExpr].getName, "simhash_bits"),
       GraftExtensions.simhashBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("srp_sig"),
+      new ExpressionInfo(classOf[SrpSigExpr].getName, "srp_sig"),
+      GraftExtensions.srpBuilder))
   }
 }
 
@@ -55,6 +59,13 @@ object GraftExtensions {
     case children => wrongArgs("simhash_bits", 2, children.length)
   }
 
+  /** `srp_sig(embedding, nPlanes)` — nPlanes must be a foldable literal. */
+  private[graft] val srpBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) if b.foldable =>
+      SrpSigExpr(a, b.eval().asInstanceOf[Number].intValue())
+    case children => wrongArgs("srp_sig", 2, children.length)
+  }
+
   /** Register the engine's SQL functions on an already-running session
     * (withExtensions only takes effect at session construction). The typed
     * aggregators (exact_count_distinct, hll sketches) register as UDAFs.
@@ -64,6 +75,7 @@ object GraftExtensions {
     bridge.registerFunction(spark, "dot_product_f", dotBuilder)
     bridge.registerFunction(spark, "minhash_sig", minhashBuilder)
     bridge.registerFunction(spark, "simhash_bits", simhashBuilder)
+    bridge.registerFunction(spark, "srp_sig", srpBuilder)
     spark.udf.register("exact_count_distinct", graft.functions.ExactDistinct.asUdaf)
     spark.udf.register("hll_count_distinct", graft.functions.HllDistinct.asUdaf)
     spark.udf.register("hll_sketch", graft.functions.HllSketch.asUdaf)

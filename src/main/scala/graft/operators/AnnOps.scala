@@ -159,12 +159,12 @@ object AnnOps {
     * as '1'/'0' chars concatenated into a bit string. The projection is
     * 4-dp-quantized before the sign test so the bit is stable against
     * sub-ulp cross-engine summation jitter (same trick as [[cosinePre]]).
-    * Pure map-side: one codegen'd dot product per plane.
+    * Pure map-side, ONE native-expression call for all 32 bits
+    * ([[graft.functions.SrpSig]] — the composed 32-literal-dot-product
+    * projection cost ~5s of janino compile cold).
     */
-  private[graft] def lshSignature(emb: Column, planes: Array[Array[Float]]): Column =
-    concat(planes.map { p =>
-      when(floor(dot(emb, typedlit(p)) * 10000.0 + 0.5) > 0, "1").otherwise("0")
-    }: _*)
+  private[graft] def lshSignature(emb: Column): Column =
+    graft.functions.SrpSig(emb, LshPlanes)
 
   /** N3 — LSH-bucketed ANN (the data-INDEPENDENT scale path, complementing
     * IVF which needs a centroid training pass): queries = vec_id < 20, k = 5.
@@ -180,11 +180,10 @@ object AnnOps {
     * the same algorithm so the contract is exact.
     */
   def lshTopK(e: DataFrame, k: Int = 5): DataFrame = {
-    val planes = hyperplanes()
     val width = LshPlanes / LshBands
     def withBands(df: DataFrame, keep: Seq[Column]): DataFrame = {
       val keys = (0 until LshBands).map(b => substring(col("_sig"), 1 + width * b, width))
-      df.withColumn("_sig", lshSignature(col("embedding"), planes))
+      df.withColumn("_sig", lshSignature(col("embedding")))
         .select(keep :+ posexplode(array(keys: _*)).as(Seq("band", "bkey")): _*)
     }
     val q = withBands(e.filter(col("vec_id") < 20),

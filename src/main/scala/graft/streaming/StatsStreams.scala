@@ -176,11 +176,10 @@ object StatsStreams {
     * signature cardinality.
     */
   def embeddingDedupStream(vectors: DataFrame): DataFrame = {
-    val planes = graft.operators.AnnOps.hyperplanes()
     val sig = vectors
       .withColumn("event_time", timestamp_millis(col("ts")))
       .withColumn("lsh_sig",
-        graft.operators.AnnOps.lshSignature(col("embedding"), planes))
+        graft.operators.AnnOps.lshSignature(col("embedding")))
       .withWatermark("event_time", "1 hour")
     if (sig.isStreaming) sig.dropDuplicatesWithinWatermark("lsh_sig")
     else sig.dropDuplicates("lsh_sig")

@@ -85,9 +85,8 @@ class AnnOpsSpec extends SparkSpec {
     }
     // every returned neighbor really shares >= 1 band with its query (LSH
     // contract): recompute signatures and compare band slices
-    val planes = AnnOps.hyperplanes()
     val sig = e.select(col("vec_id"),
-        AnnOps.lshSignature(col("embedding"), planes).as("sig"))
+        AnnOps.lshSignature(col("embedding")).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     out.foreach { r =>
       val (q, n) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
