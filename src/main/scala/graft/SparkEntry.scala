@@ -58,6 +58,7 @@ object SparkEntry {
     "n1_ann_cosine_topk" -> ((s: SparkSession, d: String) => AnnOps.cosineTopK(s, d)),
     "n2_ann_ivf_topk" -> ((s: SparkSession, d: String) => AnnOps.ivfTopK(s, d)),
     "n3_ann_lsh_topk" -> ((s: SparkSession, d: String) => AnnOps.lshTopK(s, d)),
+    "n4_embed_quantize" -> ((s: SparkSession, d: String) => AnnOps.quantizeStats(s, d)),
     // LLM-data-pipeline: text analysis
     "c1_corpus_curation" -> ((s: SparkSession, d: String) => TextOps.curateCorpus(s, d)),
     "t1_lang_id" -> ((s: SparkSession, d: String) => TextOps.langId(s, d)),
@@ -377,6 +378,25 @@ object SparkEntry {
          |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
          |  FROM sims) WHERE rnk <= 5""".stripMargin
     },
+    // n4: symmetric int8 max-abs quantization; integer summaries (sum, L1,
+    // saturated/zero lanes) pin the arithmetic without hashing float arrays.
+    // scale is a MAX of exactly-represented |float| values — no summation,
+    // so the double compares bit-identically across engines.
+    "n4_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ee
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, ee, list_max(list_transform(ee, x -> abs(x))) AS scale FROM e),
+        |q AS (SELECT vec_id, scale,
+        |             list_transform(ee, x -> CASE WHEN scale > 0
+        |                 THEN CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT)
+        |                 ELSE 0 END) AS qv
+        |      FROM s)
+        |SELECT vec_id, scale,
+        |       CAST(list_sum(qv) AS BIGINT) AS qsum,
+        |       CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS qabs,
+        |       len(list_filter(qv, x -> abs(x) = 127)) AS n_sat,
+        |       len(list_filter(qv, x -> x = 0)) AS n_zero
+        |FROM q""".stripMargin,
     // c1: curation pipeline = d1 keeper ∧ t1 'en' ∧ t2 score>=2, t3 tokens.
     "c1_corpus_curation" ->
       """WITH t AS (SELECT doc_id, n_chars, md5(text) AS fp,

@@ -179,17 +179,26 @@ object AnnOps {
     * a missed true neighbor is the accepted ANN trade, and the oracle mirrors
     * the same algorithm so the contract is exact.
     */
-  def lshTopK(e: DataFrame, k: Int = 5): DataFrame = {
+  def lshTopK(e: DataFrame, k: Int = 5): DataFrame =
+    lshSearch(e, e.filter(col("vec_id") < 20), k)
+  def lshTopK(spark: SparkSession, dir: String): DataFrame =
+    lshTopK(table(spark, dir, "embeddings"))
+
+  /** Full SRP-LSH search over arbitrary corpus/query frames — the general
+    * API behind [[lshTopK]], parallel to [[ivfSearch]]. Self-pairs (shared
+    * `vec_id`) are excluded.
+    */
+  def lshSearch(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val width = LshPlanes / LshBands
     def withBands(df: DataFrame, keep: Seq[Column]): DataFrame = {
       val keys = (0 until LshBands).map(b => substring(col("_sig"), 1 + width * b, width))
       df.withColumn("_sig", lshSignature(col("embedding")))
         .select(keep :+ posexplode(array(keys: _*)).as(Seq("band", "bkey")): _*)
     }
-    val q = withBands(e.filter(col("vec_id") < 20),
+    val q = withBands(queries,
       Seq(col("vec_id").as("query_id"), col("embedding").as("qe"),
         norm(col("embedding")).as("nq")))
-    val c = withBands(e,
+    val c = withBands(corpus,
       Seq(col("vec_id"), col("embedding"), norm(col("embedding")).as("nv")))
     val sims = c.join(broadcast(q), Seq("band", "bkey"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -200,8 +209,30 @@ object AnnOps {
     topKPerQuery(sims, k, Seq("query_id"))
       .select("query_id", "neighbor_id", "rnk", "sim")
   }
-  def lshTopK(spark: SparkSession, dir: String): DataFrame =
-    lshTopK(table(spark, dir, "embeddings"))
+
+  /** N4 — int8 embedding quantization accounting, the storage-side member of
+    * the embedding family: per vector, symmetric max-abs scaling to
+    * [−127, 127] (`q_i = floor(x_i·127/‖x‖∞ + 0.5)`, the standard int8
+    * PTQ scheme) with integer summaries — quantized sum, L1 mass, saturated
+    * and zeroed lane counts — that pin the arithmetic bit-for-bit against
+    * the oracle without hashing float arrays. Pure scan-project: higher-order
+    * array ops per row, no shuffle, no UDF.
+    */
+  def quantizeStats(e: DataFrame): DataFrame = {
+    val ee = transform(col("embedding"), x => x.cast("double"))
+    e.select(col("vec_id"), ee.as("ee"))
+      .withColumn("scale", array_max(transform(col("ee"), x => abs(x))))
+      .withColumn("qv", transform(col("ee"), x =>
+        when(col("scale") > 0, floor(x * 127.0 / col("scale") + 0.5))
+          .otherwise(0L)))
+      .select(col("vec_id"), col("scale"),
+        aggregate(col("qv"), lit(0L), (a, x) => a + x).as("qsum"),
+        aggregate(col("qv"), lit(0L), (a, x) => a + abs(x)).as("qabs"),
+        size(filter(col("qv"), x => abs(x) === 127)).cast("long").as("n_sat"),
+        size(filter(col("qv"), x => x === 0)).cast("long").as("n_zero"))
+  }
+  def quantizeStats(spark: SparkSession, dir: String): DataFrame =
+    quantizeStats(table(spark, dir, "embeddings"))
 
   /** Coarse-quantizer training: centroid = element-wise mean vector per
     * cluster. One shuffle on (cell, dim) — dimension count is a constant, so

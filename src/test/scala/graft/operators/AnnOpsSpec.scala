@@ -95,6 +95,25 @@ class AnnOpsSpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization invariants: max-abs lane saturates, L1 bounds, sign symmetry (N4)") {
+    import spark.implicits._
+    val e = Tables.table(spark, sf, "embeddings")
+    val q = AnnOps.quantizeStats(e)
+    // the lane holding the max |x| quantizes to exactly +-127 -> n_sat >= 1
+    assert(q.filter(col("n_sat") < 1).count() === 0)
+    // |sum| <= L1 mass <= 127 * dims
+    assert(q.filter(abs(col("qsum")) > col("qabs")).count() === 0)
+    assert(q.filter(col("qabs") > 127L * 64).count() === 0)
+    // negating a vector negates the quantized sum and keeps L1/saturation
+    // (exact .5 lanes excluded: floor-half-up is not odd-symmetric there)
+    val v = Array(1f, 3f, 4f)
+    val two = Seq((1L, v), (2L, v.map(x => -x))).toDF("vec_id", "embedding")
+    val rows = AnnOps.quantizeStats(two).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows(1L)._2 === rows(2L)._2 && rows(1L)._3 === rows(2L)._3)
+    assert(rows(1L)._1 === -rows(2L)._1)
+  }
+
   test("ivfSearch with all cells probed equals brute-force top-k; fewer probes trade recall") {
     val e = Tables.table(spark, sf, "embeddings")
     val cents = AnnOps.centroids(e, "label")
