@@ -130,6 +130,19 @@ object AnnOps {
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame =
     embeddingNearDups(table(spark, dir, "embeddings"))
 
+  /** Corpus-level embedding near-dup REMOVAL — the vector-space analog of
+    * [[DedupOps.dropNearDuplicates]]: drop every vector whose within-cell
+    * nearest neighbor is ≥ `threshold` similar and has a lower id (greedy
+    * keep-first). One anti-join over the candidate-bounded d6 pairs.
+    */
+  def dropEmbeddingNearDups(e: DataFrame, threshold: Double = 0.95): DataFrame = {
+    val losers = embeddingNearDups(e, threshold)
+      .filter(col("is_dup") && col("vec_id") > col("nn_id"))
+      .select(col("vec_id"))
+      .distinct()
+    e.join(losers, Seq("vec_id"), "left_anti")
+  }
+
   // ---- Random-hyperplane (SRP) LSH -----------------------------------------
 
   private val LshPlanes = 32

@@ -44,6 +44,11 @@ class AnnOpsSpec extends SparkSpec {
     assert(out(5L) === ((6L, 1.0, true)))
     // cell boundary respected: 3's neighbor must be in cell 0
     assert(Set(1L, 2L).contains(out(3L)._1))
+
+    // corpus removal keeps the lower id of each dup pair and all non-dups
+    val kept = AnnOps.dropEmbeddingNearDups(e, threshold = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L, 4L, 5L))
   }
 
   test("ivf results are a subset of brute-force candidates per query") {
