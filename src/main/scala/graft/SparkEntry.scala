@@ -45,6 +45,8 @@ object SparkEntry {
     // §2.8 scalar functions, §2.10 ranking
     "f1_date_functions" -> (StatsOps.dateFunctions _),
     "r1_rank_topn" -> (RelationalOps.rankTopN _),
+    "r2_window_funcs" -> (RelationalOps.windowFuncs _),
+    "a8_rollup" -> (RelationalOps.rollupStats _),
     // LLM-data-pipeline: dedup
     "d1_dedup_exact" -> ((s: SparkSession, d: String) => DedupOps.dedupExact(s, d)),
     "d2_minhash_signature" -> ((s: SparkSession, d: String) => DedupOps.minhashSignature(s, d)),
@@ -268,6 +270,24 @@ object SparkEntry {
         |                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
         |  FROM orders) WHERE rnk <= 3""".stripMargin,
     // (Spark output column is also `rnk` — `rank` is reserved in DuckDB.)
+    "r2_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |       lag(o_totalprice) OVER w AS prev_price,
+        |       lead(o_totalprice) OVER w AS next_price,
+        |       CAST(dense_rank() OVER (PARTITION BY o_custkey
+        |            ORDER BY CAST(floor(o_totalprice / 10000) AS BIGINT) DESC) AS BIGINT)
+        |         AS price_tier_rank,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "a8_rollup" ->
+      s"""SELECT yr, status, gid, ct, amt FROM (
+         |  SELECT strftime(o_orderdate, '%Y') AS yr, o_orderstatus AS status,
+         |         CAST(GROUPING(strftime(o_orderdate, '%Y'), o_orderstatus) AS BIGINT) AS gid,
+         |         count(*) AS ct, ${dsum("o_totalprice")} AS amt
+         |  FROM orders GROUP BY ROLLUP(yr, status))""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT md5(text) AS fingerprint, min(doc_id) AS keeper_id, count(*) AS dup_ct
         |FROM documents GROUP BY 1""".stripMargin,

@@ -136,6 +136,44 @@ object RelationalOps {
       .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
   }
 
+  /** R2 — analytic window functions beyond ranking (SURVEY §2.10: absent in
+    * the reference, provided by Catalyst): lag/lead neighbors, a dense-rank
+    * tier, and a running decimal-exact spend per customer. Every window
+    * carries a deterministic total order (date, then key) and the rank key
+    * is a coarse integer tier so ties are well-defined — results hash-match
+    * an independent engine. One shuffle on the partition key serves all four
+    * window functions (same window spec ⇒ one sort).
+    */
+  def windowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val tier = Window.partitionBy(col("o_custkey"))
+      .orderBy(floor(col("o_totalprice") / 10000).cast("long").desc)
+    o.select(col("o_custkey"), col("o_orderkey"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      lead(col("o_totalprice"), 1).over(w).as("next_price"),
+      dense_rank().over(tier).cast("long").as("price_tier_rank"),
+      sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double").as("cum_spend"))
+  }
+
+  /** A8 — ROLLUP aggregation (SURVEY §2.5: grouping sets absent in the
+    * reference, free in Catalyst): order counts and decimal-exact amounts at
+    * (year, status), (year), and grand-total levels, disambiguated by
+    * `grouping_id` — the Expand-based plan computes all levels in one pass.
+    */
+  def rollupStats(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    o.select(date_format(col("o_orderdate"), "yyyy").as("yr"),
+        col("o_orderstatus").as("status"), col("o_totalprice"))
+      .rollup(col("yr"), col("status"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("ct"), graft.Tables.dsum(col("o_totalprice")).as("amt"))
+      .select("yr", "status", "gid", "ct", "amt")
+  }
+
   /** A7+K6 — ADS serving query (gmall-publisher ProductStatsMapper.java:12-13:
     * `select sum(order_amount) ... where toYYYYMMDD(stt)=#{date}`).
     */
