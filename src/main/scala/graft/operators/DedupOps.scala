@@ -281,10 +281,18 @@ object DedupOps {
     val bandKeys = (0 until nBands).map(b =>
       substring(col("simhash"), 1 + width * b, width))
     // (doc_id, packed words, band, key) — 1 row per (doc, band), all map-side
-    val bands = sh0.select(
+    val bandsRaw = sh0.select(
       Seq(col("doc_id")) ++ packCols :+
         posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")): _*)
-      .cache()
+    // the self-join EXPANDS quadratically inside each bucket, so the probe
+    // side's parallelism caps the whole operator: a small corpus arriving as
+    // one parquet split would expand millions of candidate rows in ONE task.
+    // Round-robin to at least the cluster's parallelism (never collapsing an
+    // already-wide input); the shuffled rows are narrow (id + words + key).
+    val target = math.max(
+      sh0.sparkSession.sparkContext.defaultParallelism,
+      bandsRaw.rdd.getNumPartitions)
+    val bands = bandsRaw.repartition(target).cache()
     val hamming = (0 until nWords).map(i =>
       bit_count(col(s"aw$i").bitwiseXOR(col(s"bw$i"))))
       .reduce(_ + _)
