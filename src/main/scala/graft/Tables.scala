@@ -40,4 +40,22 @@ object Tables {
   /** Deterministic decimal average surfaced as double (same rationale as dsum). */
   def davg(c: Column): Column =
     (sum(c.cast(DecimalType(18, 4))) / count(c)).cast(DecimalType(18, 4)).cast("double")
+
+  /** Round-robin a frame to AT LEAST the cluster's default parallelism,
+    * never collapsing an already-wide one.
+    *
+    * Use ahead of joins whose OUTPUT expands per input row (candidate
+    * self-joins, broadcast fan-outs): the probe side's split count caps the
+    * whole operator, and a small or compacted table arriving as one parquet
+    * split would otherwise expand millions of pair rows inside a single
+    * task. The shuffle this inserts carries the narrow pre-expansion rows —
+    * at scale it is noise next to the expansion itself, and on well-split
+    * inputs the max() keeps the native layout width.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = math.max(
+      df.sparkSession.sparkContext.defaultParallelism,
+      df.rdd.getNumPartitions)
+    df.repartition(target)
+  }
 }

@@ -85,8 +85,10 @@ object DedupOps {
     * so the band self-join and both jaccard probe sides reuse it.
     */
   def minhashLshPairs(docs: DataFrame): DataFrame = {
-    val docsig = docShingles(docs)
-      .select(Seq(col("doc_id"), col("shset"), col("n")) ++ minhashCols: _*)
+    // spread: band self-join + per-pair set intersections below expand per
+    // row, so the split count of this table caps their parallelism
+    val docsig = graft.Tables.spread(docShingles(docs)
+        .select(Seq(col("doc_id"), col("shset"), col("n")) ++ minhashCols: _*))
       .cache()
     val bandKeys = (0 until NumBands).map(b =>
       concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
@@ -114,7 +116,9 @@ object DedupOps {
         explode(sequence(col("doc_id") + 1, col("doc_id") + 10)).as("b"))
       .join(ids.select(col("doc_id").as("b")), Seq("b"))
       .select("a", "b")
-    jaccardOf(cand, sets)
+    // spread: the per-pair set intersections in the verify step are the
+    // operator's real work; cand inherits the scan's split count otherwise
+    jaccardOf(graft.Tables.spread(cand), sets)
   }
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccard(table(spark, dir, "documents"))
@@ -285,14 +289,8 @@ object DedupOps {
       Seq(col("doc_id")) ++ packCols :+
         posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")): _*)
     // the self-join EXPANDS quadratically inside each bucket, so the probe
-    // side's parallelism caps the whole operator: a small corpus arriving as
-    // one parquet split would expand millions of candidate rows in ONE task.
-    // Round-robin to at least the cluster's parallelism (never collapsing an
-    // already-wide input); the shuffled rows are narrow (id + words + key).
-    val target = math.max(
-      sh0.sparkSession.sparkContext.defaultParallelism,
-      bandsRaw.rdd.getNumPartitions)
-    val bands = bandsRaw.repartition(target).cache()
+    // side's split count caps the whole operator (see Tables.spread)
+    val bands = graft.Tables.spread(bandsRaw).cache()
     val hamming = (0 until nWords).map(i =>
       bit_count(col(s"aw$i").bitwiseXOR(col(s"bw$i"))))
       .reduce(_ + _)
