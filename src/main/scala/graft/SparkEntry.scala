@@ -41,6 +41,7 @@ object SparkEntry {
     "a5_unique_visit" -> (LogOps.uniqueVisit _),
     "a6_new_visitor_fix" -> (LogOps.newVisitorFix _),
     "a7_ads_sum" -> (RelationalOps.adsSum _),
+    "a9_sessionize" -> (StatsOps.sessionize _),
     "w6_user_jump" -> (LogOps.userJump _),
     // §2.8 scalar functions, §2.10 ranking
     "f1_date_functions" -> (StatsOps.dateFunctions _),
@@ -61,6 +62,12 @@ object SparkEntry {
     "n2_ann_ivf_topk" -> ((s: SparkSession, d: String) => AnnOps.ivfTopK(s, d)),
     "n3_ann_lsh_topk" -> ((s: SparkSession, d: String) => AnnOps.lshTopK(s, d)),
     "n4_embed_quantize" -> ((s: SparkSession, d: String) => AnnOps.quantizeStats(s, d)),
+    // LLM-data-pipeline: corpus curation (decontamination, sampling,
+    // shard shuffle, n-gram frequency)
+    "t5_decontaminate" -> ((s: SparkSession, d: String) => CurationOps.decontaminate(s, d)),
+    "s1_hash_sample" -> ((s: SparkSession, d: String) => CurationOps.hashSample(s, d)),
+    "s2_train_shuffle" -> ((s: SparkSession, d: String) => CurationOps.trainShuffle(s, d)),
+    "g1_ngram_topk" -> ((s: SparkSession, d: String) => CurationOps.ngramTopK(s, d)),
     // LLM-data-pipeline: text analysis
     "c1_corpus_curation" -> ((s: SparkSession, d: String) => TextOps.curateCorpus(s, d)),
     "t1_lang_id" -> ((s: SparkSession, d: String) => TextOps.langId(s, d)),
@@ -123,6 +130,14 @@ object SparkEntry {
     .mkString(", ")
   private val simhashConcat = (1 to 16).map(j =>
     s"CASE WHEN s$j > 0 THEN '1' ELSE '0' END").mkString(" || ")
+
+  /** 16-bit int from the first 4 hex chars of column `h` — the DuckDB mirror
+    * of CurationOps.hashBucket (Spark-side `conv(substr(md5, 1, 4), 16, 10)`).
+    */
+  private def hex16(h: String): String = {
+    def d(i: Int) = s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1)"
+    s"(((${d(1)} * 16 + ${d(2)}) * 16 + ${d(3)}) * 16 + ${d(4)})"
+  }
 
   private val cosineCommon =
     """q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
@@ -246,6 +261,23 @@ object SparkEntry {
          |       ${dsum("o_totalprice")} AS order_amount,
          |       count(*) AS order_ct
          |FROM orders GROUP BY 1""".stripMargin,
+    // a9: gap-based sessionization — new session when a user's inter-event
+    // gap exceeds 30 min; output per-session stats, timestamps as integer µs.
+    "a9_sessionize" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us($EV) AS us FROM events),
+         |m AS (SELECT event_id, user_id, us,
+         |             lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+         |      FROM e),
+         |s AS (SELECT user_id, us,
+         |             CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+         |                           THEN 1 ELSE 0 END)
+         |                  OVER (PARTITION BY user_id ORDER BY us, event_id
+         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |               AS session_no
+         |      FROM m)
+         |SELECT user_id, session_no, count(*) AS event_ct,
+         |       min(us) AS session_start_us, max(us) AS session_end_us
+         |FROM s GROUP BY 1, 2""".stripMargin,
     "w6_user_jump" ->
       s"""SELECT event_id, user_id FROM (
          |  SELECT event_id, user_id, epoch_us($EV) AS us,
@@ -476,6 +508,50 @@ object SparkEntry {
          |  SELECT query_id, cell, neighbor_id, sim,
          |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
          |  FROM sims) WHERE rnk <= 3""".stripMargin,
+    // t5: benchmark decontamination — contaminated iff any 3-shingle is
+    // shared with the held-out set (every 97th doc stands in for it).
+    "t5_decontaminate" ->
+      s"""$shingleCte,
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+         |ov AS (SELECT sh.doc_id, count(*) AS overlap_ct
+         |       FROM sh JOIN bench USING (shingle) GROUP BY sh.doc_id)
+         |SELECT d.doc_id, coalesce(ov.overlap_ct, 0) AS overlap_ct,
+         |       coalesce(ov.overlap_ct, 0) = 0 AS is_clean
+         |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id""".stripMargin,
+    // s1: stratified deterministic hash-sample — bucket = 16-bit salted-md5
+    // value % 100, kept iff below the language's rate.
+    "s1_hash_sample" ->
+      s"""WITH h AS (SELECT doc_id, source, lang,
+         |                  md5('smpl:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |b AS (SELECT doc_id, source, lang, ${hex16("h")} % 100 AS bucket FROM h)
+         |SELECT lang, doc_id, source, bucket, rate
+         |FROM b JOIN (VALUES ('en', 50), ('de', 30), ('es', 20), ('fr', 20), ('zh', 10))
+         |            AS r(lang, rate) USING (lang)
+         |WHERE bucket < rate""".stripMargin,
+    // s2: deterministic train-shard shuffle — shard by one salted hash,
+    // position by row_number over a second; no global sort on either engine.
+    "s2_train_shuffle" ->
+      s"""WITH h AS (SELECT doc_id,
+         |                  md5('shard:' || CAST(doc_id AS VARCHAR)) AS hs,
+         |                  md5('shuf:' || CAST(doc_id AS VARCHAR)) AS shufkey
+         |           FROM documents),
+         |s AS (SELECT doc_id, ${hex16("hs")} % 8 AS shard, shufkey FROM h)
+         |SELECT doc_id, shard,
+         |       CAST(row_number() OVER (PARTITION BY shard ORDER BY shufkey, doc_id) - 1
+         |            AS BIGINT) AS pos
+         |FROM s""".stripMargin,
+    // g1: corpus top-5 trigrams per language (multiset counts, rank ties
+    // broken by gram text).
+    "g1_ngram_topk" ->
+      """WITH w AS (SELECT lang, string_split(text, ' ') AS words FROM documents),
+        |g AS (SELECT lang, unnest([array_to_string(words[i:i+2], ' ')
+        |                           for i in generate_series(1, len(words) - 2)]) AS gram
+        |      FROM w WHERE len(words) >= 3),
+        |c AS (SELECT lang, gram, count(*) AS ct FROM g GROUP BY 1, 2)
+        |SELECT lang, gram, ct, rnk FROM (
+        |  SELECT lang, gram, ct,
+        |         row_number() OVER (PARTITION BY lang ORDER BY ct DESC, gram) AS rnk
+        |  FROM c) WHERE rnk <= 5""".stripMargin,
     "t1_lang_id" ->
       """SELECT doc_id, n_words, stop_ct, char_ct,
         |       CASE WHEN stop_ct * 25 >= n_words * 2 THEN 'en'

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.Tables.table
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline needs
+  * beyond per-doc scoring (TextOps) and near-dup detection (DedupOps):
+  * benchmark decontamination, reproducible hash-sampling, deterministic
+  * train-shard shuffling, and corpus n-gram frequency analysis.
+  *
+  * Extends the reference's keyed filter/dedup family (A5,
+  * app/dwm/UniqueVisitApp.java:54-102; P3 delete filter,
+  * app/dwd/BaseDBApp.java:79-86) from per-key streams to whole-corpus set
+  * operations.
+  *
+  * Scale notes (100 TB): every operator here keys its shuffles on
+  * high-cardinality columns (doc_id, n-gram, shard) — nothing funnels through
+  * a per-corpus or per-language single reducer, and the one small input (the
+  * held-out benchmark n-gram set) rides a broadcast join.
+  */
+object CurationOps {
+
+  /** 16-bit integer from the first 4 hex chars of a salted md5 of the doc id —
+    * the engine-portable deterministic "random" used for sampling and shard
+    * assignment. Reproducible across runs/engines by construction (no RNG
+    * state, no partition order dependence), the property that matters for
+    * auditable 100 TB samples.
+    */
+  private def hashBucket(salt: String): Column =
+    conv(substring(md5(concat(lit(salt), col("doc_id").cast("string"))), 1, 4), 16, 10)
+      .cast("long")
+
+  /** T5 — benchmark decontamination (the published GPT-3/Dolma recipe shape):
+    * a doc is contaminated if it shares any 3-word shingle with the held-out
+    * benchmark set (here: every 97th doc stands in for the benchmark corpus).
+    *
+    * Plan shape: the benchmark shingle set is tiny relative to the corpus, so
+    * it BROADCASTS; the corpus-side shingle stream is filtered map-side by the
+    * broadcast hash join — only matching (rare) rows reach the per-doc count
+    * shuffle, and the final left join is keyed on doc_id. At 100 TB the scan
+    * dominates; nothing quadratic, no corpus-wide shuffle of shingles.
+    */
+  def decontaminate(docs: DataFrame): DataFrame = {
+    val sh = DedupOps.shingles(docs)
+    val bench = sh.filter(col("doc_id") % 97 === 0).select("shingle").distinct()
+    val overlaps = sh.join(broadcast(bench), Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("overlap_ct"))
+    docs.select("doc_id")
+      .join(overlaps, Seq("doc_id"), "left")
+      .withColumn("overlap_ct", coalesce(col("overlap_ct"), lit(0L)))
+      .withColumn("is_clean", col("overlap_ct") === 0)
+  }
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminate(table(spark, dir, "documents"))
+
+  /** S1 — stratified deterministic hash-sampling: per-language keep rates
+    * applied by comparing a salted-md5 bucket (0-99) against the stratum's
+    * rate. The sample is a pure per-row predicate — reproducible, join-free
+    * on the corpus side beyond a broadcast of the 5-row rate table, and
+    * composable with any downstream operator without materializing the sample.
+    */
+  def hashSample(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rates = Seq(("en", 50), ("de", 30), ("es", 20), ("fr", 20), ("zh", 10))
+      .toDF("lang", "rate")
+    docs.select(col("doc_id"), col("source"), col("lang"))
+      .withColumn("bucket", hashBucket("smpl:") % 100)
+      .join(broadcast(rates), Seq("lang"))
+      .filter(col("bucket") < col("rate"))
+  }
+  def hashSample(spark: SparkSession, dir: String): DataFrame =
+    hashSample(table(spark, dir, "documents"))
+
+  /** S2 — deterministic training-shard shuffle: shard by a salted hash, order
+    * within each shard by a second hash — the standard "global shuffle" for
+    * training export, done WITHOUT a global sort. Each shard's row_number runs
+    * on its own reducer, so parallelism = shard count (thousands at 100 TB),
+    * and the assignment is bit-reproducible across runs and engines.
+    */
+  def trainShuffle(docs: DataFrame, numShards: Int = 8): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(col("shufkey"), col("doc_id"))
+    docs.select(col("doc_id"))
+      .withColumn("shard", hashBucket("shard:") % numShards)
+      .withColumn("shufkey", md5(concat(lit("shuf:"), col("doc_id").cast("string"))))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select("doc_id", "shard", "pos")
+  }
+  def trainShuffle(spark: SparkSession, dir: String): DataFrame =
+    trainShuffle(table(spark, dir, "documents"))
+
+  /** G1 — corpus top-K n-grams per language (frequency/contamination
+    * analysis). Two-phase top-K: after the (lang, gram) count agg (map-side
+    * partial, shuffle keyed on the high-cardinality gram), each of 64 gram-hash
+    * subgroups keeps its local top-K, so the final per-language rank sees at
+    * most 64·K rows — no per-language single reducer ever touches the full
+    * gram distribution. The subgroup ordering (ct DESC, gram) equals the final
+    * ordering, so the pruning is lossless.
+    */
+  def ngramTopK(docs: DataFrame, k: Int = 5): DataFrame = {
+    val grams = docs.withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+      .select(col("lang"), explode(DedupOps.shingleExpr(col("words"))).as("gram"))
+    val counts = grams.groupBy("lang", "gram").agg(count(lit(1)).as("ct"))
+    val sub = Window.partitionBy(col("lang"), pmod(hash(col("gram")), lit(64)))
+      .orderBy(col("ct").desc, col("gram"))
+    val fin = Window.partitionBy("lang").orderBy(col("ct").desc, col("gram"))
+    counts
+      .withColumn("srnk", row_number().over(sub)).filter(col("srnk") <= k)
+      .withColumn("rnk", row_number().over(fin).cast("long")).filter(col("rnk") <= k)
+      .select("lang", "gram", "ct", "rnk")
+  }
+  def ngramTopK(spark: SparkSession, dir: String): DataFrame =
+    ngramTopK(table(spark, dir, "documents"))
+}

@@ -22,7 +22,7 @@ object DedupOps {
   /** 3-word shingles of a pre-split word array (docs with < n words excluded
     * by the caller). `slice` is 1-based like DuckDB list slicing.
     */
-  private def shingleExpr(words: Column): Column =
+  private[operators] def shingleExpr(words: Column): Column =
     transform(sequence(lit(1), size(words) - (ShingleN - 1)),
       i => concat_ws(" ", slice(words, i, lit(ShingleN))))
 

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables.{table, dsum}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** DWS windowed aggregations (SURVEY §2.5/§2.6/§2.8), batch form over the
@@ -124,5 +125,32 @@ object StatsOps {
       .withColumn("age_years",
         floor(datediff(lit("1998-12-31").cast("date"), to_date(col("create_date"))) / 365)
           .cast("long"))
+  }
+
+  /** A9 — gap-based sessionization: a new session starts when a user's
+    * inter-event gap exceeds 30 minutes; output is per-session stats. The
+    * batch analog of the reference's keyed-state visit/jump detection
+    * (app/dwm/UserJumpDetailApp.java:60-88), generalized from a 2-event CEP
+    * pattern to whole-session assembly.
+    *
+    * Scale: both analytic windows and the final agg key on user_id — per-user
+    * reducers (hundreds of millions of keys at 100 TB), never a global sort.
+    * Timestamps stay integer µs end-to-end, so results are oracle-exact.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    table(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_no",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .groupBy("user_id", "session_no")
+      .agg(count(lit(1)).as("event_ct"),
+        min(col("us")).as("session_start_us"),
+        max(col("us")).as("session_end_us"))
   }
 }

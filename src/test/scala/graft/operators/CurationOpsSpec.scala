@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Invariants the DuckDB hash-gate can't see: determinism, partition
+  * completeness, and stratum behavior of the curation operators.
+  */
+class CurationOpsSpec extends SparkSpec {
+
+  private def docs = Tables.table(spark, sf, "documents")
+
+  test("decontaminate covers every doc once; benchmark docs self-flag") {
+    val d = CurationOps.decontaminate(docs).cache()
+    assert(d.count() === docs.count())
+    assert(d.select("doc_id").distinct().count() === docs.count())
+    // a benchmark doc with >= 3 words shares its own shingles -> contaminated
+    val benchWithShingles = docs
+      .filter(col("doc_id") % 97 === 0 && size(split(col("text"), " ")) >= 3)
+      .select("doc_id")
+    val cleanBench = d.join(benchWithShingles, "doc_id").filter(col("is_clean"))
+    assert(cleanBench.count() === 0)
+    d.unpersist()
+  }
+
+  test("hash sample is deterministic and respects per-stratum rates") {
+    val a = CurationOps.hashSample(docs)
+    val b = CurationOps.hashSample(docs)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+    assert(a.filter(col("bucket") >= col("rate") || col("bucket") < 0).count() === 0)
+    // sampling only drops rows, never invents them
+    assert(a.join(docs.select("doc_id"), Seq("doc_id"), "left_anti").count() === 0)
+  }
+
+  test("train shuffle partitions the corpus into dense per-shard sequences") {
+    val s = CurationOps.trainShuffle(docs).cache()
+    assert(s.count() === docs.count())
+    assert(s.select("doc_id").distinct().count() === docs.count())
+    // positions within a shard are exactly 0..n-1
+    val bad = s.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+      .filter(col("mx") =!= col("n") - 1 || col("mn") =!= 0)
+    assert(bad.count() === 0)
+    assert(s.filter(col("shard") < 0 || col("shard") >= 8).count() === 0)
+    s.unpersist()
+  }
+
+  test("ngram topk keeps at most k per language, rank 1 = max count") {
+    val g = CurationOps.ngramTopK(docs).cache()
+    assert(g.groupBy("lang").count().filter(col("count") > 5).count() === 0)
+    val mx = g.groupBy("lang").agg(max("ct").as("mx"))
+    val bad = g.filter(col("rnk") === 1).join(mx, "lang").filter(col("ct") =!= col("mx"))
+    assert(bad.count() === 0)
+    g.unpersist()
+  }
+
+  test("sessionize partitions all events; sessions are well-formed") {
+    val s = StatsOps.sessionize(spark, sf).cache()
+    val total = Tables.table(spark, sf, "events").count()
+    assert(s.agg(sum("event_ct")).head.getLong(0) === total)
+    assert(s.filter(col("session_end_us") < col("session_start_us")).count() === 0)
+    // session numbering per user is dense from 1
+    val bad = s.groupBy("user_id")
+      .agg(countDistinct("session_no").as("n"), max("session_no").as("mx"),
+        min("session_no").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1)
+    assert(bad.count() === 0)
+    s.unpersist()
+  }
+}
