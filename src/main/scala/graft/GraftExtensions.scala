@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProductF, MinHashSigExpr, SimHashBitsExpr, SrpSigExpr}
+import graft.functions.{CosineSimF, DotProductF, MinHashSigExpr, SimHashBitsExpr, SrpSigExpr}
 
 /** Session extension wiring: registers the engine's native expressions for
   * SQL use. Install with
@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("srp_sig"),
       new ExpressionInfo(classOf[SrpSigExpr].getName, "srp_sig"),
       GraftExtensions.srpBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimF].getName, "cosine_sim"),
+      GraftExtensions.cosineBuilder))
   }
 }
 
@@ -45,6 +49,11 @@ object GraftExtensions {
   private[graft] val dotBuilder: Seq[Expression] => Expression = {
     case Seq(a, b) => DotProductF(a, b)
     case children => wrongArgs("dot_product_f", 2, children.length)
+  }
+
+  private[graft] val cosineBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => CosineSimF(a, b)
+    case children => wrongArgs("cosine_sim", 2, children.length)
   }
 
   private[graft] val minhashBuilder: Seq[Expression] => Expression = {
@@ -76,6 +85,7 @@ object GraftExtensions {
     bridge.registerFunction(spark, "minhash_sig", minhashBuilder)
     bridge.registerFunction(spark, "simhash_bits", simhashBuilder)
     bridge.registerFunction(spark, "srp_sig", srpBuilder)
+    bridge.registerFunction(spark, "cosine_sim", cosineBuilder)
     spark.udf.register("exact_count_distinct", graft.functions.ExactDistinct.asUdaf)
     spark.udf.register("hll_count_distinct", graft.functions.HllDistinct.asUdaf)
     spark.udf.register("hll_sketch", graft.functions.HllSketch.asUdaf)

@@ -62,6 +62,7 @@ object SparkEntry {
     "n2_ann_ivf_topk" -> ((s: SparkSession, d: String) => AnnOps.ivfTopK(s, d)),
     "n3_ann_lsh_topk" -> ((s: SparkSession, d: String) => AnnOps.lshTopK(s, d)),
     "n4_embed_quantize" -> ((s: SparkSession, d: String) => AnnOps.quantizeStats(s, d)),
+    "n5_cosine_sim_fn" -> (cosineSimFn _),
     // LLM-data-pipeline: corpus curation (decontamination, sampling,
     // shard shuffle, n-gram frequency)
     "t5_decontaminate" -> ((s: SparkSession, d: String) => CurationOps.decontaminate(s, d)),
@@ -90,6 +91,18 @@ object SparkEntry {
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
       .withColumn("pos", col("pos").cast("long"))
       .filter(length(col("word")) > 0)
+  }
+
+  /** N5 — the native single-pass [[graft.functions.CosineSimF]] exercised
+    * through the registered SQL surface (GraftExtensions), adjacent-id pairs.
+    */
+  private def cosineSimFn(spark: SparkSession, dir: String): DataFrame = {
+    GraftExtensions.register(spark)
+    Tables.table(spark, dir, "embeddings").createOrReplaceTempView("graft_emb")
+    spark.sql(
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |       floor(cosine_sim(a.embedding, b.embedding) * 10000.0 + 0.5) / 10000.0 AS sim
+        |FROM graft_emb a JOIN graft_emb b ON b.vec_id = a.vec_id + 1""".stripMargin)
   }
 
   // ---- DuckDB oracle SQL -------------------------------------------------
@@ -449,6 +462,19 @@ object SparkEntry {
         |       len(list_filter(qv, x -> abs(x) = 127)) AS n_sat,
         |       len(list_filter(qv, x -> x = 0)) AS n_zero
         |FROM q""".stripMargin,
+    // n5: native cosine_sim via the SQL surface — same quantize-then-compare
+    // convention as n1; the zero-denominator guard mirrors CosineSimF.
+    "n5_cosine_sim_fn" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ee
+        |           FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |       floor(CASE WHEN sqrt(list_dot_product(a.ee, a.ee)) *
+        |                       sqrt(list_dot_product(b.ee, b.ee)) = 0 THEN 0.0
+        |                  ELSE list_dot_product(a.ee, b.ee) /
+        |                       (sqrt(list_dot_product(a.ee, a.ee)) *
+        |                        sqrt(list_dot_product(b.ee, b.ee))) END
+        |             * 10000.0 + 0.5) / 10000.0 AS sim
+        |FROM e a JOIN e b ON b.vec_id = a.vec_id + 1""".stripMargin,
     // c1: curation pipeline = d1 keeper ∧ t1 'en' ∧ t2 score>=2, t3 tokens.
     "c1_corpus_curation" ->
       """WITH t AS (SELECT doc_id, n_chars, md5(text) AS fp,

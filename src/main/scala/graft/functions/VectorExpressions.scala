@@ -71,6 +71,84 @@ case class DotProductF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native single-pass cosine similarity of two float-array columns: the dot
+  * product and BOTH squared norms accumulate in one loop over the columnar
+  * `ArrayData`, so each pair costs one traversal instead of the three a
+  * composed `dot(a,b)/(sqrt(dot(a,a))·sqrt(dot(b,b)))` pays — and the result
+  * is bit-identical to that composition (same left-to-right double sums,
+  * same final expression tree shape).
+  *
+  * Zero-norm inputs yield 0.0 (not NaN/Inf) so the function is total over
+  * any corpus. Length mismatch uses zip semantics like [[DotProductF]].
+  */
+case class CosineSimF(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<FLOAT> arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val x = a.getFloat(i).toDouble
+        val y = b.getFloat(i).toDouble
+        dot += x * y
+        na += x * x
+        nb += y * y
+      }
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val denom = ctx.freshName("denom")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    double $x = (double) $a.getFloat($i);
+         |    double $y = (double) $b.getFloat($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |}
+         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimF =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points for the native vector expressions. */
 object VectorFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -81,4 +159,7 @@ object VectorFunctions {
     import org.apache.spark.sql.functions.sqrt
     sqrt(dot_f(a, a))
   }
+  def cosine_sim(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      CosineSimF(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -41,6 +41,46 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(plan.contains("*(1) Project"), plan)
   }
 
+  test("cosine_sim matches the composed dot/norm form bit-for-bit") {
+    val e = graft.Tables.table(spark, sf, "embeddings").limit(200)
+    val pairs = e.select(col("vec_id"), col("embedding").as("a"))
+      .join(e.select((col("vec_id") - 1).as("vec_id"), col("embedding").as("b")), "vec_id")
+    val got = pairs.select(
+      VectorFunctions.cosine_sim(col("a"), col("b")).as("native"),
+      (VectorFunctions.dot_f(col("a"), col("b")) /
+        (sqrt(VectorFunctions.dot_f(col("a"), col("a"))) *
+         sqrt(VectorFunctions.dot_f(col("b"), col("b"))))).as("composed"))
+    got.collect().foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("cosine_sim: zero-norm totality and interp/codegen agreement") {
+    val df = Seq(
+      (Array(0.0f, 0.0f), Array(1.0f, 2.0f)),
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f)),
+      (Array(3.0f, -4.0f), Array(4.0f, 3.0f)))
+      .toDF("a", "b")
+    val codegen = df.select(VectorFunctions.cosine_sim(col("a"), col("b"))).collect()
+    assert(codegen(0).getDouble(0) === 0.0)
+    assert(math.abs(codegen(1).getDouble(0) - 1.0) < 1e-12)
+    val interp = try {
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      df.select(VectorFunctions.cosine_sim(col("a"), col("b"))).collect()
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    codegen.zip(interp).foreach { case (c, i) =>
+      assert(java.lang.Double.doubleToLongBits(c.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(i.getDouble(0)))
+    }
+  }
+
+  test("cosine_sim registered on the SQL surface") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql("SELECT cosine_sim(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS s").head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+  }
+
   test("type check accepts float arrays, rejects others") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types._
