@@ -274,6 +274,37 @@ object AnnOps {
       .groupBy("vec_id")
       .agg(max_by(col("cell"), struct(col("score"), -col("cell"))).as("assigned_cell"))
 
+  /** IVF cell assignment against DRIVER-HELD centroid constants — the
+    * streaming-capable twin of [[assignCells]]: per row, one codegen'd dot
+    * product per centroid and an `array_max` over (score, −cell) structs, so
+    * the argmax happens inside the row projection with NO join and NO
+    * aggregation. That statelessness is the point: the same call works on a
+    * `readStream` frame (continuous IVF indexing of an embedding stream) and
+    * on a batch frame, and at 100 TB the corpus is never shuffled at all.
+    * The centroid table is the coarse quantizer — small and slow-changing by
+    * construction (the analog of the reference's driver-held router config,
+    * app/dwd/BaseDBApp.java:100-118) — so holding it as literals is the same
+    * contract as broadcasting it. Tie-break (max score, then min cell) and
+    * float→double accumulation order match [[assignCells]] exactly.
+    */
+  def assignCellsLit(vectors: DataFrame, cents: Array[(Int, Array[Float])]): DataFrame = {
+    require(cents.nonEmpty, "assignCellsLit needs at least one centroid")
+    val scored = cents.map { case (cell, c) =>
+      val cnorm2 = c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+      struct((dot(col("embedding"), typedlit(c)) * 2.0 - lit(cnorm2)).as("score"),
+        lit(-cell).as("negcell"), lit(cell).as("cell"))
+    }
+    vectors.withColumn("assigned_cell",
+      array_max(array(scored.toIndexedSeq: _*)).getField("cell"))
+  }
+
+  /** Collect a centroid frame ([[centroids]] output) to the driver-held form
+    * [[assignCellsLit]] consumes. Bounded by the quantizer's cell count.
+    */
+  def collectCentroids(cents: DataFrame): Array[(Int, Array[Float])] =
+    cents.select(col("cell").cast("int"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+
   /** Full IVF search: corpus pre-assigned to cells, each query probes its
     * `nProbe` nearest cells and ranks candidates by exact cosine — the
     * standard recall/throughput dial (nProbe = all cells ⇒ exact brute

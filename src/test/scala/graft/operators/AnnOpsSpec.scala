@@ -24,6 +24,19 @@ class AnnOpsSpec extends SparkSpec {
     assert(assigned.count() === total) // every vector assigned exactly once
   }
 
+  test("literal-centroid assignment matches the join-based batch form; map-only plan") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val cents = AnnOps.centroids(e, "label")
+    val batch = AnnOps.assignCells(e, cents)
+      .select("vec_id", "assigned_cell")
+    val lit = AnnOps.assignCellsLit(e, AnnOps.collectCentroids(cents))
+      .select("vec_id", "assigned_cell")
+    assert(lit.exceptAll(batch).count() === 0 && batch.exceptAll(lit).count() === 0)
+    // stateless per-row projection: no exchange anywhere in the plan
+    val plan = lit.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("embeddingNearDups flags planted duplicates within a cell (D6)") {
     import spark.implicits._
     val e = Seq(

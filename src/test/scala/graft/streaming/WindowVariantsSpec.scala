@@ -46,6 +46,27 @@ class WindowVariantsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming IVF assignment: vectors get their nearest centroid cell, map-side") {
+    implicit val sqlCtx = spark.sqlContext
+    val cents = Array(
+      (0, Array.tabulate(3)(i => if (i == 0) 1.0f else 0.0f)),
+      (1, Array.tabulate(3)(i => if (i == 1) 1.0f else 0.0f)))
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.operators.AnnOps.assignCellsLit(
+        input.toDF().toDF("vec_id", "embedding"), cents)
+      .select("vec_id", "assigned_cell")
+      .writeStream.format("memory").queryName("ivf_assign").outputMode("append").start()
+    try {
+      input.addData((1L, Array(0.9f, 0.1f, 0.0f)), (2L, Array(0.1f, 0.9f, 0.0f)))
+      q.processAllAvailable()
+      input.addData((3L, Array(0.6f, 0.5f, 0.0f))) // closer to centroid 0
+      q.processAllAvailable()
+      val got = spark.table("ivf_assign").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toMap
+      assert(got === Map(1L -> 0, 2L -> 1, 3L -> 0))
+    } finally q.stop()
+  }
+
   test("streaming embedding dedup collapses same-signature vectors, keeps distinct ones") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(7)
