@@ -92,23 +92,21 @@ object CurationOps {
     trainShuffle(table(spark, dir, "documents"))
 
   /** G1 — corpus top-K n-grams per language (frequency/contamination
-    * analysis). Two-phase top-K: after the (lang, gram) count agg (map-side
-    * partial, shuffle keyed on the high-cardinality gram), each of 64 gram-hash
-    * subgroups keeps its local top-K, so the final per-language rank sees at
-    * most 64·K rows — no per-language single reducer ever touches the full
-    * gram distribution. The subgroup ordering (ct DESC, gram) equals the final
-    * ordering, so the pruning is lossless.
+    * analysis). The rank-then-filter compiles to Catalyst's two-phase
+    * `WindowGroupLimit`: a MAP-SIDE partial group limit keeps only K rows per
+    * (input partition, language) before the exchange, so the per-language
+    * reducer sees at most K·partitions rows — never the full gram
+    * distribution. (Verified in the physical plan: Sort+WindowGroupLimit
+    * precede the Exchange; a hand-rolled two-phase sub-window would add a
+    * redundant shuffle.) The count agg before it is keyed on the
+    * high-cardinality (lang, gram) with map-side partial aggregation.
     */
   def ngramTopK(docs: DataFrame, k: Int = 5): DataFrame = {
     val grams = docs.withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 3)
       .select(col("lang"), explode(DedupOps.shingleExpr(col("words"))).as("gram"))
-    val counts = grams.groupBy("lang", "gram").agg(count(lit(1)).as("ct"))
-    val sub = Window.partitionBy(col("lang"), pmod(hash(col("gram")), lit(64)))
-      .orderBy(col("ct").desc, col("gram"))
     val fin = Window.partitionBy("lang").orderBy(col("ct").desc, col("gram"))
-    counts
-      .withColumn("srnk", row_number().over(sub)).filter(col("srnk") <= k)
+    grams.groupBy("lang", "gram").agg(count(lit(1)).as("ct"))
       .withColumn("rnk", row_number().over(fin).cast("long")).filter(col("rnk") <= k)
       .select("lang", "gram", "ct", "rnk")
   }
