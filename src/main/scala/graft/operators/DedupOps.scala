@@ -26,12 +26,16 @@ object DedupOps {
     transform(sequence(lit(1), size(words) - (ShingleN - 1)),
       i => concat_ws(" ", slice(words, i, lit(ShingleN))))
 
-  /** (doc_id, shingle) distinct pairs for docs with >= 3 words. */
+  /** (doc_id, shingle) distinct pairs for docs with >= 3 words. Distinctness
+    * is per doc, so it happens MAP-SIDE (array_distinct before the explode) —
+    * a global `.distinct()` would shuffle the whole corpus's shingle stream
+    * for a property each row already has locally.
+    */
   def shingles(docs: DataFrame): DataFrame =
     docs.withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= ShingleN)
-      .select(col("doc_id"), explode(shingleExpr(col("words"))).as("shingle"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(array_distinct(shingleExpr(col("words")))).as("shingle"))
 
   /** Per-doc shingle table computed entirely MAP-SIDE — one row per doc with
     * the shingle multiset, its distinct set, and the set size. No explode, no
