@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import graft.functions.{CosineSimF, DotProductF, MinHashSigExpr, SimHashBitsExpr, SrpSigExpr}
 
 /** Session extension wiring: registers the engine's native expressions for
@@ -35,6 +36,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimF].getName, "cosine_sim"),
       GraftExtensions.cosineBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "bloom_filter_agg"),
+      GraftExtensions.bloomAggBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "bloom_might_contain"),
+      GraftExtensions.bloomProbeBuilder))
   }
 }
 
@@ -75,6 +84,23 @@ object GraftExtensions {
     case children => wrongArgs("srp_sig", 2, children.length)
   }
 
+  /** `bloom_filter_agg(xxhash64(x)[, est_items, num_bits])` — Spark's own
+    * runtime-filter aggregate (a compact binary sketch), surfaced for explicit
+    * semi-join reduction; probe with `bloom_might_contain(scalar-subquery,
+    * xxhash64(x))`.
+    */
+  private[graft] val bloomAggBuilder: Seq[Expression] => Expression = {
+    case Seq(c) => new BloomFilterAggregate(c).toAggregateExpression()
+    case Seq(c, n) => new BloomFilterAggregate(c, n).toAggregateExpression()
+    case Seq(c, n, b) => new BloomFilterAggregate(c, n, b).toAggregateExpression()
+    case children => wrongArgs("bloom_filter_agg", 3, children.length)
+  }
+
+  private[graft] val bloomProbeBuilder: Seq[Expression] => Expression = {
+    case Seq(bf, v) => BloomFilterMightContain(bf, v)
+    case children => wrongArgs("bloom_might_contain", 2, children.length)
+  }
+
   /** Register the engine's SQL functions on an already-running session
     * (withExtensions only takes effect at session construction). The typed
     * aggregators (exact_count_distinct, hll sketches) register as UDAFs.
@@ -86,6 +112,8 @@ object GraftExtensions {
     bridge.registerFunction(spark, "simhash_bits", simhashBuilder)
     bridge.registerFunction(spark, "srp_sig", srpBuilder)
     bridge.registerFunction(spark, "cosine_sim", cosineBuilder)
+    bridge.registerFunction(spark, "bloom_filter_agg", bloomAggBuilder)
+    bridge.registerFunction(spark, "bloom_might_contain", bloomProbeBuilder)
     spark.udf.register("exact_count_distinct", graft.functions.ExactDistinct.asUdaf)
     spark.udf.register("hll_count_distinct", graft.functions.HllDistinct.asUdaf)
     spark.udf.register("hll_sketch", graft.functions.HllSketch.asUdaf)

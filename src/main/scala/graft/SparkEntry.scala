@@ -66,8 +66,10 @@ object SparkEntry {
     // LLM-data-pipeline: corpus curation (decontamination, sampling,
     // shard shuffle, n-gram frequency)
     "t5_decontaminate" -> ((s: SparkSession, d: String) => CurationOps.decontaminate(s, d)),
+    "b1_bloom_decontaminate" -> ((s: SparkSession, d: String) => CurationOps.bloomDecontaminate(s, d)),
     "s1_hash_sample" -> ((s: SparkSession, d: String) => CurationOps.hashSample(s, d)),
     "s2_train_shuffle" -> ((s: SparkSession, d: String) => CurationOps.trainShuffle(s, d)),
+    "s3_seq_pack" -> ((s: SparkSession, d: String) => CurationOps.packSequences(s, d)),
     "g1_ngram_topk" -> ((s: SparkSession, d: String) => CurationOps.ngramTopK(s, d)),
     // LLM-data-pipeline: text analysis
     "c1_corpus_curation" -> ((s: SparkSession, d: String) => TextOps.curateCorpus(s, d)),
@@ -75,6 +77,8 @@ object SparkEntry {
     "t2_text_quality" -> ((s: SparkSession, d: String) => TextOps.textQuality(s, d)),
     "t3_token_count" -> ((s: SparkSession, d: String) => TextOps.tokenCount(s, d)),
     "t4_fingerprint" -> ((s: SparkSession, d: String) => TextOps.fingerprint(s, d)),
+    "t6_pii_redact" -> ((s: SparkSession, d: String) => TextOps.piiRedact(s, d)),
+    "t7_repetition" -> ((s: SparkSession, d: String) => TextOps.repetitionStats(s, d)),
     // LLM-data-pipeline: multimodal (m1 = deterministic fake decoder with a
     // full arithmetic oracle; m2 = REAL javax.imageio PNG encode→decode)
     "m1_multimodal_decode" -> (MultimodalOps.decodeFeatures _),
@@ -544,6 +548,16 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(ov.overlap_ct, 0) AS overlap_ct,
          |       coalesce(ov.overlap_ct, 0) = 0 AS is_clean
          |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id""".stripMargin,
+    // b1: bloom-prefiltered decontamination — the bloom is a pure candidate
+    // reducer (the exact join decides), so the oracle is the exact pipeline.
+    "b1_bloom_decontaminate" ->
+      s"""$shingleCte,
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+         |ov AS (SELECT sh.doc_id, count(*) AS overlap_ct
+         |       FROM sh JOIN bench USING (shingle) GROUP BY sh.doc_id)
+         |SELECT d.doc_id, coalesce(ov.overlap_ct, 0) AS overlap_ct,
+         |       coalesce(ov.overlap_ct, 0) = 0 AS is_clean
+         |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id""".stripMargin,
     // s1: stratified deterministic hash-sample — bucket = 16-bit salted-md5
     // value % 100, kept iff below the language's rate.
     "s1_hash_sample" ->
@@ -566,6 +580,22 @@ object SparkEntry {
          |       CAST(row_number() OVER (PARTITION BY shard ORDER BY shufkey, doc_id) - 1
          |            AS BIGINT) AS pos
          |FROM s""".stripMargin,
+    // s3: context-window sequence packing — per-shard running token sum
+    // sliced into 512-token sequences; integer division end to end.
+    "s3_seq_pack" ->
+      s"""WITH t AS (SELECT doc_id, CAST(ceil(n_chars / 4.0) AS BIGINT) AS tokens,
+         |                  md5('shard:' || CAST(doc_id AS VARCHAR)) AS hs
+         |           FROM documents),
+         |s AS (SELECT doc_id, tokens, ${hex16("hs")} % 8 AS shard FROM t),
+         |o AS (SELECT doc_id, shard, tokens,
+         |             sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens
+         |               AS tok_offset
+         |      FROM s)
+         |SELECT doc_id, shard, tokens, CAST(tok_offset AS BIGINT) AS tok_offset,
+         |       CAST(tok_offset // 512 AS BIGINT) AS seq_idx,
+         |       CAST(tok_offset % 512 AS BIGINT) AS seq_offset
+         |FROM o""".stripMargin,
     // g1: corpus top-5 trigrams per language (multiset counts, rank ties
     // broken by gram text).
     "g1_ngram_topk" ->
@@ -611,6 +641,49 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     // m1: the stubbed decoder derives dims from md5 bytes of the payload —
     // byte i of the digest = 16*hex(2i+1) + hex(2i+2), expressible in SQL.
+    // t6: PII redaction — the fixture embeds a deterministic contact line
+    // from doc_id, so both engines scrub the same synthesized PII; counts
+    // run on the progressively-redacted string, mirroring the Spark side.
+    "t6_pii_redact" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\+?[0-9][0-9-]{6,}[0-9]"
+      val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+      s"""WITH p AS (SELECT doc_id,
+         |       substr(text, 1, 40) || ' email:user' || CAST(doc_id AS VARCHAR) ||
+         |       '@mail.example.com phone:+1-555-' ||
+         |       CAST(doc_id % 9000 + 1000 AS VARCHAR) ||
+         |       ' ip:10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+         |       CAST(doc_id % 254 + 1 AS VARCHAR) AS pii_text
+         |     FROM documents),
+         |r1 AS (SELECT doc_id, pii_text,
+         |              regexp_replace(pii_text, '$email', '<EMAIL>', 'g') AS no_email
+         |       FROM p),
+         |r2 AS (SELECT *, regexp_replace(no_email, '$phone', '<PHONE>', 'g') AS no_phone
+         |       FROM r1)
+         |SELECT doc_id,
+         |       regexp_replace(no_phone, '$ip', '<IP>', 'g') AS redacted,
+         |       CAST(len(regexp_extract_all(pii_text, '$email')) AS BIGINT) AS n_emails,
+         |       CAST(len(regexp_extract_all(no_email, '$phone')) AS BIGINT) AS n_phones,
+         |       CAST(len(regexp_extract_all(no_phone, '$ip')) AS BIGINT) AS n_ips
+         |FROM r2""".stripMargin
+    },
+    // t7: repetition scoring — the oracle counts token multiplicities the
+    // relational way (unnest + group); Spark computes the same max
+    // multiplicity as a map-side fold over the sorted word array.
+    "t7_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |base AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+        |                CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct
+        |         FROM w),
+        |t AS (SELECT doc_id, unnest(words) AS word FROM w),
+        |top AS (SELECT doc_id, max(ct) AS top_ct FROM (
+        |          SELECT doc_id, word, count(*) AS ct FROM t GROUP BY 1, 2)
+        |        GROUP BY 1)
+        |SELECT b.doc_id, n_words, n_distinct, top_ct,
+        |       floor(n_distinct * 10000.0 / n_words + 0.5) / 10000.0 AS distinct_ratio,
+        |       floor(top_ct * 10000.0 / n_words + 0.5) / 10000.0 AS top_share,
+        |       (top_ct * 5 > n_words OR n_distinct * 10 < n_words * 3) AS is_repetitive
+        |FROM base b JOIN top ON b.doc_id = top.doc_id""".stripMargin,
     "m1_multimodal_decode" -> {
       def hexByte(i: Int) = // 0-based digest byte index -> SQL int expression
         s"((strpos('0123456789abcdef', substr(md5(text), ${2 * i + 1}, 1)) - 1) * 16 + " +

@@ -112,4 +112,65 @@ object CurationOps {
   }
   def ngramTopK(spark: SparkSession, dir: String): DataFrame =
     ngramTopK(table(spark, dir, "documents"))
+
+  /** S3 — context-window sequence packing: concatenate each shard's token
+    * stream in deterministic doc order and slice it into fixed-length training
+    * sequences; each doc gets its byte-reproducible (sequence index, offset)
+    * placement. This is the standard pretraining "pack to ctx_len" layout
+    * computed WITHOUT materializing the token stream — pure token-count
+    * arithmetic over a running-sum window.
+    *
+    * Scale notes: the only shuffle is the per-shard window (parallelism =
+    * shard count, thousands at 100 TB); the running sum is a streaming frame
+    * (ROWS UNBOUNDED PRECEDING — one pass per shard, no buffering); there is
+    * no global sort anywhere. Integer division end to end, so placement is
+    * bit-reproducible across engines.
+    */
+  def packSequences(docs: DataFrame, ctxLen: Int = 512, numShards: Int = 8): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), ceil(col("n_chars") / 4.0).cast("long").as("tokens"))
+      .withColumn("shard", hashBucket("shard:") % numShards)
+      .withColumn("tok_offset", sum("tokens").over(w) - col("tokens"))
+      .withColumn("seq_idx", expr(s"tok_offset DIV $ctxLen"))
+      .withColumn("seq_offset", col("tok_offset") % ctxLen)
+      .select("doc_id", "shard", "tokens", "tok_offset", "seq_idx", "seq_offset")
+  }
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequences(table(spark, dir, "documents"))
+
+  /** B1 — bloom-prefiltered decontamination: semantically identical to
+    * [[decontaminate]] (the exact join still decides), but the corpus shingle
+    * stream is first cut down MAP-SIDE by an engine-native bloom filter of
+    * the benchmark set, built as a scalar subquery (Spark's own runtime-filter
+    * machinery: `BloomFilterAggregate` / `BloomFilterMightContain`, exposed on
+    * the SQL surface by [[graft.GraftExtensions]]).
+    *
+    * Scale notes: at 100 TB the held-out set can be too large to broadcast as
+    * a hash relation, but its bloom is a few MB regardless — the filter
+    * removes the non-overlapping (vast) majority of corpus shingles before
+    * ANY join, and the exact join then runs on the rare survivors, so bloom
+    * false positives can never change the answer, only cost. This is the
+    * sideways information-passing pattern Spark itself applies to shuffle
+    * joins, here applied across the decontamination pipeline.
+    */
+  def bloomDecontaminate(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    graft.GraftExtensions.register(spark)
+    DedupOps.shingles(docs).createOrReplaceTempView("graft_sh")
+    docs.select("doc_id").createOrReplaceTempView("graft_docs")
+    spark.sql(
+      """WITH bench AS (SELECT DISTINCT shingle FROM graft_sh WHERE doc_id % 97 = 0),
+        |bf AS (SELECT bloom_filter_agg(xxhash64(shingle), 100000L, 800000L) AS bf
+        |       FROM bench),
+        |cand AS (SELECT doc_id, shingle FROM graft_sh
+        |         WHERE bloom_might_contain((SELECT bf FROM bf), xxhash64(shingle))),
+        |ov AS (SELECT c.doc_id, count(*) AS overlap_ct
+        |       FROM cand c JOIN bench USING (shingle) GROUP BY c.doc_id)
+        |SELECT d.doc_id, coalesce(ov.overlap_ct, 0L) AS overlap_ct,
+        |       coalesce(ov.overlap_ct, 0L) = 0L AS is_clean
+        |FROM graft_docs d LEFT JOIN ov ON d.doc_id = ov.doc_id""".stripMargin)
+  }
+  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    bloomDecontaminate(table(spark, dir, "documents"))
 }

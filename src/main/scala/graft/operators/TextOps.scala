@@ -118,4 +118,76 @@ object TextOps {
   }
   def curateCorpus(spark: SparkSession, dir: String): DataFrame =
     curateCorpus(table(spark, dir, "documents"))
+
+  /** Shared regexes for [[piiRedact]] — restricted to syntax with identical
+    * semantics in Java regex (Spark) and RE2 (common oracle engines): explicit
+    * character classes, no `\d`/`\b`/lookaround.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9-]{6,}[0-9]"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** T6 — PII redaction (email / phone / IPv4 → typed placeholders), the
+    * standard pre-release scrub stage of a training-data pipeline. The corpus
+    * text carries no PII, so the fixture embeds a deterministic contact line
+    * derived from doc_id before scrubbing — the oracle synthesizes the same
+    * line, so the hash-match proves the redaction regexes themselves.
+    *
+    * Scale notes: three chained `regexp_replace`/`regexp_count` calls in one
+    * map-side projection — no shuffle, no UDF, whole-stage codegen'd; at
+    * 100 TB this is scan-bandwidth-bound like t1-t4. Counts run on the
+    * progressively-redacted string (phones after emails are gone, IPs after
+    * phones) so one pattern can never double-count inside another's match.
+    */
+  def piiRedact(d: DataFrame): DataFrame = {
+    val s = (c: Column) => c.cast("string")
+    val withPii = d.select(col("doc_id"),
+      concat(substring(col("text"), 1, 40),
+        lit(" email:user"), s(col("doc_id")), lit("@mail.example.com"),
+        lit(" phone:+1-555-"), s(col("doc_id") % 9000 + 1000),
+        lit(" ip:10."), s(col("doc_id") % 256), lit(".0."), s(col("doc_id") % 254 + 1)
+      ).as("pii_text"))
+    val noEmail = regexp_replace(col("pii_text"), EmailRe, "<EMAIL>")
+    val noPhone = regexp_replace(noEmail, PhoneRe, "<PHONE>")
+    withPii.select(col("doc_id"),
+      regexp_replace(noPhone, Ipv4Re, "<IP>").as("redacted"),
+      regexp_count(col("pii_text"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(noEmail, lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_count(noPhone, lit(Ipv4Re)).cast("long").as("n_ips"))
+  }
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    piiRedact(table(spark, dir, "documents"))
+
+  /** T7 — repetition scoring (the Gopher/Dolma repetition filters): distinct
+    * token ratio and the top token's frequency share, with a flag combining
+    * both (top token > 20% of the doc, or < 30% distinct tokens).
+    *
+    * Scale notes: the top-token count is a fold over the SORTED word array —
+    * the longest equal-run of a sorted array IS the max multiplicity — so the
+    * whole operator is one map-side projection: no explode, no per-(doc, word)
+    * groupBy, no shuffle at all. An exploding implementation would shuffle
+    * one row per token (≈ 25× the corpus row count at 100 TB) to compute a
+    * per-row property.
+    */
+  def repetitionStats(d: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    d.select(col("doc_id"), nWords(w).as("n_words"),
+        size(array_distinct(w)).cast("long").as("n_distinct"),
+        expr("""aggregate(
+                  array_sort(split(text, ' ')),
+                  named_struct('prev', '', 'run', 0L, 'best', 0L),
+                  (acc, x) -> named_struct(
+                    'prev', x,
+                    'run', IF(x = acc.prev, acc.run + 1L, 1L),
+                    'best', GREATEST(acc.best, IF(x = acc.prev, acc.run + 1L, 1L))),
+                  acc -> acc.best)""").as("top_ct"))
+      .withColumn("distinct_ratio",
+        floor(col("n_distinct") * 10000.0 / col("n_words") + 0.5) / 10000.0)
+      .withColumn("top_share",
+        floor(col("top_ct") * 10000.0 / col("n_words") + 0.5) / 10000.0)
+      .withColumn("is_repetitive",
+        col("top_ct") * 5 > col("n_words") || col("n_distinct") * 10 < col("n_words") * 3)
+  }
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+    repetitionStats(table(spark, dir, "documents"))
 }

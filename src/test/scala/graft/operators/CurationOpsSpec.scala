@@ -54,6 +54,31 @@ class CurationOpsSpec extends SparkSpec {
     g.unpersist()
   }
 
+  test("bloom decontamination equals the exact pipeline row for row") {
+    val exact = CurationOps.decontaminate(docs)
+    val bloom = CurationOps.bloomDecontaminate(docs)
+    assert(bloom.count() === exact.count())
+    assert(bloom.exceptAll(exact).count() === 0)
+    assert(exact.exceptAll(bloom).count() === 0)
+  }
+
+  test("sequence packing tiles each shard's token stream without gaps") {
+    val p = CurationOps.packSequences(docs).cache()
+    assert(p.count() === docs.count())
+    // each shard's offsets are a dense prefix-sum tiling: max offset + its
+    // tokens = total tokens, and no two docs share an offset
+    val byShard = p.groupBy("shard").agg(
+      sum("tokens").as("tot"),
+      max(col("tok_offset") + col("tokens")).as("end"),
+      count(lit(1)).as("n"), countDistinct("tok_offset").as("nd"))
+    assert(byShard.filter(col("tot") =!= col("end") || col("n") =!= col("nd"))
+      .count() === 0)
+    // placement arithmetic is internally consistent
+    assert(p.filter(col("seq_offset") >= 512 || col("seq_offset") < 0 ||
+      col("seq_idx") * 512 + col("seq_offset") =!= col("tok_offset")).count() === 0)
+    p.unpersist()
+  }
+
   test("sessionize partitions all events; sessions are well-formed") {
     val s = StatsOps.sessionize(spark, sf).cache()
     val total = Tables.table(spark, sf, "events").count()

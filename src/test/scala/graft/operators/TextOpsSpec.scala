@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Invariants of the text-analysis operators the DuckDB hash-gate can't see:
+  * residual-PII absence after redaction, and the map-side repetition fold
+  * agreeing with the relational (explode + groupBy) formulation.
+  */
+class TextOpsSpec extends SparkSpec {
+
+  private def docs = Tables.table(spark, sf, "documents")
+
+  test("pii redact leaves no residual email/phone/IP pattern") {
+    val r = TextOps.piiRedact(docs).cache()
+    assert(r.count() === docs.count())
+    for (re <- Seq(TextOps.EmailRe, TextOps.PhoneRe, TextOps.Ipv4Re))
+      assert(r.filter(regexp_count(col("redacted"), lit(re)) > 0).count() === 0,
+        s"unredacted match for $re")
+    // the fixture plants exactly one of each PII kind per doc
+    assert(r.filter(col("n_emails") =!= 1 || col("n_phones") =!= 1 ||
+      col("n_ips") =!= 1).count() === 0)
+    // placeholders actually landed
+    assert(r.filter(!col("redacted").contains("<EMAIL>") ||
+      !col("redacted").contains("<PHONE>") ||
+      !col("redacted").contains("<IP>")).count() === 0)
+    r.unpersist()
+  }
+
+  test("repetition fold equals the explode+groupBy max multiplicity") {
+    val fold = TextOps.repetitionStats(docs).select("doc_id", "top_ct")
+    val exploded = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("ct"))
+      .groupBy("doc_id").agg(max("ct").as("exp_ct"))
+    val bad = fold.join(exploded, "doc_id").filter(col("top_ct") =!= col("exp_ct"))
+    assert(bad.count() === 0)
+  }
+
+  test("repetition ratios are bounded and consistent") {
+    val r = TextOps.repetitionStats(docs).cache()
+    assert(r.filter(col("n_distinct") > col("n_words") ||
+      col("top_ct") > col("n_words") || col("top_ct") < 1).count() === 0)
+    // pigeonhole: top count >= n_words / n_distinct
+    assert(r.filter(col("top_ct") * col("n_distinct") < col("n_words")).count() === 0)
+    assert(r.filter(col("distinct_ratio") > 1.0 || col("top_share") > 1.0 ||
+      col("distinct_ratio") <= 0.0 || col("top_share") <= 0.0).count() === 0)
+    r.unpersist()
+  }
+}
