@@ -57,6 +57,7 @@ object SparkEntry {
     "d6_embedding_neardup" -> ((s: SparkSession, d: String) => AnnOps.embeddingNearDups(s, d)),
     "d7_simhash_pairs" -> ((s: SparkSession, d: String) => DedupOps.simhashPairs(s, d)),
     "d8_simhash64_pairs" -> ((s: SparkSession, d: String) => DedupOps.simhash64Pairs(s, d)),
+    "d9_winnow_fingerprints" -> ((s: SparkSession, d: String) => DedupOps.winnowFingerprints(s, d)),
     // LLM-data-pipeline: similarity search
     "n1_ann_cosine_topk" -> ((s: SparkSession, d: String) => AnnOps.cosineTopK(s, d)),
     "n2_ann_ivf_topk" -> ((s: SparkSession, d: String) => AnnOps.ivfTopK(s, d)),
@@ -71,6 +72,7 @@ object SparkEntry {
     "s2_train_shuffle" -> ((s: SparkSession, d: String) => CurationOps.trainShuffle(s, d)),
     "s3_seq_pack" -> ((s: SparkSession, d: String) => CurationOps.packSequences(s, d)),
     "g1_ngram_topk" -> ((s: SparkSession, d: String) => CurationOps.ngramTopK(s, d)),
+    "g2_token_quantiles" -> ((s: SparkSession, d: String) => CurationOps.tokenQuantiles(s, d)),
     // LLM-data-pipeline: text analysis
     "c1_corpus_curation" -> ((s: SparkSession, d: String) => TextOps.curateCorpus(s, d)),
     "t1_lang_id" -> ((s: SparkSession, d: String) => TextOps.langId(s, d)),
@@ -79,6 +81,7 @@ object SparkEntry {
     "t4_fingerprint" -> ((s: SparkSession, d: String) => TextOps.fingerprint(s, d)),
     "t6_pii_redact" -> ((s: SparkSession, d: String) => TextOps.piiRedact(s, d)),
     "t7_repetition" -> ((s: SparkSession, d: String) => TextOps.repetitionStats(s, d)),
+    "t9_regex_tokens" -> ((s: SparkSession, d: String) => TextOps.regexTokens(s, d)),
     // LLM-data-pipeline: multimodal (m1 = deterministic fake decoder with a
     // full arithmetic oracle; m2 = REAL javax.imageio PNG encode→decode)
     "m1_multimodal_decode" -> (MultimodalOps.decodeFeatures _),
@@ -548,6 +551,39 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(ov.overlap_ct, 0) AS overlap_ct,
          |       coalesce(ov.overlap_ct, 0) = 0 AS is_clean
          |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id""".stripMargin,
+    // d9: winnowing (MOSS) — hash every 3-shingle to a 16-bit int, keep the
+    // min of each 4-hash window, distinct per doc; short docs degrade to
+    // their global min via the greatest(1, ...) window count.
+    "d9_winnow_fingerprints" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |g AS (SELECT doc_id, [array_to_string(words[i:i+2], ' ')
+         |                      for i in generate_series(1, len(words) - 2)] AS grams
+         |      FROM w WHERE len(words) >= 3),
+         |h AS (SELECT doc_id, [${hex16("md5(x)")} for x in grams] AS hashes FROM g),
+         |s AS (SELECT doc_id,
+         |             [list_aggregate(hashes[i:i+3], 'min')
+         |              for i in generate_series(1, greatest(1, len(hashes) - 3))] AS sels
+         |      FROM h)
+         |SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp
+         |FROM (SELECT doc_id, unnest(sels) AS fp FROM s)""".stripMargin,
+    // g2: per-language token quantiles — Spark exact percentile and DuckDB
+    // quantile_cont share the (n-1)p linear-interpolation definition
+    // bit-for-bit; floor-quantized anyway per the round()-divergence rule.
+    "g2_token_quantiles" ->
+      """WITH t AS (SELECT lang, CAST(ceil(n_chars / 4.0) AS BIGINT) AS tokens
+        |           FROM documents)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS total_tokens,
+        |       min(tokens) AS min_tokens, max(tokens) AS max_tokens,
+        |       floor(quantile_cont(tokens, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50_tokens,
+        |       floor(quantile_cont(tokens, 0.9) * 10000.0 + 0.5) / 10000.0 AS p90_tokens
+        |FROM t GROUP BY lang""".stripMargin,
+    // t9: regex run-class tokenization (BPE pre-splitter shape).
+    "t9_regex_tokens" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+')) AS BIGINT) AS rx_tokens,
+        |       CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+'))) AS BIGINT) AS rx_distinct,
+        |       regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+')[1] AS first_tok
+        |FROM documents""".stripMargin,
     // b1: bloom-prefiltered decontamination — the bloom is a pure candidate
     // reducer (the exact join decides), so the oracle is the exact pipeline.
     "b1_bloom_decontaminate" ->

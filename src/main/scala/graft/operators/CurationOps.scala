@@ -173,4 +173,31 @@ object CurationOps {
   }
   def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame =
     bloomDecontaminate(table(spark, dir, "documents"))
+
+  /** G2 — per-language token-length distribution profiling (the corpus-stats
+    * pass every curation run starts with): doc count, total tokens, min/max,
+    * and p50/p90 token quantiles per stratum.
+    *
+    * Scale notes: `exact = true` uses Spark's exact `percentile`, which
+    * buffers each group's values on its reducer — fine for bounded strata
+    * like languages at test SFs and REQUIRED for the bit-exact oracle, but
+    * the buffer grows with corpus size. At 100 TB flip `exact = false`:
+    * `approx_percentile` (t-digest) is mergeable map-side partial state with
+    * bounded error and constant memory — the same agg plan shape, no extra
+    * shuffle either way (quantization aside, both plans are one partial+final
+    * hash agg keyed on lang).
+    */
+  def tokenQuantiles(docs: DataFrame, exact: Boolean = true): DataFrame = {
+    def q(p: Double, name: String): Column = {
+      val fn = if (exact) "percentile" else "approx_percentile"
+      floor(expr(s"$fn(tokens, $p)") * 10000.0 + 0.5) / 10000.0
+    }.as(name)
+    docs.select(col("lang"), ceil(col("n_chars") / 4.0).cast("long").as("tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("tokens").as("total_tokens"),
+        min("tokens").as("min_tokens"), max("tokens").as("max_tokens"),
+        q(0.5, "p50_tokens"), q(0.9, "p90_tokens"))
+  }
+  def tokenQuantiles(spark: SparkSession, dir: String): DataFrame =
+    tokenQuantiles(table(spark, dir, "documents"))
 }

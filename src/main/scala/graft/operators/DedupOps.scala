@@ -342,4 +342,33 @@ object DedupOps {
       .filter(col("simhash").isNotNull)
   def simhash64(spark: SparkSession, dir: String): DataFrame =
     simhash64(table(spark, dir, "documents"))
+
+  /** D9 — winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * rolling-fingerprint selection): hash every shingle, slide a window of
+    * [[WinnowW]] consecutive hashes over the document, keep each window's
+    * minimum. Guarantees any shared run of WinnowW+ShingleN-1 tokens between
+    * two documents shares at least one selected fingerprint, at a fraction
+    * of the full shingle volume — the classic partial-overlap complement to
+    * whole-doc MinHash (d2/d3).
+    *
+    * Scale notes: selection is entirely MAP-SIDE (hash array → window mins →
+    * per-doc distinct, all higher-order array ops in one projection); the
+    * only rows that leave the scan are the selected fingerprints, ~2/(W+1)
+    * of the shingle stream in expectation. Docs shorter than one window
+    * degrade gracefully to their global minimum (one fingerprint).
+    */
+  private val WinnowW = 4
+  def winnowFingerprints(docs: DataFrame): DataFrame = {
+    docs.withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= ShingleN)
+      .withColumn("hashes",
+        transform(shingleExpr(col("words")),
+          g => conv(substring(md5(g), 1, 4), 16, 10).cast("long")))
+      .withColumn("fps", array_distinct(
+        transform(sequence(lit(1), greatest(lit(1), size(col("hashes")) - (WinnowW - 1))),
+          i => array_min(slice(col("hashes"), i, lit(WinnowW))))))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+  }
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
+    winnowFingerprints(table(spark, dir, "documents"))
 }

@@ -190,4 +190,26 @@ object TextOps {
   }
   def repetitionStats(spark: SparkSession, dir: String): DataFrame =
     repetitionStats(table(spark, dir, "documents"))
+
+  /** Token classes for [[regexTokens]] — alternation of letter runs, digit
+    * runs, and non-alphanumeric runs, the shape of published BPE pre-tokenize
+    * patterns (GPT-2's splitter without the Unicode classes RE2 oracles
+    * lack). Restricted to Java/RE2-common syntax like the PII regexes.
+    */
+  val TokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+  /** T9 — regex (BPE-style pre-)tokenization: token count, distinct-token
+    * count, and the leading token per doc. Complements t3's whitespace/char
+    * estimates with the run-class tokenizer real BPE pipelines pre-split on.
+    * One shuffle-free projection; `regexp_extract_all` is codegen'd.
+    */
+  def regexTokens(d: DataFrame): DataFrame = {
+    val toks = regexp_extract_all(col("text"), lit(TokenRe), lit(0))
+    d.select(col("doc_id"),
+      size(toks).cast("long").as("rx_tokens"),
+      size(array_distinct(toks)).cast("long").as("rx_distinct"),
+      element_at(toks, 1).as("first_tok"))
+  }
+  def regexTokens(spark: SparkSession, dir: String): DataFrame =
+    regexTokens(table(spark, dir, "documents"))
 }

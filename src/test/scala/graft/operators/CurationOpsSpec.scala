@@ -79,6 +79,21 @@ class CurationOpsSpec extends SparkSpec {
     p.unpersist()
   }
 
+  test("token quantiles: exact and approx agree on shape; bounds hold") {
+    val e = CurationOps.tokenQuantiles(docs).cache()
+    assert(e.count() === docs.select("lang").distinct().count())
+    assert(e.filter(col("p50_tokens") > col("p90_tokens") ||
+      col("p50_tokens") < col("min_tokens") ||
+      col("p90_tokens") > col("max_tokens")).count() === 0)
+    // the 100 TB path (mergeable t-digest) returns the same schema and
+    // lands within the same [min, max] envelope
+    val a = CurationOps.tokenQuantiles(docs, exact = false)
+    assert(a.schema === e.schema)
+    assert(a.filter(col("p50_tokens") < col("min_tokens") ||
+      col("p90_tokens") > col("max_tokens")).count() === 0)
+    e.unpersist()
+  }
+
   test("sessionize partitions all events; sessions are well-formed") {
     val s = StatsOps.sessionize(spark, sf).cache()
     val total = Tables.table(spark, sf, "events").count()

@@ -116,6 +116,31 @@ class DedupPropertiesSpec extends SparkSpec {
     assert(banded === brute, s"banded=$banded brute=$brute")
   }
 
+  test("winnowing guarantee: docs sharing a 6+-word run share a fingerprint (D9)") {
+    // winnow window w=4 over 3-shingles: any shared run of >= w + n - 1 = 6
+    // consecutive words must yield at least one common selected fingerprint
+    val shared = "spark join hash scan merge row data stream"
+    (1L to 5L).foreach { s =>
+      val pre = sample(docGen, s); val post = sample(docGen, s + 100)
+      val df = docsDf(Seq(s"$pre $shared", s"$shared $post", sample(docGen, s + 200)))
+      val fp = DedupOps.winnowFingerprints(df)
+      val common = fp.filter(col("doc_id") === 0L).select("fp")
+        .intersect(fp.filter(col("doc_id") === 1L).select("fp"))
+      assert(common.count() >= 1, s"seed $s: no shared fingerprint")
+    }
+    // selection only thins: fingerprints are a subset of the shingle hashes,
+    // and every >= 3-word doc keeps at least one
+    val texts = sample(corpusGen, 42L)
+    val df = docsDf(texts)
+    val fp = DedupOps.winnowFingerprints(df).cache()
+    val nDocs = texts.count(_.split(" ").length >= 3)
+    assert(fp.select("doc_id").distinct().count() === nDocs.toLong)
+    val perDoc = DedupOps.shingles(df).groupBy("doc_id").count()
+      .join(fp.groupBy("doc_id").agg(count(lit(1)).as("nfp")), "doc_id")
+    assert(perDoc.filter(col("nfp") > col("count")).count() === 0)
+    fp.unpersist()
+  }
+
   test("curateCorpus keeps exactly the en/quality keepers (C1)") {
     val good = ("the spark engine joins the stream with a window and " * 3).trim // en, long
     val noStops = "alpha beta gamma delta epsilon zeta eta theta iota kappa"     // not en

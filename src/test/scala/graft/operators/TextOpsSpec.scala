@@ -37,6 +37,23 @@ class TextOpsSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("regex tokens agree with whitespace words on an all-letter corpus") {
+    val r = TextOps.regexTokens(docs)
+    val w = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_words"),
+      element_at(split(col("text"), " "), 1).as("w1"))
+    // documents text is space-separated letter runs, so the run-class
+    // tokenizer must reproduce the whitespace tokenization exactly
+    val bad = r.join(w, "doc_id")
+      .filter(col("rx_tokens") =!= col("n_words") || col("first_tok") =!= col("w1") ||
+        col("rx_distinct") > col("rx_tokens"))
+    assert(bad.count() === 0)
+    // and it must split classes where whitespace can't
+    val mixed = spark.createDataFrame(Seq((1L, "abc123,def"))).toDF("doc_id", "text")
+    val row = TextOps.regexTokens(mixed).head
+    assert(row.getLong(1) === 4L && row.getString(3) === "abc") // abc|123|,|def
+  }
+
   test("repetition ratios are bounded and consistent") {
     val r = TextOps.repetitionStats(docs).cache()
     assert(r.filter(col("n_distinct") > col("n_words") ||
