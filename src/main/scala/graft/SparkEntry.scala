@@ -108,7 +108,7 @@ object SparkEntry {
     Tables.table(spark, dir, "embeddings").createOrReplaceTempView("graft_emb")
     spark.sql(
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |       floor(cosine_sim(a.embedding, b.embedding) * 10000.0 + 0.5) / 10000.0 AS sim
+        |       floor(cosine_sim(a.embedding, b.embedding) * 1e4 + 0.5) / 1e4 AS sim
         |FROM graft_emb a JOIN graft_emb b ON b.vec_id = a.vec_id + 1""".stripMargin)
   }
 
