@@ -26,6 +26,15 @@ object DedupOps {
     transform(sequence(lit(1), size(words) - (ShingleN - 1)),
       i => concat_ws(" ", slice(words, i, lit(ShingleN))))
 
+  /** 3-shingle array of a raw text column, empty for sub-3-word docs —
+    * the map-side building block shared by the batch and streaming
+    * decontamination faces.
+    */
+  def shingleArray(text: Column): Column = {
+    val w = split(text, " ")
+    when(size(w) >= ShingleN, shingleExpr(w)).otherwise(array().cast("array<string>"))
+  }
+
   /** (doc_id, shingle) distinct pairs for docs with >= 3 words. Distinctness
     * is per doc, so it happens MAP-SIDE (array_distinct before the explode) —
     * a global `.distinct()` would shuffle the whole corpus's shingle stream

@@ -185,6 +185,33 @@ object StatsStreams {
     else sig.dropDuplicates("lsh_sig")
   }
 
+  /** Streaming benchmark decontamination — the streaming face of
+    * [[graft.operators.CurationOps.decontaminate]]: incoming docs are flagged
+    * against a STATIC held-out benchmark table. The bench shingle set is
+    * aggregated to a single set-row and cross-broadcast, so the per-doc
+    * overlap count is `array_intersect` on the doc's own (map-side) shingle
+    * array — a STATELESS streaming projection: no watermark, no state store,
+    * no stream-side shuffle; works identically in batch.
+    *
+    * Scale notes: right-sized for bench sets that fit an executor (the usual
+    * case — held-out benchmarks are small by construction). If the set is too
+    * large to broadcast, use the bloom route
+    * ([[graft.operators.CurationOps.bloomDecontaminate]] on micro-batches via
+    * foreachBatch).
+    */
+  def decontaminateStream(docs: DataFrame, bench: DataFrame): DataFrame = {
+    val benchSet = bench
+      .select(explode(array_distinct(
+        graft.operators.DedupOps.shingleArray(col("text")))).as("shingle"))
+      .agg(collect_set("shingle").as("bench_set"))
+    docs
+      .withColumn("sh", array_distinct(graft.operators.DedupOps.shingleArray(col("text"))))
+      .crossJoin(broadcast(benchSet))
+      .withColumn("overlap_ct",
+        size(array_intersect(col("sh"), col("bench_set"))).cast("long"))
+      .select(col("doc_id"), col("overlap_ct"), (col("overlap_ct") === 0).as("is_clean"))
+  }
+
   /** A4/X1 — KeywordStats streaming: tokenize (whitespace UDTF replacement,
     * app/function/SplitFunction.java:12-28) + 10s window count.
     * Input columns: full_word string, ts (millis).
