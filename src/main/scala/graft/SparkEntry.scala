@@ -42,6 +42,8 @@ object SparkEntry {
     "a6_new_visitor_fix" -> (LogOps.newVisitorFix _),
     "a7_ads_sum" -> (RelationalOps.adsSum _),
     "a9_sessionize" -> (StatsOps.sessionize _),
+    "w2_sliding_counts" -> (StatsOps.slidingCounts _),
+    "w3_session_window" -> (StatsOps.sessionWindowStats _),
     "w6_user_jump" -> (LogOps.userJump _),
     // §2.8 scalar functions, §2.10 ranking
     "f1_date_functions" -> (StatsOps.dateFunctions _),
@@ -298,6 +300,36 @@ object SparkEntry {
          |SELECT user_id, session_no, count(*) AS event_ct,
          |       min(us) AS session_start_us, max(us) AS session_end_us
          |FROM s GROUP BY 1, 2""".stripMargin,
+    // w3: native session_window vs the relational session derivation —
+    // Spark's merged-window end = last event + gap, stated arithmetically.
+    "w3_session_window" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us($EV) AS us FROM events),
+         |m AS (SELECT user_id, us,
+         |             lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+         |      FROM e),
+         |s AS (SELECT user_id, us,
+         |             -- Spark merges the half-open per-event windows only on
+         |             -- STRICT overlap, so a gap of exactly 30 min splits
+         |             CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+         |                           THEN 1 ELSE 0 END)
+         |                  OVER (PARTITION BY user_id ORDER BY us
+         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |               AS session_no
+         |      FROM m)
+         |SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
+         |       count(*) AS event_ct
+         |FROM s GROUP BY user_id, session_no""".stripMargin,
+    // w2: sliding windows — each event hits exactly 2 panes (size 10 min,
+    // slide 5 min); the oracle states the floor-based pane starts directly.
+    "w2_sliding_counts" ->
+      s"""WITH e AS (SELECT event_type, value, epoch_us($EV) AS eus FROM events),
+         |p AS (SELECT event_type, value,
+         |             (eus // 300000000) * 300000000 - i * 300000000 AS start_us
+         |      FROM e CROSS JOIN generate_series(0, 1) AS g(i))
+         |SELECT start_us, start_us + 600000000 AS end_us, event_type,
+         |       count(*) AS ct,
+         |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS val_sum
+         |FROM p GROUP BY 1, 2, 3""".stripMargin,
     "w6_user_jump" ->
       s"""SELECT event_id, user_id FROM (
          |  SELECT event_id, user_id, epoch_us($EV) AS us,

@@ -137,6 +137,46 @@ object StatsOps {
     * reducers (hundreds of millions of keys at 100 TB), never a global sort.
     * Timestamps stay integer µs end-to-end, so results are oracle-exact.
     */
+  /** W2-batch — sliding (hopping) window counts over events: 10-minute
+    * windows every 5 minutes, so each event lands in exactly size/slide = 2
+    * panes. Batch face of [[graft.streaming.StatsStreams.slidingEventCounts]]
+    * — proves the pane-assignment arithmetic against an oracle stating the
+    * floor-based pane starts explicitly (the §2.6 sliding-window row's
+    * NOT-PRESENT bonus, upgraded from behavioral spec to oracle-checked).
+    *
+    * Scale notes: `window(size, slide)` plans as a size/slide-way Expand then
+    * ONE hash agg keyed on (pane, type) — fan-out is the constant 2, partial
+    * aggregation applies, and nothing buffers per-window state in batch.
+    */
+  def slidingCounts(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "events")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("ct"), graft.Tables.dsum(col("value")).as("val_sum"))
+      .select(unix_micros(col("window.start")).as("start_us"),
+        unix_micros(col("window.end")).as("end_us"),
+        col("event_type"), col("ct"), col("val_sum"))
+  }
+
+  /** W3-batch — Spark's NATIVE `session_window` (gap-merge operator) proven
+    * against the relational formulation: the oracle derives the same sessions
+    * via lag + cumulative session numbering (the a9 technique) and states
+    * Spark's end semantics (last event + gap) arithmetically. Batch face of
+    * [[graft.streaming.StatsStreams.sessionCounts]].
+    *
+    * Scale notes: session_window shuffles once on the session key, then
+    * merges adjacent windows per key in a sort-based pass — the same shape as
+    * the hand-rolled a9 but without materializing per-event session numbers.
+    */
+  def sessionWindowStats(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("event_ct"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("event_ct"))
+  }
+
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     val gapUs = 30L * 60 * 1000000
     val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
