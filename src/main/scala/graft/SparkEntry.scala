@@ -73,6 +73,7 @@ object SparkEntry {
     "s1_hash_sample" -> ((s: SparkSession, d: String) => CurationOps.hashSample(s, d)),
     "s2_train_shuffle" -> ((s: SparkSession, d: String) => CurationOps.trainShuffle(s, d)),
     "s3_seq_pack" -> ((s: SparkSession, d: String) => CurationOps.packSequences(s, d)),
+    "s4_mixture_sample" -> ((s: SparkSession, d: String) => CurationOps.mixtureSample(s, d)),
     "g1_ngram_topk" -> ((s: SparkSession, d: String) => CurationOps.ngramTopK(s, d)),
     "g2_token_quantiles" -> ((s: SparkSession, d: String) => CurationOps.tokenQuantiles(s, d)),
     // LLM-data-pipeline: text analysis
@@ -664,6 +665,21 @@ object SparkEntry {
          |       CAST(tok_offset // 512 AS BIGINT) AS seq_idx,
          |       CAST(tok_offset % 512 AS BIGINT) AS seq_offset
          |FROM o""".stripMargin,
+    // s4: data-mixture sampling — keep-rate derived from corpus counts so
+    // the sample hits a target distribution; HUGEINT products mirror the
+    // Spark side's decimal arithmetic (the triple product can pass int64).
+    "s4_mixture_sample" ->
+      s"""WITH s AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+         |w AS (SELECT source, n_src,
+         |             ${hex16("md5('w:' || source)")} % 9 + 1 AS weight FROM s),
+         |t AS (SELECT sum(n_src) AS n_total, sum(weight) AS w_total FROM w),
+         |b AS (SELECT doc_id, source,
+         |             ${hex16("md5('mix:' || CAST(doc_id AS VARCHAR))")} AS bucket
+         |      FROM documents)
+         |SELECT b.doc_id, b.source, b.bucket, w.n_src, w.weight
+         |FROM b JOIN w USING (source) CROSS JOIN t
+         |WHERE CAST(b.bucket AS HUGEINT) * n_src * w_total <
+         |      CAST(w.weight AS HUGEINT) * n_total * 65536""".stripMargin,
     // g1: corpus top-5 trigrams per language (multiset counts, rank ties
     // broken by gram text).
     "g1_ngram_topk" ->

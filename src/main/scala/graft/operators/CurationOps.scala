@@ -174,6 +174,36 @@ object CurationOps {
   def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame =
     bloomDecontaminate(table(spark, dir, "documents"))
 
+  /** S4 — data-mixture sampling (the Pile/Dolma mixing stage): unlike s1's
+    * FIXED per-stratum rates, the keep-rate here is computed FROM the corpus
+    * so the surviving sample approaches a target per-source distribution —
+    * expected kept(s) = min(n_s, N · w_s / Σw). The keep decision stays a
+    * deterministic pure predicate: bucket(doc) · n_s · Σw < w_s · N · 65536,
+    * evaluated in decimal so the triple product cannot overflow BIGINT at
+    * 100 TB row counts (65536 · 10^12 · Σw exceeds int64).
+    *
+    * Plan shape: one small per-source count agg (map-side partial, ~sources
+    * rows), its one-row totals, both broadcast — the corpus itself is never
+    * shuffled: scan → broadcast join → predicate, same as s1.
+    */
+  def mixtureSample(docs: DataFrame): DataFrame = {
+    def hex16of(c: Column): Column =
+      conv(substring(md5(c), 1, 4), 16, 10).cast("long")
+    val stats = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+      .withColumn("weight", hex16of(concat(lit("w:"), col("source"))) % 9 + 1)
+    val totals = stats.agg(sum("n_src").as("n_total"), sum("weight").as("w_total"))
+    val dec = (c: Column) => c.cast("decimal(20,0)")
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("bucket", hashBucket("mix:"))
+      .join(broadcast(stats), "source")
+      .crossJoin(broadcast(totals))
+      .filter(dec(col("bucket")) * dec(col("n_src")) * dec(col("w_total")) <
+        dec(col("weight")) * dec(col("n_total")) * dec(lit(65536)))
+      .select("doc_id", "source", "bucket", "n_src", "weight")
+  }
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame =
+    mixtureSample(table(spark, dir, "documents"))
+
   /** G2 — per-language token-length distribution profiling (the corpus-stats
     * pass every curation run starts with): doc count, total tokens, min/max,
     * and p50/p90 token quantiles per stratum.

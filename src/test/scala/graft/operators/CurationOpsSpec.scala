@@ -79,6 +79,28 @@ class CurationOpsSpec extends SparkSpec {
     p.unpersist()
   }
 
+  test("mixture sampling: deterministic subset; saturated sources keep everything") {
+    val m = CurationOps.mixtureSample(docs).cache()
+    val m2 = CurationOps.mixtureSample(docs)
+    assert(m.exceptAll(m2).count() === 0 && m2.exceptAll(m).count() === 0)
+    assert(m.join(docs.select("doc_id"), Seq("doc_id"), "left_anti").count() === 0)
+    // recompute the stats independently (a zero-kept source must still count)
+    val hex = (c: org.apache.spark.sql.Column) =>
+      conv(substring(md5(c), 1, 4), 16, 10).cast("long")
+    val st = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+      .withColumn("weight", hex(concat(lit("w:"), col("source"))) % 9 + 1)
+    val nTotal = docs.count()
+    val wTotal = st.agg(sum("weight")).head.getLong(0)
+    val j = st.join(m.groupBy("source").agg(count(lit(1)).as("kept")),
+      Seq("source"), "left").na.fill(0L, Seq("kept"))
+    // kept never exceeds availability; a source whose target allocation
+    // covers it (keep-rate >= 1: weight*N >= w_total*n_src) keeps every doc
+    assert(j.filter(col("kept") > col("n_src")).count() === 0)
+    assert(j.filter(col("weight") * nTotal >= lit(wTotal) * col("n_src") &&
+      col("kept") =!= col("n_src")).count() === 0)
+    m.unpersist()
+  }
+
   test("token quantiles: exact and approx agree on shape; bounds hold") {
     val e = CurationOps.tokenQuantiles(docs).cache()
     assert(e.count() === docs.select("lang").distinct().count())
