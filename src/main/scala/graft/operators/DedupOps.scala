@@ -21,10 +21,23 @@ object DedupOps {
 
   /** 3-word shingles of a pre-split word array (docs with < n words excluded
     * by the caller). `slice` is 1-based like DuckDB list slicing.
+    *
+    * Built from SHIFTED zips, not `transform(sequence, i -> slice(words, i,
+    * 3))`: a lambda body that indexes the captured array re-evaluates that
+    * array's (inlined) defining expression per element — O(n²) in document
+    * length, the same interpreted-lambda trap measured at 104s in d9. Here
+    * every lambda touches only its own zip variables, so the word array
+    * evaluates O(1) times per row and per-element work is constant.
     */
-  private[operators] def shingleExpr(words: Column): Column =
-    transform(sequence(lit(1), size(words) - (ShingleN - 1)),
-      i => concat_ws(" ", slice(words, i, lit(ShingleN))))
+  private[operators] def shingleExpr(words: Column): Column = {
+    val s1 = slice(words, lit(2), size(words))
+    val s2 = slice(words, lit(3), size(words))
+    val pairs = zip_with(words, s1, (a, b) => concat(a, lit(" "), b))
+    val tris = zip_with(pairs, s2, (p, c) => concat(p, lit(" "), c))
+    // zip_with pads the shorter side with null and concat propagates it, so
+    // the trailing partial windows are null — sliced off here
+    slice(tris, lit(1), size(words) - (ShingleN - 1))
+  }
 
   /** 3-shingle array of a raw text column, empty for sub-3-word docs —
     * the map-side building block shared by the batch and streaming
