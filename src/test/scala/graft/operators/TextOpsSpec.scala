@@ -37,6 +37,23 @@ class TextOpsSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("pii redact handles multiple and adjacent PII on adversarial fixtures") {
+    // the operator's regexes applied directly (the fixture path embeds one of
+    // each; this exercises density and adjacency)
+    val adv = spark.createDataFrame(Seq(
+      (1L, "a@b.co c@d.org,x 10.0.0.1/10.0.0.2 +1-555-0100;+44-20-7946-0958"),
+      (2L, "email:a.b+tag@sub.domain.co.uk."),
+      (3L, "no pii at all here"))).toDF("doc_id", "text")
+    val red = adv.select(col("doc_id"),
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        TextOps.EmailRe, "<EMAIL>"), TextOps.PhoneRe, "<PHONE>"),
+        TextOps.Ipv4Re, "<IP>").as("r")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(red(1L) === "<EMAIL> <EMAIL>,x <IP>/<IP> <PHONE>;<PHONE>")
+    assert(red(2L) === "email:<EMAIL>.")
+    assert(red(3L) === "no pii at all here")
+  }
+
   test("regex tokens agree with whitespace words on an all-letter corpus") {
     val r = TextOps.regexTokens(docs)
     val w = docs.select(col("doc_id"),

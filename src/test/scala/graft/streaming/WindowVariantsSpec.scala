@@ -114,6 +114,28 @@ class WindowVariantsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stratified hash sampling runs unchanged on a stream (pure predicate)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    // the batch operator applied verbatim to a streaming frame: broadcast
+    // rate join + per-row predicate are stateless, so no watermark needed
+    val out = graft.operators.CurationOps.hashSample(
+      input.toDF().toDF("doc_id", "source", "lang"))
+    val q = out.writeStream.format("memory").queryName("sample_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((0L to 99L).map(i => (i, "s", "en")): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sample_stream").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      val batch = graft.operators.CurationOps.hashSample(
+        (0L to 99L).map(i => (i, "s", "en")).toDF("doc_id", "source", "lang"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty && streamed.size < 100) // en rate = 50%
+    } finally q.stop()
+  }
+
   test("streaming exact dedup keeps the first occurrence per fingerprint") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, Long)]
