@@ -78,6 +78,7 @@ object SparkEntry {
     "g2_token_quantiles" -> ((s: SparkSession, d: String) => CurationOps.tokenQuantiles(s, d)),
     // LLM-data-pipeline: text analysis
     "c1_corpus_curation" -> ((s: SparkSession, d: String) => TextOps.curateCorpus(s, d)),
+    "c2_training_pipeline" -> ((s: SparkSession, d: String) => CurationOps.trainingPipeline(s, d)),
     "t1_lang_id" -> ((s: SparkSession, d: String) => TextOps.langId(s, d)),
     "t2_text_quality" -> ((s: SparkSession, d: String) => TextOps.textQuality(s, d)),
     "t3_token_count" -> ((s: SparkSession, d: String) => TextOps.tokenCount(s, d)),
@@ -655,6 +656,40 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, CAST(ceil(n_chars / 4.0) AS BIGINT) AS tokens,
          |                  md5('shard:' || CAST(doc_id AS VARCHAR)) AS hs
          |           FROM documents),
+         |s AS (SELECT doc_id, tokens, ${hex16("hs")} % 8 AS shard FROM t),
+         |o AS (SELECT doc_id, shard, tokens,
+         |             sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens
+         |               AS tok_offset
+         |      FROM s)
+         |SELECT doc_id, shard, tokens, CAST(tok_offset AS BIGINT) AS tok_offset,
+         |       CAST(tok_offset // 512 AS BIGINT) AS seq_idx,
+         |       CAST(tok_offset % 512 AS BIGINT) AS seq_offset
+         |FROM o""".stripMargin,
+    // c2: the composed training-data export — d1 keepers ∧ t5 clean ∧ t2
+    // quality, then s3 packing over the survivors.
+    "c2_training_pipeline" ->
+      s"""$shingleCte,
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+         |ov AS (SELECT sh.doc_id, count(*) AS overlap_ct
+         |       FROM sh JOIN bench USING (shingle) GROUP BY sh.doc_id),
+         |k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |q AS (SELECT doc_id FROM (
+         |        SELECT doc_id, n_chars,
+         |               len(string_split(text, ' ')) AS n_words,
+         |               len(list_filter(string_split(text, ' '),
+         |                   x -> x = 'the' OR x = 'a')) AS stop_ct
+         |        FROM documents)
+         |      WHERE (CASE WHEN n_words >= 20 THEN 1 ELSE 0 END +
+         |             CASE WHEN stop_ct > 0 THEN 1 ELSE 0 END +
+         |             CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) >= 2),
+         |surv AS (SELECT d.doc_id, d.n_chars FROM documents d
+         |         JOIN k ON d.doc_id = k.doc_id
+         |         JOIN q ON d.doc_id = q.doc_id
+         |         LEFT JOIN ov ON d.doc_id = ov.doc_id
+         |         WHERE coalesce(ov.overlap_ct, 0) = 0),
+         |t AS (SELECT doc_id, CAST(ceil(n_chars / 4.0) AS BIGINT) AS tokens,
+         |             md5('shard:' || CAST(doc_id AS VARCHAR)) AS hs FROM surv),
          |s AS (SELECT doc_id, tokens, ${hex16("hs")} % 8 AS shard FROM t),
          |o AS (SELECT doc_id, shard, tokens,
          |             sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id

@@ -204,6 +204,41 @@ object CurationOps {
   def mixtureSample(spark: SparkSession, dir: String): DataFrame =
     mixtureSample(table(spark, dir, "documents"))
 
+  /** C2 — the end-to-end TRAINING-DATA EXPORT pipeline, the capstone
+    * composition a 100 TB curation run actually executes: exact-dedup keeper
+    * selection (d1) ∧ benchmark decontamination (t5) ∧ quality filter (t2,
+    * score ≥ 2), then context-window sequence packing (s3) over the
+    * survivors. Every stage is this family's own operator, composed without
+    * materialization between stages.
+    *
+    * Plan shape end to end: keeper groupBy (content hash) + the broadcast
+    * bench-shingle overlap + a map-side quality projection + two doc_id
+    * semi-joins + the per-shard packing window — all shuffles keyed on
+    * high-cardinality columns (hash, doc_id, shard); the corpus text is
+    * scanned once per signal, never re-shuffled wholesale.
+    */
+  def trainingPipeline(docs: DataFrame): DataFrame = {
+    val keepers = docs.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val clean = decontaminate(docs).filter(col("is_clean")).select("doc_id")
+    val w = split(col("text"), " ")
+    val quality = docs.select(col("doc_id"),
+        size(w).cast("long").as("n_words"),
+        size(filter(w, x => x === "the" || x === "a")).cast("long").as("stop_ct"),
+        col("n_chars"))
+      .filter((when(col("n_words") >= 20, 1).otherwise(0) +
+        when(col("stop_ct") > 0, 1).otherwise(0) +
+        when(col("n_chars") >= 100, 1).otherwise(0)) >= 2)
+      .select("doc_id")
+    val survivors = docs.select("doc_id", "n_chars")
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(clean, Seq("doc_id"), "left_semi")
+      .join(quality, Seq("doc_id"), "left_semi")
+    packSequences(survivors)
+  }
+  def trainingPipeline(spark: SparkSession, dir: String): DataFrame =
+    trainingPipeline(table(spark, dir, "documents"))
+
   /** G2 — per-language token-length distribution profiling (the corpus-stats
     * pass every curation run starts with): doc count, total tokens, min/max,
     * and p50/p90 token quantiles per stratum.

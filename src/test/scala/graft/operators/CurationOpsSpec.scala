@@ -79,6 +79,22 @@ class CurationOpsSpec extends SparkSpec {
     p.unpersist()
   }
 
+  test("training pipeline composes its stages: every packed doc passes every filter") {
+    val out = CurationOps.trainingPipeline(docs).cache()
+    assert(out.count() > 0)
+    val keepers = DedupOps.dedupExact(docs).select(col("keeper_id").as("doc_id"))
+    assert(out.join(keepers, Seq("doc_id"), "left_anti").count() === 0)
+    val dirty = CurationOps.decontaminate(docs).filter(!col("is_clean")).select("doc_id")
+    assert(out.join(dirty, "doc_id").count() === 0)
+    val lowQ = TextOps.textQuality(docs).filter(col("quality_score") < 2).select("doc_id")
+    assert(out.join(lowQ, "doc_id").count() === 0)
+    // and the packing output keeps s3's dense-tiling invariant on the subset
+    val byShard = out.groupBy("shard").agg(sum("tokens").as("tot"),
+      max(col("tok_offset") + col("tokens")).as("end"))
+    assert(byShard.filter(col("tot") =!= col("end")).count() === 0)
+    out.unpersist()
+  }
+
   test("mixture sampling: deterministic subset; saturated sources keep everything") {
     val m = CurationOps.mixtureSample(docs).cache()
     val m2 = CurationOps.mixtureSample(docs)
