@@ -29,6 +29,7 @@ object SparkEntry {
     "p6_config_router" -> (RelationalOps.configRouter _),
     "p9_normalize_union" -> (RelationalOps.normalizeUnion _),
     "x1_tokenize" -> (tokenize _),
+    "x2_exact_distinct_udaf" -> (exactDistinctUdaf _),
     // §2.4 joins
     "j1_interval_join_order" -> (RelationalOps.intervalJoinOrder _),
     "j2_interval_join_payment" -> (RelationalOps.intervalJoinPayment _),
@@ -102,6 +103,21 @@ object SparkEntry {
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
       .withColumn("pos", col("pos").cast("long"))
       .filter(length(col("word")) > 0)
+  }
+
+  /** X2 — the typed `Aggregator` (ProductStatsAggregator's distinct-set
+    * family, UDAF row of SURVEY §2.9) exercised through the registered SQL
+    * surface: exact per-group distinct user counts over events, proven
+    * against the oracle's COUNT(DISTINCT). The merge-associative Set buffer
+    * is the same mechanism the streaming exact count-distinct uses.
+    */
+  private def exactDistinctUdaf(spark: SparkSession, dir: String): DataFrame = {
+    GraftExtensions.register(spark)
+    Tables.table(spark, dir, "events").createOrReplaceTempView("graft_events")
+    spark.sql(
+      """SELECT event_type, exact_count_distinct(user_id) AS uv,
+        |       count(*) AS ct
+        |FROM graft_events GROUP BY event_type""".stripMargin)
   }
 
   /** N5 — the native single-pass [[graft.functions.CosineSimF]] exercised
@@ -302,6 +318,10 @@ object SparkEntry {
          |SELECT user_id, session_no, count(*) AS event_ct,
          |       min(us) AS session_start_us, max(us) AS session_end_us
          |FROM s GROUP BY 1, 2""".stripMargin,
+    // x2: the typed distinct-set Aggregator through SQL vs COUNT(DISTINCT).
+    "x2_exact_distinct_udaf" ->
+      """SELECT event_type, count(DISTINCT user_id) AS uv, count(*) AS ct
+        |FROM events GROUP BY event_type""".stripMargin,
     // w3: native session_window vs the relational session derivation —
     // Spark's merged-window end = last event + gap, stated arithmetically.
     "w3_session_window" ->
