@@ -85,6 +85,7 @@ object SparkEntry {
     "t3_token_count" -> ((s: SparkSession, d: String) => TextOps.tokenCount(s, d)),
     "t4_fingerprint" -> ((s: SparkSession, d: String) => TextOps.fingerprint(s, d)),
     "t6_pii_redact" -> ((s: SparkSession, d: String) => TextOps.piiRedact(s, d)),
+    "t8_normalize" -> ((s: SparkSession, d: String) => TextOps.normalizeText(s, d)),
     "t7_repetition" -> ((s: SparkSession, d: String) => TextOps.repetitionStats(s, d)),
     "t9_regex_tokens" -> ((s: SparkSession, d: String) => TextOps.regexTokens(s, d)),
     // LLM-data-pipeline: multimodal (m1 = deterministic fake decoder with a
@@ -806,6 +807,20 @@ object SparkEntry {
          |       CAST(len(regexp_extract_all(no_phone, '$ip')) AS BIGINT) AS n_ips
          |FROM r2""".stripMargin
     },
+    // t8: normalization — the same deterministic noise is synthesized, then
+    // lower / strip-to-space / collapse / trim; 'g' replaces all matches.
+    "t8_normalize" ->
+      """WITH p AS (SELECT doc_id,
+        |       upper(substr(text, 1, 30)) || '  ,;' || substr(text, 31, 40) ||
+        |       '!? ' || 'Doc#' || CAST(doc_id AS VARCHAR) AS noisy
+        |     FROM documents),
+        |n AS (SELECT doc_id,
+        |             trim(regexp_replace(regexp_replace(lower(noisy),
+        |                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS normalized
+        |      FROM p)
+        |SELECT doc_id, normalized,
+        |       CAST(length(normalized) AS BIGINT) AS n_chars_norm
+        |FROM n""".stripMargin,
     // t7: repetition scoring — the oracle counts token multiplicities the
     // relational way (unnest + group); Spark computes the same max
     // multiplicity as a map-side fold over the sorted word array.

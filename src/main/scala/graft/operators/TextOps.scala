@@ -191,6 +191,27 @@ object TextOps {
   def repetitionStats(spark: SparkSession, dir: String): DataFrame =
     repetitionStats(table(spark, dir, "documents"))
 
+  /** T8 — text normalization (the pre-dedup canonicalization stage: Dolma/
+    * CCNet-style): lowercase, strip non-alphanumerics to spaces, collapse
+    * whitespace runs, trim. The corpus text is already canonical, so the
+    * fixture first derives a deterministically-noisy variant (case flips,
+    * punctuation, doubled spacing) from each doc — the oracle synthesizes
+    * the same noise, so the hash match proves the normalization chain.
+    * One shuffle-free codegen'd projection, like t6.
+    */
+  def normalizeText(d: DataFrame): DataFrame = {
+    val noisy = concat(
+      upper(substring(col("text"), 1, 30)), lit("  ,;"),
+      substring(col("text"), 31, 40), lit("!? "),
+      lit("Doc#"), col("doc_id").cast("string"))
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(noisy), "[^a-z0-9 ]", " "), " +", " "))
+    d.select(col("doc_id"), norm.as("normalized"),
+      length(norm).cast("long").as("n_chars_norm"))
+  }
+  def normalizeText(spark: SparkSession, dir: String): DataFrame =
+    normalizeText(table(spark, dir, "documents"))
+
   /** Token classes for [[regexTokens]] — alternation of letter runs, digit
     * runs, and non-alphanumeric runs, the shape of published BPE pre-tokenize
     * patterns (GPT-2's splitter without the Unicode classes RE2 oracles

@@ -54,6 +54,19 @@ class TextOpsSpec extends SparkSpec {
     assert(red(3L) === "no pii at all here")
   }
 
+  test("normalization emits canonical text: charset, spacing, trim invariants") {
+    val n = TextOps.normalizeText(docs).cache()
+    assert(n.count() === docs.count())
+    assert(n.filter(regexp_count(col("normalized"), lit("[^a-z0-9 ]")) > 0)
+      .count() === 0, "only lowercase alphanumerics and single spaces")
+    assert(n.filter(col("normalized").contains("  ")).count() === 0)
+    assert(n.filter(col("normalized").startsWith(" ") ||
+      col("normalized").endsWith(" ")).count() === 0)
+    // the synthesized noise is actually removed: doc marker survives as text
+    assert(n.filter(!col("normalized").contains("doc ")).count() === 0)
+    n.unpersist()
+  }
+
   test("regex tokens agree with whitespace words on an all-letter corpus") {
     val r = TextOps.regexTokens(docs)
     val w = docs.select(col("doc_id"),
