@@ -79,6 +79,26 @@ class CurationOpsSpec extends SparkSpec {
     p.unpersist()
   }
 
+  test("packing offsets chain exactly on random corpora (property)") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 50 + rnd.nextInt(200)
+      val rows = (0 until n).map { i =>
+        (rnd.nextLong(1000000).abs, "w " * (1 + rnd.nextInt(40)), (1 + rnd.nextInt(400)).toLong)
+      }.distinct
+      val df = spark.createDataFrame(rows).toDF("doc_id", "text", "n_chars")
+        .dropDuplicates("doc_id")
+      val p = CurationOps.packSequences(df)
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+      val chained = p
+        .withColumn("prev_end", lag(col("tok_offset") + col("tokens"), 1).over(w))
+        .filter(col("prev_end").isNotNull && col("tok_offset") =!= col("prev_end"))
+      assert(chained.count() === 0, "every offset must equal the previous doc's end")
+      assert(p.count() === df.count())
+    }
+  }
+
   test("training pipeline composes its stages: every packed doc passes every filter") {
     val out = CurationOps.trainingPipeline(docs).cache()
     assert(out.count() > 0)
