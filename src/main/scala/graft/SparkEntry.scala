@@ -75,6 +75,7 @@ object SparkEntry {
     "s2_train_shuffle" -> ((s: SparkSession, d: String) => CurationOps.trainShuffle(s, d)),
     "s3_seq_pack" -> ((s: SparkSession, d: String) => CurationOps.packSequences(s, d)),
     "s4_mixture_sample" -> ((s: SparkSession, d: String) => CurationOps.mixtureSample(s, d)),
+    "s5_doc_chunk" -> ((s: SparkSession, d: String) => CurationOps.chunkDocuments(s, d)),
     "g1_ngram_topk" -> ((s: SparkSession, d: String) => CurationOps.ngramTopK(s, d)),
     "g2_token_quantiles" -> ((s: SparkSession, d: String) => CurationOps.tokenQuantiles(s, d)),
     // LLM-data-pipeline: text analysis
@@ -687,6 +688,22 @@ object SparkEntry {
          |       CAST(tok_offset // 512 AS BIGINT) AS seq_idx,
          |       CAST(tok_offset % 512 AS BIGINT) AS seq_offset
          |FROM o""".stripMargin,
+    // s5: overlapping token-window chunking — 128-token chunks, stride 96;
+    // chunk count by integer ceil, bounds clamped to the doc's tokens.
+    "s5_doc_chunk" ->
+      """WITH t AS (SELECT doc_id, CAST(ceil(n_chars / 4.0) AS BIGINT) AS tokens
+        |           FROM documents),
+        |n AS (SELECT doc_id, tokens,
+        |             CASE WHEN tokens <= 128 THEN 1
+        |                  ELSE (tokens - 128 + 95) // 96 + 1 END AS n_chunks
+        |      FROM t),
+        |c AS (SELECT doc_id, tokens,
+        |             unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+        |      FROM n)
+        |SELECT doc_id, tokens, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |       CAST(chunk_idx * 96 AS BIGINT) AS tok_start,
+        |       CAST(least(chunk_idx * 96 + 128, tokens) AS BIGINT) AS tok_end
+        |FROM c""".stripMargin,
     // c2: the composed training-data export — d1 keepers ∧ t5 clean ∧ t2
     // quality, then s3 packing over the survivors.
     "c2_training_pipeline" ->

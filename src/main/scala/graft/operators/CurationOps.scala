@@ -139,6 +139,31 @@ object CurationOps {
   def packSequences(spark: SparkSession, dir: String): DataFrame =
     packSequences(table(spark, dir, "documents"))
 
+  /** S5 — document chunking: split each doc's token span into fixed-length
+    * overlapping windows (the RAG-embedding / long-document training layout,
+    * complementing s3 which packs WHOLE docs into sequences). Chunk count and
+    * bounds are all-integer arithmetic — ceil((tokens-chunk)/stride)+1 via
+    * integer division — so placement is engine-exact.
+    *
+    * Scale notes: one map-side explode with per-doc fan-out
+    * ceil(tokens/stride) — no shuffle at all; at 100 TB the output is
+    * bounded by total-tokens/stride rows, each carrying only (doc_id,
+    * chunk_idx, bounds).
+    */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 128, overlap: Int = 32): DataFrame = {
+    val stride = chunkTokens - overlap
+    docs.select(col("doc_id"), ceil(col("n_chars") / 4.0).cast("long").as("tokens"))
+      .withColumn("n_chunks",
+        when(col("tokens") <= chunkTokens, 1L)
+          .otherwise(expr(s"(tokens - $chunkTokens + $stride - 1) DIV $stride") + 1))
+      .select(col("doc_id"), col("tokens"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .withColumn("tok_start", col("chunk_idx") * stride)
+      .withColumn("tok_end", least(col("tok_start") + chunkTokens, col("tokens")))
+  }
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame =
+    chunkDocuments(table(spark, dir, "documents"))
+
   /** B1 — bloom-prefiltered decontamination: semantically identical to
     * [[decontaminate]] (the exact join still decides), but the corpus shingle
     * stream is first cut down MAP-SIDE by an engine-native bloom filter of

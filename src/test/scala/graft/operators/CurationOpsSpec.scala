@@ -79,6 +79,24 @@ class CurationOpsSpec extends SparkSpec {
     p.unpersist()
   }
 
+  test("chunking covers every doc's token span with overlapping windows") {
+    val c = CurationOps.chunkDocuments(docs).cache()
+    val perDoc = c.groupBy("doc_id").agg(
+      min("tok_start").as("first"), max("tok_end").as("last"),
+      first("tokens").as("tokens"), count(lit(1)).as("n"))
+    // full coverage: first chunk at 0, last chunk ends exactly at tokens
+    assert(perDoc.filter(col("first") =!= 0 || col("last") =!= col("tokens"))
+      .count() === 0)
+    // no gaps: each next start (idx*stride) begins before the previous end
+    val gaps = c.filter(col("chunk_idx") > 0 &&
+      col("tok_start") > (col("chunk_idx") - 1) * 96 + 128)
+    assert(gaps.count() === 0)
+    // bounds sane and chunk length capped
+    assert(c.filter(col("tok_end") <= col("tok_start") ||
+      col("tok_end") - col("tok_start") > 128).count() === 0)
+    c.unpersist()
+  }
+
   test("packing offsets chain exactly on random corpora (property)") {
     import org.apache.spark.sql.expressions.Window
     val rnd = new scala.util.Random(7)
