@@ -114,6 +114,31 @@ class WindowVariantsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateless text/curation operators run unchanged on streams, batch-identical") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{CurationOps, TextOps}
+    val rows = (0L to 49L).map(i => (i, s"alpha beta gamma delta epsilon word$i text", 40L))
+    val ops: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
+      ("pii", TextOps.piiRedact _),
+      ("norm", TextOps.normalizeText _),
+      ("rep", TextOps.repetitionStats _),
+      ("chunk", CurationOps.chunkDocuments(_: org.apache.spark.sql.DataFrame)))
+    for ((name, op) <- ops) {
+      val input = MemoryStream[(Long, String, Long)]
+      val q = op(input.toDF().toDF("doc_id", "text", "n_chars"))
+        .writeStream.format("memory").queryName(s"op_$name").outputMode("append").start()
+      try {
+        input.addData(rows: _*)
+        q.processAllAvailable()
+        val streamed = spark.table(s"op_$name").collect().map(_.toString).sorted.toSeq
+        val batch = op(rows.toDF("doc_id", "text", "n_chars"))
+          .collect().map(_.toString).sorted.toSeq
+        assert(streamed === batch, s"operator $name diverged between stream and batch")
+        assert(streamed.nonEmpty)
+      } finally q.stop()
+    }
+  }
+
   test("stratified hash sampling runs unchanged on a stream (pure predicate)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, String)]
