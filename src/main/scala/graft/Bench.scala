@@ -20,7 +20,13 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // isolation between queries (outside the timed span): operators that
+      // .cache() intermediate tables (d3/d5/d7/d8) would otherwise keep
+      // their blocks pinned across the remaining queries, and the resulting
+      // memory pressure moves later queries' numbers ±3× run to run
+      spark.catalog.clearCache()
+      name -> sec
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -33,6 +39,10 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // marker-prefixed copy FIRST so a tail-scrape truncated mid-stream still
+    // has one complete grep-able line; the bare line stays last for the
+    // legacy scrape path
+    println(s"GRAFT_BENCH_JSON:$json")
     spark.stop()
     println(json)
   }

@@ -77,7 +77,9 @@ object SparkEntry {
     "s4_mixture_sample" -> ((s: SparkSession, d: String) => CurationOps.mixtureSample(s, d)),
     "s5_doc_chunk" -> ((s: SparkSession, d: String) => CurationOps.chunkDocuments(s, d)),
     "g1_ngram_topk" -> ((s: SparkSession, d: String) => CurationOps.ngramTopK(s, d)),
-    "g2_token_quantiles" -> ((s: SparkSession, d: String) => CurationOps.tokenQuantiles(s, d)),
+    // exact=true opts into the reducer-buffered exact percentile the DuckDB
+    // oracle states; the operator's 100 TB default is the t-digest path
+    "g2_token_quantiles" -> ((s: SparkSession, d: String) => CurationOps.tokenQuantiles(s, d, exact = true)),
     // LLM-data-pipeline: text analysis
     "c1_corpus_curation" -> ((s: SparkSession, d: String) => TextOps.curateCorpus(s, d)),
     "c2_training_pipeline" -> ((s: SparkSession, d: String) => CurationOps.trainingPipeline(s, d)),
@@ -115,11 +117,15 @@ object SparkEntry {
     */
   private def exactDistinctUdaf(spark: SparkSession, dir: String): DataFrame = {
     GraftExtensions.register(spark)
-    Tables.table(spark, dir, "events").createOrReplaceTempView("graft_events")
-    spark.sql(
-      """SELECT event_type, exact_count_distinct(user_id) AS uv,
-        |       count(*) AS ct
-        |FROM graft_events GROUP BY event_type""".stripMargin)
+    // per-call unique view name (concurrent calls must not stomp each other);
+    // spark.sql analyzes eagerly, so the view drops on exit
+    val view = s"graft_events_${java.util.UUID.randomUUID().toString.replace("-", "").take(8)}"
+    Tables.table(spark, dir, "events").createOrReplaceTempView(view)
+    try spark.sql(
+      s"""SELECT event_type, exact_count_distinct(user_id) AS uv,
+         |       count(*) AS ct
+         |FROM $view GROUP BY event_type""".stripMargin)
+    finally spark.catalog.dropTempView(view)
   }
 
   /** N5 — the native single-pass [[graft.functions.CosineSimF]] exercised
@@ -127,11 +133,13 @@ object SparkEntry {
     */
   private def cosineSimFn(spark: SparkSession, dir: String): DataFrame = {
     GraftExtensions.register(spark)
-    Tables.table(spark, dir, "embeddings").createOrReplaceTempView("graft_emb")
-    spark.sql(
-      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |       floor(cosine_sim(a.embedding, b.embedding) * 1e4 + 0.5) / 1e4 AS sim
-        |FROM graft_emb a JOIN graft_emb b ON b.vec_id = a.vec_id + 1""".stripMargin)
+    val view = s"graft_emb_${java.util.UUID.randomUUID().toString.replace("-", "").take(8)}"
+    Tables.table(spark, dir, "embeddings").createOrReplaceTempView(view)
+    try spark.sql(
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       floor(cosine_sim(a.embedding, b.embedding) * 1e4 + 0.5) / 1e4 AS sim
+         |FROM $view a JOIN $view b ON b.vec_id = a.vec_id + 1""".stripMargin)
+    finally spark.catalog.dropTempView(view)
   }
 
   // ---- DuckDB oracle SQL -------------------------------------------------
@@ -328,7 +336,7 @@ object SparkEntry {
     // Spark's merged-window end = last event + gap, stated arithmetically.
     "w3_session_window" ->
       s"""WITH e AS (SELECT event_id, user_id, epoch_us($EV) AS us FROM events),
-         |m AS (SELECT user_id, us,
+         |m AS (SELECT event_id, user_id, us,
          |             lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
          |      FROM e),
          |s AS (SELECT user_id, us,
@@ -336,7 +344,7 @@ object SparkEntry {
          |             -- STRICT overlap, so a gap of exactly 30 min splits
          |             CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
          |                           THEN 1 ELSE 0 END)
-         |                  OVER (PARTITION BY user_id ORDER BY us
+         |                  OVER (PARTITION BY user_id ORDER BY us, event_id
          |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |               AS session_no
          |      FROM m)
@@ -704,14 +712,34 @@ object SparkEntry {
         |       CAST(chunk_idx * 96 AS BIGINT) AS tok_start,
         |       CAST(least(chunk_idx * 96 + 128, tokens) AS BIGINT) AS tok_end
         |FROM c""".stripMargin,
-    // c2: the composed training-data export — d1 keepers ∧ t5 clean ∧ t2
-    // quality, then s3 packing over the survivors.
+    // c2: the composed training-data export — d1 keepers ∧ d3 near-dup
+    // removal (LSH pairs, jaccard >= 0.7 drops the higher id) ∧ t5 clean ∧
+    // t2 quality, then s3 packing over the survivors.
     "c2_training_pipeline" ->
       s"""$shingleCte,
          |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
          |ov AS (SELECT sh.doc_id, count(*) AS overlap_ct
          |       FROM sh JOIN bench USING (shingle) GROUP BY sh.doc_id),
          |k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |sig AS (SELECT doc_id, $minhashSelect FROM sh GROUP BY doc_id),
+         |bands AS (SELECT doc_id, 0 AS band, mh0 || mh1 AS bkey FROM sig
+         |          UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM sig
+         |          UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM sig
+         |          UNION ALL SELECT doc_id, 3, mh6 || mh7 FROM sig),
+         |ndcand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |           FROM bands x JOIN bands y
+         |             ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |ndcnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |ndinter AS (SELECT c.a, c.b, count(*) AS inter_ct
+         |            FROM ndcand c
+         |            JOIN sh sa ON sa.doc_id = c.a
+         |            JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+         |            GROUP BY c.a, c.b),
+         |ndl AS (SELECT DISTINCT i.b AS doc_id
+         |        FROM ndinter i JOIN ndcnt ca ON ca.doc_id = i.a
+         |                       JOIN ndcnt cb ON cb.doc_id = i.b
+         |        WHERE floor(i.inter_ct * 10000.0 / (ca.n + cb.n - i.inter_ct) + 0.5)
+         |              / 10000.0 >= 0.7),
          |q AS (SELECT doc_id FROM (
          |        SELECT doc_id, n_chars,
          |               len(string_split(text, ' ')) AS n_words,
@@ -724,8 +752,9 @@ object SparkEntry {
          |surv AS (SELECT d.doc_id, d.n_chars FROM documents d
          |         JOIN k ON d.doc_id = k.doc_id
          |         JOIN q ON d.doc_id = q.doc_id
+         |         LEFT JOIN ndl ON d.doc_id = ndl.doc_id
          |         LEFT JOIN ov ON d.doc_id = ov.doc_id
-         |         WHERE coalesce(ov.overlap_ct, 0) = 0),
+         |         WHERE coalesce(ov.overlap_ct, 0) = 0 AND ndl.doc_id IS NULL),
          |t AS (SELECT doc_id, CAST(ceil(n_chars / 4.0) AS BIGINT) AS tokens,
          |             md5('shard:' || CAST(doc_id AS VARCHAR)) AS hs FROM surv),
          |s AS (SELECT doc_id, tokens, ${hex16("hs")} % 8 AS shard FROM t),

@@ -102,8 +102,14 @@ object CurationOps {
     * high-cardinality (lang, gram) with map-side partial aggregation.
     */
   def ngramTopK(docs: DataFrame, k: Int = 5): DataFrame = {
-    val grams = docs.withColumn("words", split(col("text"), " "))
-      .filter(size(col("words")) >= 3)
+    // spread FIRST: a compacted corpus arriving as one parquet split would
+    // otherwise run the explode + map-side partial count on a single core
+    // (same hazard d9 fixes at DedupOps.winnowFingerprints — the shuffle
+    // moves only the narrow pre-explode rows)
+    val grams = graft.Tables.spread(docs
+        .withColumn("words", split(col("text"), " "))
+        .filter(size(col("words")) >= 3)
+        .select(col("lang"), col("words")))
       .select(col("lang"), explode(DedupOps.shingleExpr(col("words"))).as("gram"))
     val fin = Window.partitionBy("lang").orderBy(col("ct").desc, col("gram"))
     grams.groupBy("lang", "gram").agg(count(lit(1)).as("ct"))
@@ -182,19 +188,29 @@ object CurationOps {
   def bloomDecontaminate(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     graft.GraftExtensions.register(spark)
-    DedupOps.shingles(docs).createOrReplaceTempView("graft_sh")
-    docs.select("doc_id").createOrReplaceTempView("graft_docs")
-    spark.sql(
-      """WITH bench AS (SELECT DISTINCT shingle FROM graft_sh WHERE doc_id % 97 = 0),
-        |bf AS (SELECT bloom_filter_agg(xxhash64(shingle), 100000L, 800000L) AS bf
-        |       FROM bench),
-        |cand AS (SELECT doc_id, shingle FROM graft_sh
-        |         WHERE bloom_might_contain((SELECT bf FROM bf), xxhash64(shingle))),
-        |ov AS (SELECT c.doc_id, count(*) AS overlap_ct
-        |       FROM cand c JOIN bench USING (shingle) GROUP BY c.doc_id)
-        |SELECT d.doc_id, coalesce(ov.overlap_ct, 0L) AS overlap_ct,
-        |       coalesce(ov.overlap_ct, 0L) = 0L AS is_clean
-        |FROM graft_docs d LEFT JOIN ov ON d.doc_id = ov.doc_id""".stripMargin)
+    // per-call unique view names: a fixed session-global name would let
+    // concurrent/interleaved calls on one session stomp each other's views.
+    // spark.sql analyzes eagerly, so the views can be dropped on exit.
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val shView = s"graft_sh_$tag"
+    val docsView = s"graft_docs_$tag"
+    DedupOps.shingles(docs).createOrReplaceTempView(shView)
+    docs.select("doc_id").createOrReplaceTempView(docsView)
+    try spark.sql(
+      s"""WITH bench AS (SELECT DISTINCT shingle FROM $shView WHERE doc_id % 97 = 0),
+         |bf AS (SELECT bloom_filter_agg(xxhash64(shingle), 100000L, 800000L) AS bf
+         |       FROM bench),
+         |cand AS (SELECT doc_id, shingle FROM $shView
+         |         WHERE bloom_might_contain((SELECT bf FROM bf), xxhash64(shingle))),
+         |ov AS (SELECT c.doc_id, count(*) AS overlap_ct
+         |       FROM cand c JOIN bench USING (shingle) GROUP BY c.doc_id)
+         |SELECT d.doc_id, coalesce(ov.overlap_ct, 0L) AS overlap_ct,
+         |       coalesce(ov.overlap_ct, 0L) = 0L AS is_clean
+         |FROM $docsView d LEFT JOIN ov ON d.doc_id = ov.doc_id""".stripMargin)
+    finally {
+      spark.catalog.dropTempView(shView)
+      spark.catalog.dropTempView(docsView)
+    }
   }
   def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame =
     bloomDecontaminate(table(spark, dir, "documents"))
@@ -231,20 +247,31 @@ object CurationOps {
 
   /** C2 — the end-to-end TRAINING-DATA EXPORT pipeline, the capstone
     * composition a 100 TB curation run actually executes: exact-dedup keeper
-    * selection (d1) ∧ benchmark decontamination (t5) ∧ quality filter (t2,
+    * selection (d1) ∧ NEAR-dup removal (d3's LSH pairs at `ndThreshold`
+    * Jaccard, greedy keep-lowest-id — real exports dedup first, that is the
+    * point of d1-d9) ∧ benchmark decontamination (t5) ∧ quality filter (t2,
     * score ≥ 2), then context-window sequence packing (s3) over the
     * survivors. Every stage is this family's own operator, composed without
     * materialization between stages.
     *
-    * Plan shape end to end: keeper groupBy (content hash) + the broadcast
-    * bench-shingle overlap + a map-side quality projection + two doc_id
-    * semi-joins + the per-shard packing window — all shuffles keyed on
-    * high-cardinality columns (hash, doc_id, shard); the corpus text is
-    * scanned once per signal, never re-shuffled wholesale.
+    * Plan shape end to end: keeper groupBy (content hash) + the MinHash
+    * band self-join and candidate-bounded Jaccard verify (one (band, key)
+    * shuffle — never n², see [[DedupOps.minhashLshPairs]]) + the broadcast
+    * bench-shingle overlap + a map-side quality projection + one anti-join
+    * and three doc_id semi-joins + the per-shard packing window — all
+    * shuffles keyed on high-cardinality columns (hash, band-key, doc_id,
+    * shard); the corpus text is scanned once per signal, never re-shuffled
+    * wholesale.
     */
-  def trainingPipeline(docs: DataFrame): DataFrame = {
+  def trainingPipeline(docs: DataFrame, ndThreshold: Double = 0.7): DataFrame = {
     val keepers = docs.groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    // near-dup losers: every doc ≥ ndThreshold Jaccard-similar to a LOWER-id
+    // doc (the same greedy keep-first policy as DedupOps.dropNearDuplicates);
+    // the quantized jaccard compares bit-identically across engines
+    val ndLosers = DedupOps.minhashLshPairs(docs)
+      .filter(col("jaccard") >= ndThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
     val clean = decontaminate(docs).filter(col("is_clean")).select("doc_id")
     val w = split(col("text"), " ")
     val quality = docs.select(col("doc_id"),
@@ -257,6 +284,7 @@ object CurationOps {
       .select("doc_id")
     val survivors = docs.select("doc_id", "n_chars")
       .join(keepers, Seq("doc_id"), "left_semi")
+      .join(ndLosers, Seq("doc_id"), "left_anti")
       .join(clean, Seq("doc_id"), "left_semi")
       .join(quality, Seq("doc_id"), "left_semi")
     packSequences(survivors)
@@ -268,16 +296,16 @@ object CurationOps {
     * pass every curation run starts with): doc count, total tokens, min/max,
     * and p50/p90 token quantiles per stratum.
     *
-    * Scale notes: `exact = true` uses Spark's exact `percentile`, which
-    * buffers each group's values on its reducer — fine for bounded strata
-    * like languages at test SFs and REQUIRED for the bit-exact oracle, but
-    * the buffer grows with corpus size. At 100 TB flip `exact = false`:
-    * `approx_percentile` (t-digest) is mergeable map-side partial state with
-    * bounded error and constant memory — the same agg plan shape, no extra
-    * shuffle either way (quantization aside, both plans are one partial+final
-    * hash agg keyed on lang).
+    * Scale notes: the DEFAULT is `exact = false` — `approx_percentile`
+    * (t-digest) is mergeable map-side partial state with bounded error and
+    * constant memory, the only shape that survives unbounded strata at
+    * 100 TB. `exact = true` uses Spark's exact `percentile`, which buffers
+    * each group's values on its reducer — opt into it for bounded strata
+    * (it is what the bit-exact DuckDB oracle states, so the g2 oracle entry
+    * passes it explicitly). Same agg plan shape either way: one
+    * partial+final hash agg keyed on lang, no extra shuffle.
     */
-  def tokenQuantiles(docs: DataFrame, exact: Boolean = true): DataFrame = {
+  def tokenQuantiles(docs: DataFrame, exact: Boolean = false): DataFrame = {
     def q(p: Double, name: String): Column = {
       val fn = if (exact) "percentile" else "approx_percentile"
       floor(expr(s"$fn(tokens, $p)") * 10000.0 + 0.5) / 10000.0
@@ -290,4 +318,6 @@ object CurationOps {
   }
   def tokenQuantiles(spark: SparkSession, dir: String): DataFrame =
     tokenQuantiles(table(spark, dir, "documents"))
+  def tokenQuantiles(spark: SparkSession, dir: String, exact: Boolean): DataFrame =
+    tokenQuantiles(table(spark, dir, "documents"), exact)
 }

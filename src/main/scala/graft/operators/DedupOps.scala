@@ -257,6 +257,14 @@ object DedupOps {
   private val SimhashBits = 16
   private val SimhashBands = 4
 
+  /** Corpus-size ceiling for the 16-bit demo fingerprint (see [[simhashPairs]]):
+    * above ~10k docs a 2¹⁶-point fingerprint space is saturated enough that
+    * hamming ≤ 3 matches stop meaning "near-duplicate" and the pair set
+    * trends quadratic. The guard probe is `limit(max+1).count()`, so it costs
+    * O(maxDocs) rows even on a 100 TB input — never a full scan.
+    */
+  private val DemoWidthMaxDocs = 10000
+
   /** D7 — SimHash near-dup pairs: band the 16-bit fingerprint into 4 bands
     * of 4 bits; any pair with hamming distance <= 3 shares at least one
     * identical band (pigeonhole over 4 bands), so the band-bucket self-join
@@ -265,13 +273,24 @@ object DedupOps {
     * bit string (16 codegen'd char compares — portable to the SQL oracle,
     * no engine-specific popcount).
     *
-    * 16 bits is the demo width: 4-bit band keys give only 2⁴ buckets per
-    * band, so bucket population (and with it candidate count) grows with
-    * corpus size. [[simhash64Pairs]] is the same operator at the production
-    * width — use it beyond toy scale.
+    * 16 bits is the DEMO width and this operator is gated to demo-size
+    * corpora (`maxDocs`, default [[DemoWidthMaxDocs]]): 4-bit band keys give
+    * only 2⁴ buckets per band, so bucket population — and with it both the
+    * candidate count and the TRUE hamming ≤ 3 pair count — converges toward
+    * all-pairs as the corpus grows (500 docs already emit 17% of all
+    * possible pairs). Calls beyond the ceiling fail loudly instead of
+    * silently going quadratic; [[simhash64Pairs]] is the same operator at
+    * the production width (2¹⁶ buckets per band) — use it beyond toy scale.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      maxDocs: Int = DemoWidthMaxDocs): DataFrame = {
+    val probe = docs.select(col("doc_id")).limit(maxDocs + 1).count()
+    require(probe <= maxDocs,
+      s"simhashPairs is the 16-bit DEMO fingerprint, gated to <= $maxDocs docs " +
+        s"(corpus has more): its 4-bit band keys degenerate toward all-pairs at " +
+        s"scale — use simhash64Pairs (64-bit, 2^16 buckets per band) instead")
     bandedHammingPairs(simhash(docs), SimhashBits, SimhashBands, maxHamming)
+  }
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     simhashPairs(table(spark, dir, "documents"))
 
@@ -302,6 +321,12 @@ object DedupOps {
     */
   private def bandedHammingPairs(sh0: DataFrame, bits: Int, nBands: Int,
       maxHamming: Int): DataFrame = {
+    // pigeonhole completeness needs maxHamming differing bits to leave at
+    // least one band untouched; out-of-contract bounds would silently drop
+    // true pairs (no identical band), so fail loudly instead
+    require(maxHamming < nBands,
+      s"banded candidate generation is complete only for maxHamming < nBands " +
+        s"(pigeonhole): got maxHamming=$maxHamming, nBands=$nBands")
     val nWords = (bits + 31) / 32
     val packCols: Seq[Column] = (0 until nWords).map { i =>
       conv(substring(col("simhash"), 1 + 32 * i, math.min(32, bits - 32 * i)), 2, 10)

@@ -80,10 +80,13 @@ object MultimodalOps {
     */
   def mediaRecords(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
-    table(spark, dir, "documents")
-      .select(col("doc_id"),
-        concat(lit("image/fake-"), col("source")).as("mime"),
-        encode(col("text"), "UTF-8").as("content"))
+    // spread: same single-split hazard as imageRecords — every consumer of
+    // this table (decodeFeatures, sampleFrames) runs its codec inside
+    // mapPartitions, so the split count here caps decode parallelism
+    graft.Tables.spread(table(spark, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("image/fake-"), col("source")).as("mime"),
+          encode(col("text"), "UTF-8").as("content")))
       .as[MediaRecord]
   }
 
@@ -124,7 +127,13 @@ object MultimodalOps {
     */
   def imageRecords(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
-    table(spark, dir, "documents").select(col("doc_id")).as[Long]
+    // spread FIRST: a compacted documents table arrives as ONE parquet split,
+    // which would serialize PNG encode (here) and decode (decodeImages'
+    // mapPartitions downstream) onto a single core — the operator's contract
+    // is decoder init amortized per partition, which presumes partitionS. The
+    // shuffle moves only the 8-byte ids.
+    graft.Tables.spread(table(spark, dir, "documents").select(col("doc_id")))
+      .as[Long]
       .mapPartitions(_.map(id => MediaRecord(id, "image/png",
         syntheticPng(id, 1 + (id % 64).toInt, 1 + (id % 48).toInt))))
   }

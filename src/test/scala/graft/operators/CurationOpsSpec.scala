@@ -156,14 +156,14 @@ class CurationOpsSpec extends SparkSpec {
   }
 
   test("token quantiles: exact and approx agree on shape; bounds hold") {
-    val e = CurationOps.tokenQuantiles(docs).cache()
+    val e = CurationOps.tokenQuantiles(docs, exact = true).cache()
     assert(e.count() === docs.select("lang").distinct().count())
     assert(e.filter(col("p50_tokens") > col("p90_tokens") ||
       col("p50_tokens") < col("min_tokens") ||
       col("p90_tokens") > col("max_tokens")).count() === 0)
-    // the 100 TB path (mergeable t-digest) returns the same schema and
+    // the DEFAULT is the 100 TB path (mergeable t-digest): same schema,
     // lands within the same [min, max] envelope
-    val a = CurationOps.tokenQuantiles(docs, exact = false)
+    val a = CurationOps.tokenQuantiles(docs)
     assert(a.schema === e.schema)
     assert(a.filter(col("p50_tokens") < col("min_tokens") ||
       col("p90_tokens") > col("max_tokens")).count() === 0)

@@ -116,6 +116,40 @@ class DedupPropertiesSpec extends SparkSpec {
     assert(banded === brute, s"banded=$banded brute=$brute")
   }
 
+  test("simhash64Pairs pair count stays sub-quadratic as the corpus doubles (D8 scale shape)") {
+    // k disjoint-vocabulary templates × 3 exact repeats each: true pairs are
+    // the C(3,2)=3 within-template pairs, so doubling the corpus by doubling
+    // k must ~double the pair count — a quadratic (all-pairs-ish) pairing
+    // would 4× it. Disjoint per-template vocab keeps cross-template 64-bit
+    // hamming far above 3, so the expectation is deterministic, not w.h.p.
+    def corpus(k: Int) = (0 until k).flatMap { t =>
+      val text = (0 until 10).map(w => s"w${t}x$w").mkString(" ")
+      Seq.fill(3)(text)
+    }.zipWithIndex.map { case (txt, i) => (i.toLong, txt) }.toDF("doc_id", "text")
+    val small = DedupOps.simhash64Pairs(corpus(12)).count()
+    val big = DedupOps.simhash64Pairs(corpus(24)).count()
+    assert(small === 36L) // 12 templates × 3 within-template pairs
+    assert(big === 72L, s"doubling docs must ~double pairs, got $small -> $big")
+  }
+
+  test("simhashPairs demo-width guard fails loudly past its corpus ceiling (D7)") {
+    val docs = (0 until 12).map(i => (i.toLong, s"doc number $i words here")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.simhashPairs(docs, maxHamming = 3, maxDocs = 10)
+    }
+    assert(e.getMessage.contains("simhash64Pairs"), "guard must point at the production width")
+    // at or under the ceiling the demo width still works
+    assert(DedupOps.simhashPairs(docs, maxHamming = 3, maxDocs = 12).columns.nonEmpty)
+  }
+
+  test("banded pairing rejects maxHamming >= nBands (pigeonhole contract)") {
+    val docs = Seq((0L, "a b c d"), (1L, "a b c e")).toDF("doc_id", "text")
+    val e7 = intercept[IllegalArgumentException](DedupOps.simhashPairs(docs, maxHamming = 4))
+    assert(e7.getMessage.contains("pigeonhole"))
+    val e8 = intercept[IllegalArgumentException](DedupOps.simhash64Pairs(docs, maxHamming = 4))
+    assert(e8.getMessage.contains("pigeonhole"))
+  }
+
   test("winnowing guarantee: docs sharing a 6+-word run share a fingerprint (D9)") {
     // winnow window w=4 over 3-shingles: any shared run of >= w + n - 1 = 6
     // consecutive words must yield at least one common selected fingerprint
