@@ -70,17 +70,40 @@ object GraftExtensions {
     case children => wrongArgs("minhash_sig", 1, children.length)
   }
 
+  /** Evaluate a builder parameter that must be an integer literal. A 2-arg
+    * call with a non-foldable or non-integral argument gets a TARGETED
+    * analysis error here — falling through to WRONG_NUM_ARGS would report
+    * "actual=2, expected=2", and a bare asInstanceOf would surface as a
+    * ClassCastException with no SQL context.
+    */
+  private def intLiteralArg(fn: String, param: String, e: Expression): Int = {
+    if (!e.foldable)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "NON_FOLDABLE_ARGUMENT",
+        messageParameters = Map(
+          "funcName" -> s"`$fn`", "paramName" -> s"`$param`",
+          "paramType" -> "\"INT\""))
+    e.eval() match {
+      case n: Number => n.intValue()
+      case _ =>
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE",
+          messageParameters = Map(
+            "sqlExpr" -> s"\"$fn\"", "paramIndex" -> "second",
+            "requiredType" -> "\"INT\"", "inputSql" -> s"\"${e.sql}\"",
+            "inputType" -> s"\"${e.dataType.sql}\""))
+    }
+  }
+
   /** `simhash_bits(words, bits)` — bits must be a foldable integer literal. */
   private[graft] val simhashBuilder: Seq[Expression] => Expression = {
-    case Seq(a, b) if b.foldable =>
-      SimHashBitsExpr(a, b.eval().asInstanceOf[Number].intValue())
+    case Seq(a, b) => SimHashBitsExpr(a, intLiteralArg("simhash_bits", "bits", b))
     case children => wrongArgs("simhash_bits", 2, children.length)
   }
 
   /** `srp_sig(embedding, nPlanes)` — nPlanes must be a foldable literal. */
   private[graft] val srpBuilder: Seq[Expression] => Expression = {
-    case Seq(a, b) if b.foldable =>
-      SrpSigExpr(a, b.eval().asInstanceOf[Number].intValue())
+    case Seq(a, b) => SrpSigExpr(a, intLiteralArg("srp_sig", "nPlanes", b))
     case children => wrongArgs("srp_sig", 2, children.length)
   }
 

@@ -125,6 +125,14 @@ final case class FileBus(root: String) extends TopicBus {
   /** One partitioned write job fans rows out to `_staging/topic=<t>/`, then
     * driver-side moves promote each partition's files into its topic dir —
     * same one-job shape as the kafka dynamic producer, no per-topic pass.
+    *
+    * Partition dir names are PATH-ESCAPED by the writer (space → %20; null →
+    * the hive default-partition marker), so the promotion step unescapes
+    * before deriving the topic dir, then rejects anything outside Kafka's own
+    * legal topic alphabet `[A-Za-z0-9._-]` (which also excludes separators, so
+    * an unescaped value can never traverse outside the bus root) and null
+    * routing values — a silent mis-route would strand rows in a directory no
+    * `read()`/`tail()` of the raw topic name ever sees.
     */
   override def appendDynamic(df: DataFrame, topicCol: String): Unit = {
     val spark = df.sparkSession
@@ -134,9 +142,22 @@ final case class FileBus(root: String) extends TopicBus {
       .write.partitionBy("topic").mode(SaveMode.Overwrite).text(staging)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val catalogUtils = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val legalTopic = "[A-Za-z0-9._-]+".r
     try {
-      fs.listStatus(stagingPath).filter(_.isDirectory).foreach { d =>
-        val topic = d.getPath.getName.stripPrefix("topic=")
+      // validate every routed topic BEFORE promoting any, so a bad value
+      // leaves no partially-published batch behind
+      val routed = fs.listStatus(stagingPath).filter(_.isDirectory).map { d =>
+        val topic = catalogUtils.unescapePathName(d.getPath.getName.stripPrefix("topic="))
+        if (topic == catalogUtils.DEFAULT_PARTITION_NAME)
+          throw new IllegalArgumentException(
+            s"dynamic append: null value in routing column '$topicCol'")
+        if (!legalTopic.pattern.matcher(topic).matches())
+          throw new IllegalArgumentException(
+            s"dynamic append: illegal topic name '$topic' (allowed: [A-Za-z0-9._-])")
+        d -> topic
+      }
+      routed.foreach { case (d, topic) =>
         val dest = new org.apache.hadoop.fs.Path(dir(topic))
         if (!fs.exists(dest)) fs.mkdirs(dest)
         fs.listStatus(d.getPath).filter(_.isFile).foreach { f =>

@@ -31,6 +31,22 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(math.abs(rolled - 500L) <= 25L)
   }
 
+  test("simhash_bits/srp_sig raise targeted errors for bad literal parameters") {
+    GraftExtensions.register(spark)
+    spark.range(3).selectExpr("id", "array('a','b') AS words",
+      "array(CAST(1.0 AS FLOAT)) AS emb").createOrReplaceTempView("ge_bad_args")
+    // non-foldable second arg: must say "foldable", not a misleading
+    // WRONG_NUM_ARGS(actual=2, expected=2)
+    val nf = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT simhash_bits(words, CAST(id AS INT)) FROM ge_bad_args"))
+    assert(nf.getErrorClass === "NON_FOLDABLE_ARGUMENT", nf.getMessage)
+    // foldable but non-integral literal: analysis error, not ClassCastException
+    val ni = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT srp_sig(emb, 'sixteen') FROM ge_bad_args"))
+    assert(ni.getErrorClass === "DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE", ni.getMessage)
+    spark.catalog.dropTempView("ge_bad_args")
+  }
+
   test("ads catalog registration exposes stats tables to spark.sql (K6)") {
     import spark.implicits._
     val stats = Seq(("2024-01-01 00:00:00", 10.0), ("2024-01-01 10:00:00", 5.0))
