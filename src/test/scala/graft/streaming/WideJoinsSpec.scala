@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
 
 case class Oi(id: Long, user_id: Long, total_amount: Double, create_ts: Long)
 case class Od(id: Long, order_id: Long, sku_id: Long, order_price: Double, create_ts: Long)
+case class Pay(id: Long, order_id: Long, callback_ts: Long)
+case class Ow(order_id: Long, sku_id: Long, create_ts: Long)
 
 class WideJoinsSpec extends SparkSpec {
   import spark.implicits._
@@ -27,6 +29,33 @@ class WideJoinsSpec extends SparkSpec {
       q.processAllAvailable()
       val got = spark.table("order_wide").select("detail_id").as[Long].collect().toSet
       assert(got === Set(100L, 101L), s"got $got")
+    } finally q.stop()
+  }
+
+  test("paymentWide honors the asymmetric −15m/+5m bound EXACTLY at both edges (J2)") {
+    // the reference's PaymentWideApp.java:85-94 between(-15min, +5min) is
+    // CLOSED on both ends: an order exactly 15 min before (or 5 min after)
+    // the payment callback joins; one millisecond past either edge drops
+    implicit val sqlCtx = spark.sqlContext
+    val t = 3600000L // payment callback at 01:00:00
+    val pay = MemoryStream[Pay]
+    val ow = MemoryStream[Ow]
+    val joined = WideJoins.paymentWide(pay.toDF(), ow.toDF())
+    val q = joined.writeStream.format("memory").queryName("payment_wide")
+      .outputMode("append").start()
+    try {
+      pay.addData(Pay(500, 1, t))
+      ow.addData(
+        Ow(1, 1000, t - 900000L),  // exactly −15m → survives (closed bound)
+        Ow(1, 1001, t - 900001L),  // 1 ms past the −15m edge → drops
+        Ow(1, 2000, t + 300000L),  // exactly +5m → survives (closed bound)
+        Ow(1, 2001, t + 300001L))  // 1 ms past the +5m edge → drops
+      q.processAllAvailable()
+      val got = spark.table("payment_wide").select("sku_id").as[Long].collect().toSet
+      assert(got === Set(1000L, 2000L), s"got $got")
+      // payment id rides through; the duplicate-named order_id column is dropped
+      val cols = spark.table("payment_wide").columns
+      assert(cols.contains("payment_id") && !cols.contains("ow_order_id"))
     } finally q.stop()
   }
 
