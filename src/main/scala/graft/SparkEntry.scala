@@ -61,6 +61,8 @@ object SparkEntry {
     "d7_simhash_pairs" -> ((s: SparkSession, d: String) => DedupOps.simhashPairs(s, d)),
     "d8_simhash64_pairs" -> ((s: SparkSession, d: String) => DedupOps.simhash64Pairs(s, d)),
     "d9_winnow_fingerprints" -> ((s: SparkSession, d: String) => DedupOps.winnowFingerprints(s, d)),
+    "d10_neardup_clusters" -> ((s: SparkSession, d: String) => DedupOps.nearDupClusters(s, d)),
+    "d11_dedup_by_cluster" -> ((s: SparkSession, d: String) => DedupOps.dedupByCluster(s, d)),
     // LLM-data-pipeline: similarity search
     "n1_ann_cosine_topk" -> ((s: SparkSession, d: String) => AnnOps.cosineTopK(s, d)),
     "n2_ann_ivf_topk" -> ((s: SparkSession, d: String) => AnnOps.ivfTopK(s, d)),
@@ -188,6 +190,44 @@ object SparkEntry {
     def d(i: Int) = s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1)"
     s"(((${d(1)} * 16 + ${d(2)}) * 16 + ${d(3)}) * 16 + ${d(4)})"
   }
+
+  /** Shared d10/d11 oracle machinery: the d3 LSH pair pipeline thresholded at
+    * 0.7 quantized Jaccard (the same pair set the c2 capstone removes), then
+    * an undirected TRANSITIVE CLOSURE via `WITH RECURSIVE` — cluster_id =
+    * min doc_id reachable, exactly the min-label fixpoint Spark's iterative
+    * `connectedComponents` converges to. DuckDB's recursive UNION has set
+    * semantics, so the closure terminates without an iteration cap.
+    */
+  private def clusterSql(select: String): String =
+    s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |sig AS (SELECT doc_id, $minhashSelect FROM sh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, 0 AS band, mh0 || mh1 AS bkey FROM sig
+       |          UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM sig
+       |          UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM sig
+       |          UNION ALL SELECT doc_id, 3, mh6 || mh7 FROM sig),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.a, c.b, count(*) AS inter_ct
+       |          FROM cand c
+       |          JOIN sh sa ON sa.doc_id = c.a
+       |          JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+       |          GROUP BY c.a, c.b),
+       |edges AS (SELECT i.a, i.b
+       |          FROM inter i JOIN cnt ca ON ca.doc_id = i.a
+       |                       JOIN cnt cb ON cb.doc_id = i.b
+       |          WHERE floor(i.inter_ct * 10000.0 / (ca.n + cb.n - i.inter_ct) + 0.5)
+       |                / 10000.0 >= 0.7),
+       |und AS (SELECT a AS src, b AS dst FROM edges
+       |        UNION ALL SELECT b, a FROM edges),
+       |reach(root, node) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.root, u.dst FROM reach r JOIN und u ON u.src = r.node
+       |),
+       |cl AS (SELECT root AS doc_id, min(node) AS cluster_id FROM reach GROUP BY root)
+       |$select""".stripMargin
 
   private val cosineCommon =
     """q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
@@ -630,6 +670,17 @@ object SparkEntry {
          |      FROM h)
          |SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp
          |FROM (SELECT doc_id, unnest(sels) AS fp FROM s)""".stripMargin,
+    // d10: transitive near-dup clusters — Spark's iterative min-label
+    // propagation vs DuckDB's recursive transitive closure; both fixpoints
+    // are "min doc_id in my connected component", so they hash-match.
+    "d10_neardup_clusters" ->
+      clusterSql("SELECT doc_id, cluster_id FROM cl"),
+    // d11: cluster-keeper dedup — keep exactly the min-id doc per cluster.
+    "d11_dedup_by_cluster" ->
+      clusterSql(
+        """SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+          |FROM documents d JOIN cl ON d.doc_id = cl.doc_id
+          |WHERE cl.doc_id = cl.cluster_id""".stripMargin),
     // g2: per-language token quantiles — Spark exact percentile and DuckDB
     // quantile_cont share the (n-1)p linear-interpolation definition
     // bit-for-bit; floor-quantized anyway per the round()-divergence rule.

@@ -196,6 +196,9 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"))
     connectedComponents(docs.select(col("doc_id")), pairs, maxIter)
   }
+  /** D10 face: clusters at the 0.7 Jaccard threshold the c2 export uses. */
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
+    nearDupClusters(table(spark, dir, "documents"), 0.7)
 
   /** Min-label propagation + pointer jumping over an undirected pair graph.
     *
@@ -253,6 +256,9 @@ object DedupOps {
     docs.join(nearDupClusters(docs, threshold), Seq("doc_id"))
       .filter(col("doc_id") === col("cluster_id"))
       .drop("cluster_id")
+  /** D11 face: cluster-keeper dedup at the same 0.7 threshold as d10. */
+  def dedupByCluster(spark: SparkSession, dir: String): DataFrame =
+    dedupByCluster(table(spark, dir, "documents"), 0.7)
 
   private val SimhashBits = 16
   private val SimhashBands = 4
