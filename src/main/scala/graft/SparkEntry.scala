@@ -63,6 +63,7 @@ object SparkEntry {
     "d9_winnow_fingerprints" -> ((s: SparkSession, d: String) => DedupOps.winnowFingerprints(s, d)),
     "d10_neardup_clusters" -> ((s: SparkSession, d: String) => DedupOps.nearDupClusters(s, d)),
     "d11_dedup_by_cluster" -> ((s: SparkSession, d: String) => DedupOps.dedupByCluster(s, d)),
+    "d12_segment_dedup" -> ((s: SparkSession, d: String) => DedupOps.segmentDedup(s, d)),
     // LLM-data-pipeline: similarity search
     "n1_ann_cosine_topk" -> ((s: SparkSession, d: String) => AnnOps.cosineTopK(s, d)),
     "n2_ann_ivf_topk" -> ((s: SparkSession, d: String) => AnnOps.ivfTopK(s, d)),
@@ -73,12 +74,16 @@ object SparkEntry {
     // shard shuffle, n-gram frequency)
     "t5_decontaminate" -> ((s: SparkSession, d: String) => CurationOps.decontaminate(s, d)),
     "b1_bloom_decontaminate" -> ((s: SparkSession, d: String) => CurationOps.bloomDecontaminate(s, d)),
+    "b2_semantic_decontam" -> ((s: SparkSession, d: String) => AnnOps.semanticDecontaminate(s, d)),
     "s1_hash_sample" -> ((s: SparkSession, d: String) => CurationOps.hashSample(s, d)),
     "s2_train_shuffle" -> ((s: SparkSession, d: String) => CurationOps.trainShuffle(s, d)),
     "s3_seq_pack" -> ((s: SparkSession, d: String) => CurationOps.packSequences(s, d)),
     "s4_mixture_sample" -> ((s: SparkSession, d: String) => CurationOps.mixtureSample(s, d)),
     "s5_doc_chunk" -> ((s: SparkSession, d: String) => CurationOps.chunkDocuments(s, d)),
+    "s6_domain_cap" -> ((s: SparkSession, d: String) => CurationOps.domainCap(s, d)),
+    "s7_length_buckets" -> ((s: SparkSession, d: String) => CurationOps.lengthBuckets(s, d)),
     "g1_ngram_topk" -> ((s: SparkSession, d: String) => CurationOps.ngramTopK(s, d)),
+    "g3_tfidf_topterms" -> ((s: SparkSession, d: String) => CurationOps.tfidfTopTerms(s, d)),
     // exact=true opts into the reducer-buffered exact percentile the DuckDB
     // oracle states; the operator's 100 TB default is the t-digest path
     "g2_token_quantiles" -> ((s: SparkSession, d: String) => CurationOps.tokenQuantiles(s, d, exact = true)),
@@ -681,6 +686,79 @@ object SparkEntry {
         """SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
           |FROM documents d JOIN cl ON d.doc_id = cl.doc_id
           |WHERE cl.doc_id = cl.cluster_id""".stripMargin),
+    // d12: segment (paragraph) dedup — same 10-word segmentation, first
+    // corpus occurrence by (doc_id, seg_idx), docs reassembled in seg order.
+    "d12_segment_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |n AS (SELECT doc_id, words, CAST(ceil(len(words) / 10.0) AS BIGINT) AS n_segs
+        |      FROM w WHERE len(words) > 0),
+        |c AS (SELECT doc_id, n_segs, words,
+        |             unnest(generate_series(0, n_segs - 1)) AS i FROM n),
+        |seg AS (SELECT doc_id, n_segs, CAST(i AS BIGINT) AS seg_idx,
+        |               array_to_string(list_slice(words, i*10 + 1, i*10 + 10), ' ') AS seg
+        |        FROM c),
+        |k AS (SELECT * FROM (
+        |        SELECT doc_id, n_segs, seg_idx, seg,
+        |               row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS occ
+        |        FROM seg) WHERE occ = 1)
+        |SELECT doc_id, max(n_segs) AS n_segs, count(*) AS kept_segs,
+        |       string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+        |FROM k GROUP BY doc_id""".stripMargin,
+    // s6: per-domain quota cap — row_number over the salted-md5 pick order.
+    "s6_domain_cap" ->
+      """SELECT doc_id, source, lang, rn FROM (
+        |  SELECT doc_id, source, lang,
+        |         row_number() OVER (PARTITION BY source
+        |             ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 15""".stripMargin,
+    // s7: length-bucketed micro-batching — shard by hex16 md5, bucket by
+    // 32-token band, cut per-(shard,bucket) doc_id order into 16-doc batches.
+    "s7_length_buckets" ->
+      s"""WITH t AS (SELECT doc_id, CAST(ceil(n_chars / 4.0) AS BIGINT) AS tokens,
+         |                  md5('lb:' || CAST(doc_id AS VARCHAR)) AS hs
+         |           FROM documents),
+         |s AS (SELECT doc_id, tokens, ${hex16("hs")} % 4 AS shard,
+         |             tokens // 32 AS bucket FROM t),
+         |b AS (SELECT shard, bucket, tokens,
+         |             (row_number() OVER (PARTITION BY shard, bucket ORDER BY doc_id) - 1) // 16
+         |               AS batch_idx
+         |      FROM s)
+         |SELECT shard, bucket, CAST(batch_idx AS BIGINT) AS batch_idx,
+         |       count(*) AS n_docs, max(tokens) AS max_tokens,
+         |       CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+         |       count(*) * max(tokens) - CAST(sum(tokens) AS BIGINT) AS pad_waste
+         |FROM b GROUP BY shard, bucket, batch_idx""".stripMargin,
+    // b2: semantic decontamination — max 4dp-quantized cosine of each corpus
+    // vector against the held-out benchmark vectors (every 97th vec_id).
+    "b2_semantic_decontam" ->
+      """WITH b AS (SELECT vec_id AS bench_id,
+        |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS be
+        |           FROM embeddings WHERE vec_id % 97 = 0),
+        |c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+        |      FROM embeddings WHERE vec_id % 97 <> 0),
+        |s AS (SELECT vec_id,
+        |             floor(list_dot_product(ce, be) /
+        |                   (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(be, be)))
+        |                   * 10000.0 + 0.5) / 10000.0 AS sim
+        |      FROM c, b)
+        |SELECT vec_id, max(sim) AS max_sim, max(sim) >= 0.95 AS is_contaminated
+        |FROM s GROUP BY vec_id""".stripMargin,
+    // g3: per-doc TF-IDF top terms — ln(N/df) with the 4dp floor quantization
+    // applied BEFORE ranking in both engines, word asc on ties.
+    "g3_tfidf_topterms" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tfq AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+        |dfq AS (SELECT word, count(*) AS df FROM tfq GROUP BY word),
+        |nq AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT tfq.doc_id, tfq.word, tfq.tf, dfq.df,
+        |              floor(tfq.tf * ln(CAST(n_docs AS DOUBLE) / dfq.df) * 10000.0 + 0.5)
+        |                / 10000.0 AS tfidf
+        |       FROM tfq JOIN dfq USING (word), nq)
+        |SELECT doc_id, word, tf, df, tfidf, rnk FROM (
+        |  SELECT doc_id, word, tf, df, tfidf,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rnk
+        |  FROM sc) WHERE rnk <= 3""".stripMargin,
     // g2: per-language token quantiles — Spark exact percentile and DuckDB
     // quantile_cont share the (n-1)p linear-interpolation definition
     // bit-for-bit; floor-quantized anyway per the round()-divergence rule.

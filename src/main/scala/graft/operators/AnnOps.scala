@@ -333,4 +333,34 @@ object AnnOps {
         cosinePre(col("qe"), col("embedding"), col("nq"), col("nv")).as("sim"))
     topKPerQuery(sims, k, Seq("query_id"))
   }
+
+  /** B2 — semantic benchmark decontamination: the embedding-space complement
+    * of t5's n-gram recipe. Every 97th vector stands in for the held-out
+    * benchmark embedding set (mirroring t5's convention); a corpus vector is
+    * contaminated when its best cosine against ANY benchmark vector reaches
+    * `threshold`. Reports the max similarity so thresholds can be re-swept
+    * without recomputing.
+    *
+    * Scale notes (100 TB): the benchmark set is small by construction (eval
+    * suites are thousands of rows, the corpus is billions), so it BROADCASTS
+    * and the whole operator is a map-side scan — corpus norms computed once
+    * below the join, one fused dot per (vector, benchmark) pair, then a
+    * doc-keyed max with map-side partial agg. No corpus shuffle of
+    * embeddings, nothing quadratic in the corpus.
+    */
+  def semanticDecontaminate(e: DataFrame, threshold: Double = 0.95): DataFrame = {
+    val bench = e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("be"),
+        norm(col("embedding")).as("nb"))
+    e.filter(col("vec_id") % 97 =!= 0)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nv"))
+      .crossJoin(broadcast(bench))
+      .select(col("vec_id"),
+        cosinePre(col("embedding"), col("be"), col("nv"), col("nb")).as("sim"))
+      .groupBy("vec_id")
+      .agg(max(col("sim")).as("max_sim"))
+      .withColumn("is_contaminated", col("max_sim") >= threshold)
+  }
+  def semanticDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    semanticDecontaminate(table(spark, dir, "embeddings"))
 }

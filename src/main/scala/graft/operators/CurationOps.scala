@@ -320,4 +320,91 @@ object CurationOps {
     tokenQuantiles(table(spark, dir, "documents"))
   def tokenQuantiles(spark: SparkSession, dir: String, exact: Boolean): DataFrame =
     tokenQuantiles(table(spark, dir, "documents"), exact)
+
+  /** S6 — per-domain quota cap (the Common-Crawl-style domain balancer): keep
+    * at most `cap` documents per source, chosen by the same salted-md5
+    * deterministic order the samplers use (so the retained subset is
+    * reproducible and uncorrelated with doc ids). Complements s1's per-stratum
+    * RATE with a per-stratum COUNT bound — the knob that stops one giant
+    * domain from dominating a mixture.
+    *
+    * Scale notes: one shuffle keyed on source. The `row_number <= cap` filter
+    * plans as Sort+WindowGroupLimit, so each map task forwards at most `cap`
+    * rows PER (partition, source) before the exchange — the reducer never
+    * sees a whole domain, only `cap · numPartitions` candidates. Domain
+    * count, not domain size, bounds the reduce side.
+    */
+  def domainCap(docs: DataFrame, cap: Int = 15): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("pick"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"), col("lang"))
+      .withColumn("pick", md5(concat(lit("cap:"), col("doc_id").cast("string"))))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= cap)
+      .drop("pick")
+  }
+  def domainCap(spark: SparkSession, dir: String): DataFrame =
+    domainCap(table(spark, dir, "documents"))
+
+  /** S7 — length-bucketed micro-batching (the padding-minimization layout for
+    * variable-length training): shard deterministically, bucket each doc by
+    * token-length band, order within (shard, bucket) by doc_id and cut into
+    * fixed-size batches; report each batch's size, max length, token sum, and
+    * padding waste (`n·max − sum` — the tokens a dense [batch × max_len]
+    * tensor would pad). Sharding first keeps the windows narrow the same way
+    * s3's packer does.
+    *
+    * Scale notes: one shuffle keyed on (shard, bucket) — parallelism is
+    * shard-count × bucket-count, thousands at 100 TB, and the running
+    * row_number is a streaming frame (no buffering). The batch aggregation
+    * reuses the same partitioning, so it collapses into the window stage
+    * without a second exchange.
+    */
+  def lengthBuckets(docs: DataFrame, bucketWidth: Int = 32, batchSize: Int = 16,
+      numShards: Int = 4): DataFrame = {
+    val w = Window.partitionBy("shard", "bucket").orderBy("doc_id")
+    docs.select(col("doc_id"), ceil(col("n_chars") / 4.0).cast("long").as("tokens"))
+      .withColumn("shard", hashBucket("lb:") % numShards)
+      .withColumn("bucket", expr(s"tokens DIV $bucketWidth"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("batch_idx", expr(s"(rn - 1) DIV $batchSize"))
+      .groupBy("shard", "bucket", "batch_idx")
+      .agg(count(lit(1)).as("n_docs"), max("tokens").as("max_tokens"),
+        sum("tokens").as("sum_tokens"))
+      .withColumn("batch_idx", col("batch_idx").cast("long"))
+      .withColumn("pad_waste", col("n_docs") * col("max_tokens") - col("sum_tokens"))
+  }
+  def lengthBuckets(spark: SparkSession, dir: String): DataFrame =
+    lengthBuckets(table(spark, dir, "documents"))
+
+  /** G3 — per-document TF-IDF top terms (the classic corpus-relative term
+    * salience score, still the workhorse for keyword extraction and quality
+    * signals in curation stacks): tf = in-doc term count, idf = ln(N/df) with
+    * df counted over distinct docs, top `k` terms per doc by the 4-dp-
+    * quantized score (word asc on ties — fully deterministic cross-engine).
+    *
+    * Scale notes: term counting shuffles once on high-cardinality (doc_id,
+    * word) with map-side partial agg; document frequency reuses those
+    * already-distinct pairs (groupBy word — vocabulary-cardinality, not
+    * corpus-cardinality); N rides in as a broadcast one-row aggregate, not a
+    * driver-side collect. The final per-doc top-k is a doc_id-keyed window —
+    * WindowGroupLimit bounds it map-side like s6.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val words = graft.Tables.spread(
+        docs.select(col("doc_id"), split(col("text"), " ").as("words")))
+      .select(col("doc_id"), explode(col("words")).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("word"))
+    tf.join(dfreq, Seq("word"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        floor(col("tf") * log(col("n_docs").cast("double") / col("df")) * 10000.0 + 0.5) / 10000.0)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "word", "tf", "df", "tfidf", "rnk")
+  }
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame =
+    tfidfTopTerms(table(spark, dir, "documents"))
 }

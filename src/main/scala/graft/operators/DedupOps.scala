@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables.table
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
@@ -427,4 +428,51 @@ object DedupOps {
   }
   def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
     winnowFingerprints(table(spark, dir, "documents"))
+
+  /** D12 — corpus-level segment (paragraph) dedup, the C4/RefinedWeb recipe:
+    * split each document into non-overlapping [[SegmentWords]]-word segments
+    * (the fixtures are single-line, so fixed word windows stand in for
+    * newline-delimited paragraphs), keep only the FIRST corpus occurrence of
+    * each distinct segment text (lowest (doc_id, seg_idx)), and reassemble
+    * every document from its surviving segments in original order. Documents
+    * whose segments are all claimed elsewhere drop out entirely.
+    *
+    * Scale notes (100 TB): segmenting is map-side (one `transform` over a
+    * shuffle-materialized word array — the lambda indexes an attribute, not
+    * an inlined `split`, so per-element cost is O(1); `spread` inserts that
+    * materializing exchange and un-compacts single-split corpora). First-
+    * occurrence election is ONE hash-partitioned window keyed on md5(seg) —
+    * high-cardinality, skew-free; reassembly is one groupBy(doc_id) whose
+    * state is bounded by the document's own segment list. Nothing is
+    * quadratic and no stage is keyed on a low-cardinality column.
+    */
+  private val SegmentWords = 10
+  def segmentDedup(docs: DataFrame): DataFrame = {
+    val sw = SegmentWords
+    val segs = graft.Tables.spread(
+        docs.select(col("doc_id"), split(col("text"), " ").as("words")))
+      .filter(size(col("words")) > 0) // guards sequence(0, -1)'s descending default
+      .withColumn("n_segs",
+        ceil(size(col("words")) / lit(sw.toDouble)).cast("long"))
+      .select(col("doc_id"), col("n_segs"),
+        posexplode(transform(
+          sequence(lit(0L), col("n_segs") - 1),
+          i => array_join(slice(col("words"), (i * sw + 1).cast("int"), lit(sw)), " ")))
+          .as(Seq("seg_idx", "seg")))
+      .withColumn("seg_idx", col("seg_idx").cast("long"))
+    val firstWin = Window.partitionBy(md5(col("seg")))
+      .orderBy(col("doc_id"), col("seg_idx"))
+    val kept = segs
+      .withColumn("occ", row_number().over(firstWin))
+      .filter(col("occ") === 1)
+    kept.groupBy(col("doc_id"))
+      .agg(
+        max(col("n_segs")).as("n_segs"),
+        count(lit(1)).as("kept_segs"),
+        sort_array(collect_list(struct(col("seg_idx"), col("seg")))).as("lst"))
+      .select(col("doc_id"), col("n_segs"), col("kept_segs"),
+        array_join(transform(col("lst"), s => s.getField("seg")), " ").as("clean_text"))
+  }
+  def segmentDedup(spark: SparkSession, dir: String): DataFrame =
+    segmentDedup(table(spark, dir, "documents"))
 }

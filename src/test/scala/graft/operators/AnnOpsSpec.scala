@@ -151,4 +151,28 @@ class AnnOpsSpec extends SparkSpec {
     assert(probe2.count() <= 50)
     assert(recall > 0, "probing 2 cells recovered none of the true top-5")
   }
+
+  test("semantic decontamination covers exactly the non-benchmark corpus; sims bounded") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val d = AnnOps.semanticDecontaminate(e).cache()
+    val nBench = e.filter(col("vec_id") % 97 === 0).count()
+    assert(nBench > 0, "fixture must contain benchmark vectors")
+    assert(d.count() === e.count() - nBench)
+    assert(d.filter(col("vec_id") % 97 === 0).count() === 0)
+    assert(d.filter(col("max_sim") < -1.0001 || col("max_sim") > 1.0001).count() === 0)
+    assert(d.filter(col("is_contaminated") =!= (col("max_sim") >= 0.95)).count() === 0)
+    // max_sim really is the max: no single benchmark similarity may exceed it
+    val bench = e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("be"))
+    import graft.functions.VectorFunctions.{dot_f, norm_f}
+    val one = e.filter(col("vec_id") % 97 =!= 0).limit(5)
+      .crossJoin(broadcast(bench))
+      .select(col("vec_id"),
+        (dot_f(col("embedding"), col("be")) /
+          (norm_f(col("embedding")) * norm_f(col("be")))).as("s"))
+      .groupBy("vec_id").agg(max(floor(col("s") * 10000.0 + 0.5) / 10000.0).as("chk"))
+    val bad = one.join(d, "vec_id").filter(abs(col("chk") - col("max_sim")) > 1e-9)
+    assert(bad.count() === 0)
+    d.unpersist()
+  }
 }

@@ -170,6 +170,60 @@ class CurationOpsSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("domain cap keeps min(cap, domain size) per source, deterministically") {
+    val capped = CurationOps.domainCap(docs, cap = 15).cache()
+    val perSrc = capped.groupBy("source").count()
+    assert(perSrc.filter(col("count") > 15).count() === 0)
+    // every source with >= 15 docs is filled exactly to the cap, smaller
+    // sources survive whole
+    val sizes = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    val bad = perSrc.join(sizes, "source")
+      .filter(col("count") =!= least(col("n"), lit(15L)))
+    assert(bad.count() === 0)
+    // subset of the input, stable across runs
+    assert(capped.join(docs.select("doc_id"), Seq("doc_id"), "left_anti").count() === 0)
+    val again = CurationOps.domainCap(docs, cap = 15)
+    assert(capped.exceptAll(again).count() === 0 && again.exceptAll(capped).count() === 0)
+    capped.unpersist()
+  }
+
+  test("length buckets conserve tokens; only a group's last batch is short") {
+    val b = CurationOps.lengthBuckets(docs).cache()
+    val totalTokens = docs
+      .select(ceil(col("n_chars") / 4.0).cast("long").as("t"))
+      .agg(sum("t")).head.getLong(0)
+    assert(b.agg(sum("sum_tokens")).head.getLong(0) === totalTokens)
+    assert(b.filter(col("n_docs") > 16 || col("n_docs") < 1).count() === 0)
+    assert(b.filter(col("pad_waste") < 0).count() === 0)
+    assert(b.filter(col("n_docs") * col("max_tokens") =!=
+      col("sum_tokens") + col("pad_waste")).count() === 0)
+    // within each (shard, bucket): batch_idx dense from 0, all non-last full
+    val mx = b.groupBy("shard", "bucket").agg(max("batch_idx").as("last"))
+    val short = b.join(mx, Seq("shard", "bucket"))
+      .filter(col("batch_idx") < col("last") && col("n_docs") =!= 16)
+    assert(short.count() === 0)
+    b.unpersist()
+  }
+
+  test("tfidf top terms: <= k dense ranks per doc, words from the doc, monotone scores") {
+    val g = CurationOps.tfidfTopTerms(docs).cache()
+    val perDoc = g.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("rnk").as("mx"), min("rnk").as("mn"))
+    assert(perDoc.filter(col("n") > 3 || col("mx") =!= col("n") || col("mn") =!= 1)
+      .count() === 0)
+    // every reported term occurs in its document
+    val vocab = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("word")).distinct()
+    assert(g.join(vocab, Seq("doc_id", "word"), "left_anti").count() === 0)
+    // scores never increase with rank inside a doc
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("rnk")
+    val inc = g.withColumn("prev", lag("tfidf", 1).over(w))
+      .filter(col("prev").isNotNull && col("tfidf") > col("prev"))
+    assert(inc.count() === 0)
+    g.unpersist()
+  }
+
   test("sessionize partitions all events; sessions are well-formed") {
     val s = StatsOps.sessionize(spark, sf).cache()
     val total = Tables.table(spark, sf, "events").count()

@@ -200,4 +200,42 @@ class DedupPropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("segment dedup keeps each distinct segment exactly once, first doc wins") {
+    (1L to 3L).foreach { s =>
+      val texts = sample(corpusGen, s)
+      val df = docsDf(texts)
+      val out = DedupOps.segmentDedup(df).cache()
+      // reference segmentation: non-overlapping 10-word windows
+      def segsOf(t: String): Seq[String] =
+        t.split(" ", -1).grouped(10).map(_.mkString(" ")).toSeq
+      val allSegs = texts.zipWithIndex.flatMap { case (t, i) =>
+        segsOf(t).zipWithIndex.map { case (g, j) => (i.toLong, j.toLong, g) }
+      }
+      // total survivors == number of distinct segment texts in the corpus
+      val distinctSegs = allSegs.map(_._3).distinct.size.toLong
+      assert(out.agg(sum("kept_segs")).head.getLong(0) === distinctSegs)
+      // per row: 1 <= kept <= n_segs, and n_segs matches the reference count
+      val byDoc = out.collect().map(r => r.getLong(0) -> r).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        byDoc.get(i.toLong).foreach { r =>
+          assert(r.getLong(1) === segsOf(t).size.toLong)
+          assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(1))
+        }
+      }
+      // reassembly: clean_text is exactly the first-occurrence segments of
+      // the doc, joined in order (computed independently here)
+      val firstOwner = allSegs.groupBy(_._3).map { case (g, occ) =>
+        g -> occ.minBy(o => (o._1, o._2))
+      }
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val want = segsOf(t).zipWithIndex
+          .filter { case (g, j) => firstOwner(g)._1 == i.toLong && firstOwner(g)._2 == j.toLong }
+          .map(_._1).mkString(" ")
+        val got = byDoc.get(i.toLong).map(_.getString(3)).getOrElse("")
+        assert(got === want, s"doc $i reassembly mismatch")
+      }
+      out.unpersist()
+    }
+  }
 }
