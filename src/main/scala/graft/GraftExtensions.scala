@@ -16,6 +16,8 @@ import graft.functions.{CosineSimF, DotProductF, MinHashSigExpr, SimHashBitsExpr
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator extension: the native sort-merge as-of join
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("dot_product_f"),
       new ExpressionInfo(classOf[DotProductF].getName, "dot_product_f"),

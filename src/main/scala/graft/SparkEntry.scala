@@ -34,6 +34,7 @@ object SparkEntry {
     "j1_interval_join_order" -> (RelationalOps.intervalJoinOrder _),
     "j2_interval_join_payment" -> (RelationalOps.intervalJoinPayment _),
     "j3_dim_enrich" -> (RelationalOps.dimEnrich _),
+    "j4_asof_native" -> (asofNative _),
     // §2.5 aggregations / §2.6 windows
     "a1_visitor_stats" -> (StatsOps.visitorStats _),
     "a2_product_stats" -> (StatsOps.productStats _),
@@ -114,6 +115,27 @@ object SparkEntry {
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
       .withColumn("pos", col("pos").cast("long"))
       .filter(length(col("word")) > 0)
+  }
+
+  /** J4 — the NATIVE whole-operator as-of join (custom LogicalPlan +
+    * SparkStrategy + SparkPlan, `graft.plans.AsOfJoin`): for every click,
+    * the same user's latest view at or before it — proven against DuckDB's
+    * built-in `ASOF LEFT JOIN`. The right side is pre-collapsed to one row
+    * per (user, ts) so the "latest" pick is deterministic in both engines.
+    */
+  private def asofNative(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.table(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("view_id"))
+    graft.plans.AsOfJoinNative.asOf(clicks, views, "user_id", "ts", "ts")
+      .select(col("click_id"), col("user_id"),
+        unix_micros(col("ts")).as("click_ts_us"),
+        col("r_view_id").as("view_id"),
+        unix_micros(col("r_ts")).as("view_ts_us"))
   }
 
   /** X2 — the typed `Aggregator` (ProductStatsAggregator's distinct-set
@@ -309,6 +331,16 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+    // j4: the native as-of join vs DuckDB's built-in ASOF LEFT JOIN —
+    // largest view ts <= click ts per user, inclusive bound, left-outer.
+    "j4_asof_native" ->
+      s"""WITH c AS (SELECT user_id, event_id AS click_id, $EV AS cts
+         |           FROM events WHERE event_type = 'click'),
+         |v AS (SELECT user_id, $EV AS vts, max(event_id) AS view_id
+         |      FROM events WHERE event_type = 'view' GROUP BY user_id, $EV)
+         |SELECT c.click_id, c.user_id, epoch_us(c.cts) AS click_ts_us,
+         |       v.view_id, epoch_us(v.vts) AS view_ts_us
+         |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.cts >= v.vts""".stripMargin,
     "a1_visitor_stats" ->
       s"""SELECT strftime(date_trunc('hour', $EV), '%Y-%m-%d %H:%M:%S') AS stt,
          |       strftime(date_trunc('hour', $EV) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS edt,

@@ -1,0 +1,95 @@
+package graft.plans
+
+import graft.{SparkSpec, Tables}
+import graft.operators.TemporalJoin
+import org.apache.spark.sql.functions._
+
+/** The native whole-operator as-of join (logical node + strategy + exec)
+  * against the built-in-composed `TemporalJoin.asOf`: identical rows on the
+  * shared contract, strict join-style null semantics, inclusive bound, and
+  * the intended physical shape (one exchange per side, keyed sort, the
+  * custom operator in the plan).
+  */
+class AsOfJoinNativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events = Tables.table(spark, sf, "events")
+  private def clicks = events.filter(col("event_type") === "click")
+    .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+  // one row per (user, ts) so "latest" is deterministic everywhere
+  private def views = events.filter(col("event_type") === "view")
+    .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("view_id"))
+
+  test("native as-of equals the union+window composition row for row") {
+    val native = AsOfJoinNative.asOf(clicks, views, "user_id", "ts", "ts")
+      .select("click_id", "user_id", "ts", "r_ts", "r_view_id")
+    val composed = TemporalJoin.asOf(clicks, views, "user_id", "ts", "ts")
+      .select("click_id", "user_id", "ts", "r_ts", "r_view_id")
+    assert(native.count() === clicks.count())
+    assert(native.exceptAll(composed).count() === 0)
+    assert(composed.exceptAll(native).count() === 0)
+  }
+
+  test("as-of picks the greatest right ts <= left ts; bound is inclusive") {
+    val left = Seq((1L, 100L, 10L), (1L, 101L, 20L), (2L, 102L, 15L))
+      .toDF("k", "lid", "t")
+      .select(col("k"), col("lid"), timestamp_micros(col("t")).as("t"))
+    val right = Seq((1L, 900L, 10L), (1L, 901L, 15L), (2L, 902L, 16L))
+      .toDF("k", "rid", "t")
+      .select(col("k"), col("rid"), timestamp_micros(col("t")).as("t"))
+    val out = AsOfJoinNative.asOf(left, right, "k", "t", "t")
+      .select("lid", "r_rid").collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out(100L) === 900L) // equal timestamps match (inclusive)
+    assert(out(101L) === 901L) // latest version at-or-before wins
+    assert(out(102L) === -1L)  // only future versions -> unmatched
+  }
+
+  test("null keys and timestamps never match, on either side") {
+    val left = Seq(
+      (Some(1L), Some(10L), 1L), (None, Some(10L), 2L), (Some(1L), None, 3L))
+      .toDF("k", "t", "lid")
+      .select(col("k"), timestamp_micros(col("t")).as("t"), col("lid"))
+    val right = Seq(
+      (Some(1L), Some(5L), 90L), (None, Some(1L), 91L), (Some(1L), None, 92L))
+      .toDF("k", "t", "rid")
+      .select(col("k"), timestamp_micros(col("t")).as("t"), col("rid"))
+    val out = AsOfJoinNative.asOf(left, right, "k", "t", "t")
+      .select("lid", "r_rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out === Map(1L -> 90L, 2L -> -1L, 3L -> -1L))
+  }
+
+  test("duplicate left rows each survive; deep histories resolve per row") {
+    val left = Seq((1L, 30L, 1L), (1L, 30L, 1L), (1L, 50L, 2L))
+      .toDF("k", "t", "lid")
+      .select(col("k"), timestamp_micros(col("t")).as("t"), col("lid"))
+    val right = (1L to 40L).map(v => (1L, v, 800L + v))
+      .toDF("k", "t", "rid")
+      .select(col("k"), timestamp_micros(col("t")).as("t"), col("rid"))
+    val out = AsOfJoinNative.asOf(left, right, "k", "t", "t")
+      .select("lid", "r_rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.count(_ == (1L, 830L)) === 2) // both duplicates matched at v30
+    assert(out.count(_ == (2L, 840L)) === 1) // capped at the last version
+  }
+
+  test("plan: custom operator present, one exchange per pre-keyed side") {
+    val pre = clicks // already keyed by nothing -> one exchange each side
+    val native = AsOfJoinNative.asOf(pre, views, "user_id", "ts", "ts")
+    native.count() // materialize through AQE
+    val p = native.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), s"custom operator missing from plan:\n$p")
+    // clicks side: 1 exchange; views side: agg exchange + re-key exchange
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 3, s"unexpected shuffle count $shuffles in:\n$p")
+  }
+
+  test("oracle-shape query matches at fixture scale (deterministic re-run)") {
+    val a = graft.SparkEntry.queries("j4_asof_native")(spark, sf)
+    val b = graft.SparkEntry.queries("j4_asof_native")(spark, sf)
+    assert(a.count() === clicks.count())
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+    // every matched view really is at-or-before its click
+    assert(a.filter(col("view_ts_us") > col("click_ts_us")).count() === 0)
+  }
+}
