@@ -447,6 +447,22 @@ object DedupOps {
     * quadratic and no stage is keyed on a low-cardinality column.
     */
   private val SegmentWords = 10
+
+  /** Non-overlapping [[SegmentWords]]-word segment array of a raw text
+    * column — the map-side building block shared by the batch and streaming
+    * segment-dedup faces (same inline-expression caveat as [[shingleArray]]:
+    * per-doc cost is fine for per-row streaming use; the batch operator
+    * materializes the word array behind an exchange instead).
+    */
+  def segmentArray(text: Column): Column = {
+    val w = split(text, " ")
+    val n = ceil(size(w) / lit(SegmentWords.toDouble)).cast("long")
+    when(size(w) > 0,
+      transform(sequence(lit(0L), n - 1),
+        i => array_join(slice(w, (i * SegmentWords + 1).cast("int"), lit(SegmentWords)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
   def segmentDedup(docs: DataFrame): DataFrame = {
     val sw = SegmentWords
     val segs = graft.Tables.spread(

@@ -185,6 +185,31 @@ object StatsStreams {
     else sig.dropDuplicates("lsh_sig")
   }
 
+  /** Streaming segment (paragraph) dedup — the streaming face of batch
+    * D12's first-occurrence ELECTION
+    * ([[graft.operators.DedupOps.segmentDedup]]): incoming docs explode into
+    * their non-overlapping word segments map-side, and the first arrival of
+    * each distinct segment survives; per-segment state is evicted at the
+    * watermark horizon like [[dedupExactStream]]'s fingerprints. Document
+    * REASSEMBLY is deliberately batch-only — in an unbounded stream any
+    * future arrival can still claim a segment, so a streaming "clean_text"
+    * could never be emitted finally; the surviving segment stream is the
+    * useful streaming contract (append it to the corpus store, reassemble
+    * in batch).
+    */
+  def segmentDedupStream(docs: DataFrame): DataFrame = {
+    val segs = docs
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .select(col("doc_id"), col("event_time"),
+        posexplode(graft.operators.DedupOps.segmentArray(col("text")))
+          .as(Seq("seg_idx", "seg")))
+      .withColumn("seg_idx", col("seg_idx").cast("long"))
+      .withColumn("seg_key", md5(col("seg")))
+      .withWatermark("event_time", "1 hour")
+    if (segs.isStreaming) segs.dropDuplicatesWithinWatermark("seg_key")
+    else segs.dropDuplicates("seg_key")
+  }
+
   /** Streaming benchmark decontamination — the streaming face of
     * [[graft.operators.CurationOps.decontaminate]]: incoming docs are flagged
     * against a STATIC held-out benchmark table. The bench shingle set is

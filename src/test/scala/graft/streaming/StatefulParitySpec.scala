@@ -46,6 +46,44 @@ class StatefulParitySpec extends SparkSpec {
     assert(streamed.values.toSet === Set(1L, 2L, 4L))
   }
 
+  test("segmentDedupStream: stream (AvailableNow) == batch, first arrival survives") {
+    implicit val sqlCtx = spark.sqlContext
+    // 10-word segments: doc 1 = seg A + seg B, doc 2 re-sends seg A + new C,
+    // doc 3 re-sends B and C — only first arrivals of each segment survive
+    val segA = (1 to 10).map(i => s"a$i").mkString(" ")
+    val segB = (1 to 10).map(i => s"b$i").mkString(" ")
+    val segC = (1 to 10).map(i => s"c$i").mkString(" ")
+    val batch1 = Seq((1L, s"$segA $segB", 1000L))
+    val batch2 = Seq((2L, s"$segA $segC", 2000L))
+    val batch3 = Seq((3L, s"$segB $segC", 3000L))
+    val allRows = batch1 ++ batch2 ++ batch3
+
+    val input = MemoryStream[(Long, String, Long)]
+    input.addData(batch1: _*); input.addData(batch2: _*); input.addData(batch3: _*)
+    val q = StatsStreams.segmentDedupStream(input.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("sf_seg_dedup")
+      .trigger(Trigger.AvailableNow()).outputMode("append").start()
+    try q.awaitTermination() finally q.stop()
+    val streamed = spark.table("sf_seg_dedup")
+      .select("seg_key", "doc_id", "seg_idx").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    val batched = StatsStreams.segmentDedupStream(
+        allRows.toDF("doc_id", "text", "ts").coalesce(1))
+      .select("seg_key", "doc_id", "seg_idx").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    assert(streamed === batched, "segment dedup diverged between stream and batch")
+    // first arrivals: A and B from doc 1, C from doc 2 — doc 3 keeps nothing
+    assert(streamed.values.toSet === Set((1L, 0L), (1L, 1L), (2L, 1L)))
+    // and the streaming election matches the batch operator's kept segments
+    val batchOp = graft.operators.DedupOps.segmentDedup(
+      allRows.toDF("doc_id", "text", "ts").coalesce(1))
+    val keptByDoc = batchOp.select("doc_id", "kept_segs").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keptByDoc === Map(1L -> 2L, 2L -> 1L))
+  }
+
   test("embeddingDedupStream: stream (AvailableNow) == batch, first arrival survives") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(11)
