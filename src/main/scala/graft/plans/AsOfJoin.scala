@@ -47,9 +47,11 @@ case class AsOfJoinPlan(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTs: Expression,
-    rightTs: Expression) extends BinaryNode {
+    rightTs: Expression,
+    toleranceMicros: Option[Long] = None) extends BinaryNode {
   require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
     "as-of join needs matching, non-empty key lists")
+  require(toleranceMicros.forall(_ >= 0L), "as-of tolerance must be >= 0")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -64,8 +66,8 @@ case class AsOfJoinPlan(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lts, rts) =>
-      AsOfJoinExec(lk, rk, lts, rts, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lts, rts, tol) =>
+      AsOfJoinExec(lk, rk, lts, rts, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -86,8 +88,13 @@ case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTs: Expression,
     rightTs: Expression,
+    toleranceMicros: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
+
+  require(toleranceMicros.isEmpty ||
+    leftTs.dataType == org.apache.spark.sql.types.TimestampType,
+    "as-of tolerance requires a TimestampType time column")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -119,6 +126,7 @@ case class AsOfJoinExec(
     val lOutput = left.output; val rOutput = right.output
     val keyTypes = lKeys.map(_.dataType)
     val tsType = lTs.dataType
+    val tol = toleranceMicros
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeys, lOutput)
@@ -133,6 +141,7 @@ case class AsOfJoinExec(
       // the latest right row consumed for its key — valid iff candKey == lk
       var candKey: InternalRow = null
       var candRow: InternalRow = null
+      var candTsMicros: Long = Long.MinValue
 
       lIter.map { lRow =>
         val lk = lKeyProj(lRow)
@@ -157,11 +166,13 @@ case class AsOfJoinExec(
                   // buffers — copy before holding across iterations)
                   candRow = rBuf.next().copy()
                   candKey = rKeyProj(candRow).copy()
+                  if (tol.isDefined) candTsMicros = rTsProj(candRow).getLong(0)
                 } else done = true              // version after lt — keep for later lefts
               }
             }
           }
-          if (candKey != null && keyOrd.compare(candKey, lk) == 0) {
+          val inTol = tol.forall(t => lt.getLong(0) - candTsMicros <= t)
+          if (candKey != null && keyOrd.compare(candKey, lk) == 0 && inTol) {
             numMatched += 1
             joined(lRow, candRow)
           } else joined(lRow, nullRight)

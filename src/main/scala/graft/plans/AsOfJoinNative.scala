@@ -24,13 +24,17 @@ object AsOfJoinNative {
   /** left ⋈asof right on `key`: each left row gains the right row with the
     * greatest `rightTs <= leftTs` for its key, or nulls (left-outer). Right
     * columns come back `prefix`ed; the prefixed key column is dropped.
+    * `toleranceMicros` (timestamp columns only) additionally requires
+    * `leftTs - rightTs <= tolerance` — the pandas `merge_asof` staleness
+    * bound: versions older than the tolerance report as unmatched.
     *
     * The right side is re-projected through fresh aliases, so self-joins
     * (left and right carved from the same source) carry no conflicting
     * attribute ids into the join node.
     */
   def asOf(left: DataFrame, right: DataFrame, key: String,
-      leftTs: String, rightTs: String, prefix: String = "r_"): DataFrame = {
+      leftTs: String, rightTs: String, prefix: String = "r_",
+      toleranceMicros: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     install(spark)
     // Alias projection = fresh ExprIds for every right output
@@ -44,7 +48,7 @@ object AsOfJoinNative {
     val node = AsOfJoinPlan(
       lPlan, rPlan,
       Seq(attr(lPlan, key)), Seq(attr(rPlan, s"$prefix$key")),
-      attr(lPlan, leftTs), attr(rPlan, s"$prefix$rightTs"))
+      attr(lPlan, leftTs), attr(rPlan, s"$prefix$rightTs"), toleranceMicros)
     GraftSqlInternals.ofRows(spark, node).drop(s"$prefix$key")
   }
 }

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan CONTRACTS for the headline operators — the properties the
+  * 100 TB story depends on, pinned as regression tests so a refactor that
+  * silently de-optimizes a plan (drops a pushdown, un-broadcasts a dim,
+  * loses a WindowGroupLimit) fails CI instead of only showing up in a bench.
+  * Each assertion mirrors a claim recorded in PLANS.md.
+  */
+class PlanContractSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+  private def count(p: String, needle: String): Int =
+    needle.r.findAllIn(p).size
+
+  test("scans push filters and prune columns (p5 projection contract)") {
+    val p = planOf("p5_scan_project")
+    assert(p.contains("PushedFilters: [IsNotNull"), s"no pushed filters:\n$p")
+    assert(p.contains("ReadSchema"), p)
+    // projection of 3 columns + filter col must not scan the full orders schema
+    assert(!p.contains("o_orderpriority"), "unpruned scan reads o_orderpriority")
+  }
+
+  test("dim enrichment is pure broadcast: 3 BHJ, zero fact-side shuffles (j3)") {
+    val p = planOf("j3_dim_enrich")
+    assert(count(p, "BroadcastHashJoin") === 3, p)
+    assert(count(p, "Exchange hashpartitioning") === 0, p)
+    assert(count(p, "SortMergeJoin") === 0, p)
+  }
+
+  test("decontamination broadcasts the benchmark side (t5)") {
+    val p = planOf("t5_decontaminate")
+    assert(count(p, "BroadcastHashJoin") >= 1, p)
+  }
+
+  test("rank <= k filters compile to map-side WindowGroupLimit (g1, s6, d12)") {
+    Seq("g1_ngram_topk", "s6_domain_cap", "d12_segment_dedup").foreach { q =>
+      val p = planOf(q)
+      assert(count(p, "WindowGroupLimit") >= 1, s"$q lost its WindowGroupLimit:\n$p")
+    }
+  }
+
+  test("the native as-of join plans as the custom operator with per-side keyed sort (j4)") {
+    val p = planOf("j4_asof_native")
+    assert(p.contains("AsOfJoin"), p)
+    assert(count(p, "Exchange hashpartitioning") <= 3, p)
+    assert(count(p, "SortMergeJoin") === 0 && count(p, "BroadcastNestedLoopJoin") === 0, p)
+  }
+
+  test("semantic decontamination never shuffles the corpus embeddings (b2)") {
+    val p = planOf("b2_semantic_decontam")
+    // one broadcast of the benchmark side; the single exchange is the
+    // vec_id-keyed max agg AFTER similarity is reduced to (vec_id, sim)
+    assert(count(p, "BroadcastNestedLoopJoin") === 1, p)
+    assert(count(p, "Exchange hashpartitioning") === 1, p)
+    assert(!p.toLowerCase.contains("sortmergejoin"), p)
+  }
+
+  test("signature extraction is scan-side: no shuffle before the fingerprint (d2, d4)") {
+    Seq("d2_minhash_signature", "d4_simhash").foreach { q =>
+      val p = planOf(q)
+      assert(count(p, "Exchange hashpartitioning") === 0,
+        s"$q shuffles during what should be a pure scan-project:\n$p")
+    }
+  }
+
+  test("length buckets reuse the window partitioning for the batch agg (s7)") {
+    val p = planOf("s7_length_buckets")
+    // window on (shard, bucket) then groupBy (shard, bucket, batch_idx):
+    // clustering keys are a superset, so ONE exchange total
+    assert(count(p, "Exchange hashpartitioning") === 1, p)
+  }
+}

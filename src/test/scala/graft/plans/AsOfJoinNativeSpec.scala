@@ -84,6 +84,61 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert(shuffles <= 3, s"unexpected shuffle count $shuffles in:\n$p")
   }
 
+  test("tolerance bounds match staleness: too-old versions report unmatched") {
+    val left = Seq((1L, 100L, 10L), (1L, 101L, 30L), (1L, 102L, 31L))
+      .toDF("k", "lid", "t")
+      .select(col("k"), col("lid"), timestamp_micros(col("t")).as("t"))
+    val right = Seq((1L, 900L, 9L), (1L, 901L, 25L))
+      .toDF("k", "rid", "t")
+      .select(col("k"), col("rid"), timestamp_micros(col("t")).as("t"))
+    val out = AsOfJoinNative.asOf(left, right, "k", "t", "t",
+        toleranceMicros = Some(5L))
+      .select("lid", "r_rid").collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out(100L) === 900L) // 10 - 9 = 1 <= 5: in tolerance
+    assert(out(101L) === 901L) // 30 - 25 = 5 <= 5: boundary inclusive
+    assert(out(102L) === -1L)  // 31 - 25 = 6 > 5: stale -> unmatched
+  }
+
+  test("random corpora: native == composed == in-memory reference, multi-partition") {
+    (1L to 5L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val nKeys = 1 + rnd.nextInt(6)
+      val lefts = (0 until 200).map { i =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(50).toLong, i.toLong)
+      }
+      // distinct (key, ts) right rows so "latest" is unambiguous
+      val rights = rnd.shuffle(
+        (for (k <- 0 until nKeys; t <- 0 until 50 if rnd.nextBoolean())
+          yield (k.toLong, t.toLong)).toList)
+        .zipWithIndex.map { case ((k, t), i) => (k, t, 500L + i) }
+
+      val left = lefts.toDF("k", "t", "lid")
+        .select(col("k"), timestamp_micros(col("t")).as("t"), col("lid"))
+        .repartition(5)
+      val right = rights.toDF("k", "t", "rid")
+        .select(col("k"), timestamp_micros(col("t")).as("t"), col("rid"))
+        .repartition(3)
+
+      val native = AsOfJoinNative.asOf(left, right, "k", "t", "t")
+        .select("lid", "r_rid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      // in-memory reference: greatest right t <= left t per key
+      val byKey = rights.groupBy(_._1)
+      val expected = lefts.map { case (k, t, lid) =>
+        lid -> byKey.get(k)
+          .flatMap(vs => vs.filter(_._2 <= t).sortBy(_._2).lastOption)
+          .map(_._3).getOrElse(-1L)
+      }.toMap
+      assert(native === expected, s"seed $seed: native != reference")
+
+      val composed = TemporalJoin.asOf(left, right, "k", "t", "t")
+        .select("lid", "r_rid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      assert(native === composed, s"seed $seed: native != composed")
+    }
+  }
+
   test("oracle-shape query matches at fixture scale (deterministic re-run)") {
     val a = graft.SparkEntry.queries("j4_asof_native")(spark, sf)
     val b = graft.SparkEntry.queries("j4_asof_native")(spark, sf)
