@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.Tables.dsum
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** DWS windowed streaming aggregations (SURVEY §2.5/§2.6) — the streaming
@@ -208,6 +208,36 @@ object StatsStreams {
       .withWatermark("event_time", "1 hour")
     if (segs.isStreaming) segs.dropDuplicatesWithinWatermark("seg_key")
     else segs.dropDuplicates("seg_key")
+  }
+
+  /** Streaming per-domain quota cap — the streaming face of
+    * [[graft.operators.CurationOps.domainCap]]'s COUNT bound: admit at most
+    * `cap` documents per source, first arrivals win (within a micro-batch,
+    * (ts, doc_id) order pins ties deterministically). The batch operator
+    * picks a salted-hash sample for unbiasedness; a stream cannot know the
+    * future, so the streaming contract is admission control — the knob that
+    * stops one domain flooding a live ingest.
+    *
+    * Scale notes: state is ONE long per source — bounded by domain count,
+    * not corpus size — and never needs eviction; the only shuffle is the
+    * groupByKey on source. Admitted rows stream out in append mode.
+    */
+  def domainCapStream(spark: SparkSession, docs: DataFrame, cap: Int = 15): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val ds = docs.select(col("source"), col("doc_id"), col("ts"))
+      .as[(String, Long, Long)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, recs: Iterator[(String, Long, Long)], state: GroupState[Long]) =>
+          val admitted = state.getOption.getOrElse(0L)
+          val room = (cap - admitted).max(0L).toInt
+          val keep = recs.toSeq.sortBy(r => (r._3, r._2)).take(room)
+          if (keep.nonEmpty) state.update(admitted + keep.size)
+          keep.iterator
+      }
+      .toDF("source", "doc_id", "ts")
   }
 
   /** Streaming benchmark decontamination — the streaming face of

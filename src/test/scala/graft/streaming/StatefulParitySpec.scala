@@ -46,6 +46,26 @@ class StatefulParitySpec extends SparkSpec {
     assert(streamed.values.toSet === Set(1L, 2L, 4L))
   }
 
+  test("domainCapStream: admits at most cap per source across batches, first arrivals win") {
+    implicit val sqlCtx = spark.sqlContext
+    // src A sends 3 then 2 docs, src B sends 2 — cap 4 admits A's first 4 and all of B
+    val batch1 = Seq(("A", 1L, 100L), ("A", 2L, 200L), ("A", 3L, 300L), ("B", 10L, 150L))
+    val batch2 = Seq(("A", 4L, 400L), ("A", 5L, 500L), ("B", 11L, 250L))
+    val input = MemoryStream[(String, Long, Long)]
+    input.addData(batch1: _*); input.addData(batch2: _*)
+    val q = StatsStreams.domainCapStream(spark,
+        input.toDF().toDF("source", "doc_id", "ts"), cap = 4)
+      .writeStream.format("memory").queryName("sf_domain_cap")
+      .trigger(Trigger.AvailableNow()).outputMode("append").start()
+    try q.awaitTermination() finally q.stop()
+    val admitted = spark.table("sf_domain_cap")
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // A: first 4 by (ts, doc_id) across batches = 1,2,3 then 4; doc 5 rejected
+    assert(admitted === Set(("A", 1L), ("A", 2L), ("A", 3L), ("A", 4L),
+      ("B", 10L), ("B", 11L)))
+  }
+
   test("segmentDedupStream: stream (AvailableNow) == batch, first arrival survives") {
     implicit val sqlCtx = spark.sqlContext
     // 10-word segments: doc 1 = seg A + seg B, doc 2 re-sends seg A + new C,
