@@ -35,6 +35,7 @@ object SparkEntry {
     "j2_interval_join_payment" -> (RelationalOps.intervalJoinPayment _),
     "j3_dim_enrich" -> (RelationalOps.dimEnrich _),
     "j4_asof_native" -> (asofNative _),
+    "j5_asof_tolerance" -> (asofTolerance _),
     // §2.5 aggregations / §2.6 windows
     "a1_visitor_stats" -> (StatsOps.visitorStats _),
     "a2_product_stats" -> (StatsOps.productStats _),
@@ -132,6 +133,27 @@ object SparkEntry {
       .groupBy(col("user_id"), col("ts"))
       .agg(max(col("event_id")).as("view_id"))
     graft.plans.AsOfJoinNative.asOf(clicks, views, "user_id", "ts", "ts")
+      .select(col("click_id"), col("user_id"),
+        unix_micros(col("ts")).as("click_ts_us"),
+        col("r_view_id").as("view_id"),
+        unix_micros(col("r_ts")).as("view_ts_us"))
+  }
+
+  /** J5 — the as-of join's `merge_asof`-style staleness bound: same shape as
+    * j4 but versions older than 48h report unmatched. DuckDB states the same
+    * semantics as ASOF JOIN + staleness nulling (rejecting the LATEST match
+    * can never admit an older one, so post-filtering the asof pick is exact).
+    */
+  private def asofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.table(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("view_id"))
+    graft.plans.AsOfJoinNative.asOf(clicks, views, "user_id", "ts", "ts",
+        toleranceMicros = Some(2L * 86400L * 1000000L))
       .select(col("click_id"), col("user_id"),
         unix_micros(col("ts")).as("click_ts_us"),
         col("r_view_id").as("view_id"),
@@ -341,6 +363,21 @@ object SparkEntry {
          |SELECT c.click_id, c.user_id, epoch_us(c.cts) AS click_ts_us,
          |       v.view_id, epoch_us(v.vts) AS view_ts_us
          |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.cts >= v.vts""".stripMargin,
+    // j5: j4 + a 48h staleness tolerance — ASOF pick, then null out matches
+    // older than the bound (the latest match rejected => all older rejected).
+    "j5_asof_tolerance" ->
+      s"""WITH c AS (SELECT user_id, event_id AS click_id, $EV AS cts
+         |           FROM events WHERE event_type = 'click'),
+         |v AS (SELECT user_id, $EV AS vts, max(event_id) AS view_id
+         |      FROM events WHERE event_type = 'view' GROUP BY user_id, $EV),
+         |j AS (SELECT c.click_id, c.user_id, c.cts, v.view_id, v.vts
+         |      FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.cts >= v.vts)
+         |SELECT click_id, user_id, epoch_us(cts) AS click_ts_us,
+         |       CASE WHEN vts IS NOT NULL AND epoch_us(cts) - epoch_us(vts) <= 172800000000
+         |            THEN view_id END AS view_id,
+         |       CASE WHEN vts IS NOT NULL AND epoch_us(cts) - epoch_us(vts) <= 172800000000
+         |            THEN epoch_us(vts) END AS view_ts_us
+         |FROM j""".stripMargin,
     "a1_visitor_stats" ->
       s"""SELECT strftime(date_trunc('hour', $EV), '%Y-%m-%d %H:%M:%S') AS stt,
          |       strftime(date_trunc('hour', $EV) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS edt,
