@@ -86,6 +86,7 @@ object SparkEntry {
     "s7_length_buckets" -> ((s: SparkSession, d: String) => CurationOps.lengthBuckets(s, d)),
     "g1_ngram_topk" -> ((s: SparkSession, d: String) => CurationOps.ngramTopK(s, d)),
     "g3_tfidf_topterms" -> ((s: SparkSession, d: String) => CurationOps.tfidfTopTerms(s, d)),
+    "g4_vocab_stats" -> ((s: SparkSession, d: String) => CurationOps.vocabStats(s, d)),
     // exact=true opts into the reducer-buffered exact percentile the DuckDB
     // oracle states; the operator's 100 TB default is the t-digest path
     "g2_token_quantiles" -> ((s: SparkSession, d: String) => CurationOps.tokenQuantiles(s, d, exact = true)),
@@ -828,6 +829,15 @@ object SparkEntry {
         |  SELECT doc_id, word, tf, df, tfidf,
         |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rnk
         |  FROM sc) WHERE rnk <= 3""".stripMargin,
+    // g4: per-language vocabulary stats — Heaps/Zipf corpus diagnostics;
+    // type-token ratio quantized to 4dp like every cross-engine double.
+    "g4_vocab_stats" ->
+      """WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+        |wc AS (SELECT lang, word, count(*) AS ct FROM w GROUP BY lang, word)
+        |SELECT lang, CAST(sum(ct) AS BIGINT) AS total_words, count(*) AS vocab,
+        |       CAST(sum(CASE WHEN ct = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |       floor(count(*) / CAST(sum(ct) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS ttr
+        |FROM wc GROUP BY lang""".stripMargin,
     // g2: per-language token quantiles — Spark exact percentile and DuckDB
     // quantile_cont share the (n-1)p linear-interpolation definition
     // bit-for-bit; floor-quantized anyway per the round()-divergence rule.

@@ -407,4 +407,30 @@ object CurationOps {
   }
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame =
     tfidfTopTerms(table(spark, dir, "documents"))
+
+  /** G4 — per-language vocabulary statistics (the Heaps/Zipf diagnostics a
+    * corpus health check starts with): total tokens, vocabulary size,
+    * hapax count (words seen exactly once — the long-tail share that drives
+    * tokenizer and dedup decisions), and the 4dp-quantized type-token ratio.
+    *
+    * Scale notes: one shuffle on high-cardinality (lang, word) with map-side
+    * partial counts, then a per-language rollup of the already-tiny word
+    * rows — no distinct over the raw token stream, nothing keyed on lang
+    * until the data is vocabulary-sized.
+    */
+  def vocabStats(docs: DataFrame): DataFrame = {
+    val words = graft.Tables.spread(
+        docs.select(col("lang"), split(col("text"), " ").as("words")))
+      .select(col("lang"), explode(col("words")).as("word"))
+    words.groupBy("lang", "word").agg(count(lit(1)).as("ct"))
+      .groupBy("lang")
+      .agg(
+        sum("ct").as("total_words"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("ct") === 1, 1L).otherwise(0L)).as("hapax"))
+      .withColumn("ttr",
+        floor(col("vocab") / col("total_words").cast("double") * 10000.0 + 0.5) / 10000.0)
+  }
+  def vocabStats(spark: SparkSession, dir: String): DataFrame =
+    vocabStats(table(spark, dir, "documents"))
 }

@@ -34,6 +34,15 @@ object AsOfJoinNative {
     */
   def asOf(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, prefix: String = "r_",
+      toleranceMicros: Option[Long] = None): DataFrame =
+    asOfKeys(left, right, Seq(key), leftTs, rightTs, prefix, toleranceMicros)
+
+  /** Composite-key variant: the "latest version at-or-before" is resolved
+    * per distinct key TUPLE (e.g. (region, sku) price histories). Same
+    * contract otherwise; all prefixed key columns are dropped.
+    */
+  def asOfKeys(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, prefix: String = "r_",
       toleranceMicros: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     install(spark)
@@ -47,8 +56,8 @@ object AsOfJoinNative {
           s"as-of join: column `$name` not found among [${plan.output.map(_.name).mkString(", ")}]"))
     val node = AsOfJoinPlan(
       lPlan, rPlan,
-      Seq(attr(lPlan, key)), Seq(attr(rPlan, s"$prefix$key")),
+      keys.map(attr(lPlan, _)), keys.map(k => attr(rPlan, s"$prefix$k")),
       attr(lPlan, leftTs), attr(rPlan, s"$prefix$rightTs"), toleranceMicros)
-    GraftSqlInternals.ofRows(spark, node).drop(s"$prefix$key")
+    keys.foldLeft(GraftSqlInternals.ofRows(spark, node))((d, k) => d.drop(s"$prefix$k"))
   }
 }

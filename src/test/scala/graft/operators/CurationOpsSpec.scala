@@ -224,6 +224,18 @@ class CurationOpsSpec extends SparkSpec {
     g.unpersist()
   }
 
+  test("vocab stats: totals partition the token stream, hapax within vocab") {
+    val v = CurationOps.vocabStats(docs).cache()
+    val totalTokens = docs
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum("n")).head.getLong(0)
+    assert(v.agg(sum("total_words")).head.getLong(0) === totalTokens)
+    assert(v.filter(col("vocab") > col("total_words")).count() === 0)
+    assert(v.filter(col("hapax") > col("vocab")).count() === 0)
+    assert(v.filter(col("ttr") < 0 || col("ttr") > 1).count() === 0)
+    v.unpersist()
+  }
+
   test("sessionize partitions all events; sessions are well-formed") {
     val s = StatsOps.sessionize(spark, sf).cache()
     val total = Tables.table(spark, sf, "events").count()

@@ -84,6 +84,26 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert(shuffles <= 3, s"unexpected shuffle count $shuffles in:\n$p")
   }
 
+  test("composite keys: versions resolve per key tuple") {
+    // (region, sku) price history: same sku in two regions, own timelines
+    val left = Seq(("eu", 7L, 20L, 1L), ("us", 7L, 20L, 2L), ("eu", 8L, 20L, 3L))
+      .toDF("region", "sku", "t", "lid")
+      .select(col("region"), col("sku"), timestamp_micros(col("t")).as("t"), col("lid"))
+    val right = Seq(("eu", 7L, 10L, 900L), ("eu", 7L, 15L, 901L),
+        ("us", 7L, 12L, 902L), ("eu", 9L, 5L, 903L))
+      .toDF("region", "sku", "t", "rid")
+      .select(col("region"), col("sku"), timestamp_micros(col("t")).as("t"), col("rid"))
+    val out = AsOfJoinNative.asOfKeys(left, right, Seq("region", "sku"), "t", "t")
+      .select("lid", "r_rid").collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out === Map(1L -> 901L,  // eu/7: latest of its own two versions
+      2L -> 902L,                   // us/7: the us timeline, not eu's
+      3L -> -1L))                   // eu/8: no history for that tuple
+    // prefixed key columns are all dropped
+    val cols = AsOfJoinNative.asOfKeys(left, right, Seq("region", "sku"), "t", "t").columns
+    assert(!cols.contains("r_region") && !cols.contains("r_sku"))
+  }
+
   test("tolerance bounds match staleness: too-old versions report unmatched") {
     val left = Seq((1L, 100L, 10L), (1L, 101L, 30L), (1L, 102L, 31L))
       .toDF("k", "lid", "t")
