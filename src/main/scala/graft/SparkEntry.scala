@@ -104,7 +104,8 @@ object SparkEntry {
     // LLM-data-pipeline: multimodal (m1 = deterministic fake decoder with a
     // full arithmetic oracle; m2 = REAL javax.imageio PNG encode→decode)
     "m1_multimodal_decode" -> (MultimodalOps.decodeFeatures _),
-    "m2_image_decode" -> (MultimodalOps.decodeImages _)
+    "m2_image_decode" -> (MultimodalOps.decodeImages _),
+    "m4_audio_features" -> ((s: SparkSession, d: String) => MultimodalOps.audioFeatures(s, d))
   )
 
   /** X1 positional tokenize (LATERAL TABLE(split_words(...)),
@@ -1111,6 +1112,19 @@ object SparkEntry {
         |       1 + doc_id % 64 AS width,
         |       1 + doc_id % 48 AS height,
         |       (1 + doc_id % 64) * (1 + doc_id % 48) AS n_pixels
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // m4: audio frame features over the deterministic fake PCM recurrence —
+    // all-integer, so both engines state the identical samples.
+    "m4_audio_features" ->
+      """WITH s AS (SELECT doc_id, unnest(generate_series(0, n_chars - 1)) AS i
+        |           FROM documents),
+        |t AS (SELECT doc_id, (doc_id * 31 + i * 17) % 256 - 128 AS smp,
+        |             i // 64 AS frame
+        |      FROM s)
+        |SELECT doc_id, CAST(frame AS BIGINT) AS frame, count(*) AS n_samples,
+        |       CAST(sum(abs(smp)) AS BIGINT) AS sum_abs,
+        |       CAST(max(abs(smp)) AS BIGINT) AS max_abs,
+        |       CAST(sum(smp * smp) AS BIGINT) AS energy
+        |FROM t GROUP BY doc_id, frame""".stripMargin
   )
 }

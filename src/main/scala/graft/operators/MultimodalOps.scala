@@ -186,4 +186,35 @@ object MultimodalOps {
         least(lit(1.0), lit(maxSide) / greatest(col("width"), col("height"))))
       .withColumn("out_width", floor(col("width") * col("scale")).cast("int"))
       .withColumn("out_height", floor(col("height") * col("scale")).cast("int"))
+
+  /** M4 — audio frame features over a STUBBED PCM decode (this container has
+    * no audio codecs — SURVEY §2's multimodal contract): each doc stands in
+    * for an audio blob whose sample count is `n_chars`, and the "decoder" is
+    * a deterministic integer fake, `s(i) = (doc_id·31 + i·17) mod 256 − 128`
+    * — swap it for a real codec at the same seam. Everything downstream is
+    * the REAL pipeline shape: samples explode into rows, frames of
+    * [[AudioFrame]] samples aggregate per (doc, frame) into the features an
+    * audio curation pass filters on (sample count, Σ|s|, max |s|, energy).
+    *
+    * Scale notes: the explode fans out per sample but every frame statistic
+    * is an algebraic aggregate — map-side partial agg collapses each frame
+    * within its input split, so the shuffle carries one row per FRAME, not
+    * per sample; `spread` keeps a compacted corpus from synthesizing on one
+    * core. All-integer arithmetic end to end — the DuckDB oracle states the
+    * identical recurrence.
+    */
+  private val AudioFrame = 64
+  def audioFeatures(docs: DataFrame): DataFrame =
+    graft.Tables.spread(docs.select(col("doc_id"), col("n_chars")))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("n_chars") - 1)).as("i"))
+      .withColumn("smp", (col("doc_id") * 31 + col("i") * 17) % 256 - 128)
+      .withColumn("frame", expr(s"i DIV $AudioFrame"))
+      .groupBy("doc_id", "frame")
+      .agg(count(lit(1)).as("n_samples"),
+        sum(abs(col("smp"))).as("sum_abs"),
+        max(abs(col("smp"))).as("max_abs"),
+        sum(col("smp") * col("smp")).as("energy"))
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame =
+    audioFeatures(table(spark, dir, "documents"))
 }

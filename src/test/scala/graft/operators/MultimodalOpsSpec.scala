@@ -51,4 +51,30 @@ class MultimodalOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_pixels") === (1 + id % 64) * (1 + id % 48))
     }
   }
+
+  test("audioFeatures: frames partition the samples; stats match the recurrence (M4)") {
+    import org.apache.spark.sql.functions._
+    val out = MultimodalOps.audioFeatures(spark, "/root/testdata/sf0.001").cache()
+    val docs = graft.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    // frame sample counts sum back to n_chars per doc
+    val perDoc = out.groupBy("doc_id").agg(sum("n_samples").as("n"))
+      .join(docs.select("doc_id", "n_chars"), "doc_id")
+      .filter(col("n") =!= col("n_chars"))
+    assert(perDoc.count() === 0)
+    // all but the last frame per doc are full (64 samples)
+    val lastFrame = out.groupBy("doc_id").agg(max("frame").as("last"))
+    val short = out.join(lastFrame, "doc_id")
+      .filter(col("frame") < col("last") && col("n_samples") =!= 64)
+    assert(short.count() === 0)
+    // one doc checked against the recurrence in plain Scala
+    val id = 3L
+    val n = docs.filter(col("doc_id") === id).head.getAs[Long]("n_chars")
+    val samples = (0L until n).map(i => (id * 31 + i * 17) % 256 - 128)
+    val frame0 = samples.take(64)
+    val row0 = out.filter(col("doc_id") === id && col("frame") === 0).head
+    assert(row0.getAs[Long]("sum_abs") === frame0.map(math.abs).sum)
+    assert(row0.getAs[Long]("max_abs") === frame0.map(math.abs).max)
+    assert(row0.getAs[Long]("energy") === frame0.map(s => s * s).sum)
+    out.unpersist()
+  }
 }
