@@ -105,7 +105,16 @@ object SparkEntry {
     // full arithmetic oracle; m2 = REAL javax.imageio PNG encode→decode)
     "m1_multimodal_decode" -> (MultimodalOps.decodeFeatures _),
     "m2_image_decode" -> (MultimodalOps.decodeImages _),
-    "m4_audio_features" -> ((s: SparkSession, d: String) => MultimodalOps.audioFeatures(s, d))
+    "m4_audio_features" -> ((s: SparkSession, d: String) => MultimodalOps.audioFeatures(s, d)),
+    // v1: frame sampling over video-mime records — every 30th of the stub
+    // decoder's md5-derived frame count; fan-out + dims are oracle-checked,
+    // the opaque frame bytes stay out of the compared columns
+    "v1_frame_sample" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      MultimodalOps.sampleFrames(MultimodalOps.videoRecords(s, d), 30)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("width"), col("height"))
+    })
   )
 
   /** X1 positional tokenize (LATERAL TABLE(split_words(...)),
@@ -1113,6 +1122,21 @@ object SparkEntry {
         |       1 + doc_id % 48 AS height,
         |       (1 + doc_id % 64) * (1 + doc_id % 48) AS n_pixels
         |FROM documents""".stripMargin,
+    // v1: frame-sampling fan-out — every 30th of the md5-derived frame
+    // count, dims from the same digest bytes as m1.
+    "v1_frame_sample" -> {
+      def hexByte(i: Int) =
+        s"((strpos('0123456789abcdef', substr(md5(text), ${2 * i + 1}, 1)) - 1) * 16 + " +
+          s"(strpos('0123456789abcdef', substr(md5(text), ${2 * i + 2}, 1)) - 1))"
+      s"""WITH m AS (SELECT doc_id,
+         |             CAST(64 + (${hexByte(0)} * 256 + ${hexByte(1)}) % 1984 AS INTEGER) AS width,
+         |             CAST(64 + (${hexByte(2)} * 256 + ${hexByte(3)}) % 1984 AS INTEGER) AS height,
+         |             1 + ${hexByte(4)} % 240 AS n_frames
+         |      FROM documents)
+         |SELECT doc_id, CAST(unnest(generate_series(0, n_frames - 1, 30)) AS BIGINT) AS frame_idx,
+         |       width, height
+         |FROM m""".stripMargin
+    },
     // m4: audio frame features over the deterministic fake PCM recurrence —
     // all-integer, so both engines state the identical samples.
     "m4_audio_features" ->

@@ -90,6 +90,19 @@ object MultimodalOps {
       .as[MediaRecord]
   }
 
+  /** Video-mime variant of [[mediaRecords]] — same payloads tagged
+    * `video/fake-*`, so the stub decoder reports a real frame count
+    * (md5-derived, 1-240) instead of a single image frame.
+    */
+  def videoRecords(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.Tables.spread(table(spark, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("video/fake-"), col("source")).as("mime"),
+          encode(col("text"), "UTF-8").as("content")))
+      .as[MediaRecord]
+  }
+
   /** M1 — decode/feature-extract over binary columns. `mapPartitions` so a
     * real decoder would init once per partition and process a batch.
     */
@@ -158,9 +171,13 @@ object MultimodalOps {
     * are the stubbed decoder's output (`???`-equivalent: deterministic fake);
     * the row fan-out, schema, and partition behavior are the real thing.
     */
-  def sampleFrames(spark: SparkSession, dir: String, everyN: Int): DataFrame = {
+  def sampleFrames(spark: SparkSession, dir: String, everyN: Int): DataFrame =
+    sampleFrames(mediaRecords(spark, dir), everyN)
+
+  def sampleFrames(records: Dataset[MediaRecord], everyN: Int): DataFrame = {
+    val spark = records.sparkSession
     import spark.implicits._
-    mediaRecords(spark, dir)
+    records
       .mapPartitions { it =>
         it.flatMap { m =>
           val f = fakeDecode(m)
