@@ -19,8 +19,11 @@ object Bench {
     catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
+      // a query that RAISES records -1 (excluded from the total), not its
+      // elapsed-to-failure — e.g. d7's demo-width gate fails loudly beyond
+      // 1k docs by contract, and a fake-fast number would read as a pass
+      val sec = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
       // isolation between queries (outside the timed span): operators that
       // .cache() intermediate tables (d3/d5/d7/d8) would otherwise keep
       // their blocks pinned across the remaining queries, and the resulting
@@ -30,7 +33,7 @@ object Bench {
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // machine-readable channel: a file the driver can read verbatim (sbt

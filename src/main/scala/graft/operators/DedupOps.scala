@@ -211,19 +211,28 @@ object DedupOps {
     * Iteration hygiene at scale: every round ends in an EAGER
     * `localCheckpoint`, so the plan each round starts from is a flat scan of
     * materialized blocks — lineage (and job planning time) stays CONSTANT
-    * per round instead of growing linearly. The convergence signal is a
-    * `_changed` flag computed inside the same propagation pass; counting it
-    * is a cheap scan of the just-checkpointed blocks, not a second join of
-    * old-vs-new labels. Superseded round RDDs are freed by the context
-    * cleaner as their references drop out of the loop.
+    * per round instead of growing linearly. The convergence signal rides a
+    * `LongAccumulator` out of the SAME job that materializes the checkpoint
+    * — ONE action per round, not a checkpoint plus a count pass. (Task
+    * retries can only over-count an accumulator; the loop reads it solely as
+    * `changed == 0`, which retries cannot fake.) Superseded round RDDs are
+    * freed by the context cleaner as their references drop out of the loop.
+    *
+    * Only TOUCHED vertices iterate: a vertex with no incident pair can never
+    * change label, and in a deduplication graph singletons are the
+    * overwhelming majority of the corpus — excluding them shrinks every
+    * per-round join from |corpus| to |pair-graph vertices|. They rejoin as
+    * their own cluster (one anti-join) after convergence.
     */
   def connectedComponents(vertices: DataFrame, pairs: DataFrame,
       maxIter: Int = 10): DataFrame = {
+    val spark = vertices.sparkSession
     // undirected: propagate labels both ways
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true) // LSH pair generation runs ONCE, not per round
-    var labels = vertices.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0
@@ -238,25 +247,47 @@ object DedupOps {
       // pointer jumping: follow the label's own label (min labels only ever
       // decrease, so the parent's label is always <= ours)
       val parents = prop.select(col("doc_id").as("_p"), col("cluster_id").as("_pc"))
-      val next = prop.join(parents, prop("cluster_id") === parents("_p"), "left")
+      val marked = prop.join(parents, prop("cluster_id") === parents("_p"), "left")
         .select(col("doc_id"),
           coalesce(col("_pc"), col("cluster_id")).as("cluster_id"),
           (coalesce(col("_pc"), col("cluster_id")) < col("_old")).as("_changed"))
+      // fold the convergence signal into the checkpoint job: the row funnel
+      // is a narrow 3-column frame, so the typed boundary costs nothing next
+      // to the job it eliminates
+      val acc = spark.sparkContext.longAccumulator(s"cc_changed_$iter")
+      val next = marked.mapPartitions { it =>
+        it.map { r => if (r.getBoolean(2)) acc.add(1L); r }
+      }(org.apache.spark.sql.Encoders.row(marked.schema))
         .localCheckpoint(true)
-      changed = next.filter(col("_changed")).count()
+      changed = acc.value
       labels = next.drop("_changed")
       iter += 1
     }
-    labels
+    // untouched vertices were never candidates: each is its own cluster
+    val singletons = vertices.select(col("doc_id"))
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    labels.unionByName(singletons)
   }
 
-  /** Cluster-aware corpus dedup: keep exactly one document (the minimum id)
-    * per transitive near-dup cluster.
+  /** Cluster-aware corpus dedup against PRECOMPUTED clusters (the output of
+    * [[nearDupClusters]]): keep exactly one document (the minimum id) per
+    * transitive near-dup cluster. This is the form a real pipeline uses —
+    * LSH pair generation and the component loop are paid ONCE and their
+    * labels reused by every downstream consumer; at 100 TB pair generation
+    * is the dominant cost, so recomputing it per consumer doubles the bill.
     */
-  def dedupByCluster(docs: DataFrame, threshold: Double): DataFrame =
-    docs.join(nearDupClusters(docs, threshold), Seq("doc_id"))
+  def dedupByCluster(docs: DataFrame, clusters: DataFrame): DataFrame =
+    docs.join(clusters, Seq("doc_id"))
       .filter(col("doc_id") === col("cluster_id"))
       .drop("cluster_id")
+
+  /** Self-contained convenience: compute clusters at `threshold`, then keep
+    * the per-cluster minimum. Prefer the two-frame overload when the labels
+    * already exist.
+    */
+  def dedupByCluster(docs: DataFrame, threshold: Double): DataFrame =
+    dedupByCluster(docs, nearDupClusters(docs, threshold))
   /** D11 face: cluster-keeper dedup at the same 0.7 threshold as d10. */
   def dedupByCluster(spark: SparkSession, dir: String): DataFrame =
     dedupByCluster(table(spark, dir, "documents"), 0.7)
@@ -265,12 +296,15 @@ object DedupOps {
   private val SimhashBands = 4
 
   /** Corpus-size ceiling for the 16-bit demo fingerprint (see [[simhashPairs]]):
-    * above ~10k docs a 2¹⁶-point fingerprint space is saturated enough that
-    * hamming ≤ 3 matches stop meaning "near-duplicate" and the pair set
-    * trends quadratic. The guard probe is `limit(max+1).count()`, so it costs
-    * O(maxDocs) rows even on a 100 TB input — never a full scan.
+    * derived from the bucket math, not vibes — 4-bit band keys give 16
+    * buckets per band, so at N docs each bucket holds ~N/16 and the
+    * candidate count is ~4·16·C(N/16, 2) ≈ N²/8. At 1,000 docs that is
+    * ~125k candidate pairs (fine); at 5,000 it is ~3M (measured 23s at
+    * sf0.1, quadratic from there). The ceiling sits where the pair count is
+    * still visibly bounded. The guard probe is `limit(max+1).count()`, so it
+    * costs O(maxDocs) rows even on a 100 TB input — never a full scan.
     */
-  private val DemoWidthMaxDocs = 10000
+  private val DemoWidthMaxDocs = 1000
 
   /** D7 — SimHash near-dup pairs: band the 16-bit fingerprint into 4 bands
     * of 4 bits; any pair with hamming distance <= 3 shares at least one

@@ -223,6 +223,10 @@ object MultimodalOps {
   private val AudioFrame = 64
   def audioFeatures(docs: DataFrame): DataFrame =
     graft.Tables.spread(docs.select(col("doc_id"), col("n_chars")))
+      // guards sequence(0, -1)'s DESCENDING default (same hazard d12 guards):
+      // an empty blob would emit phantom samples i=0 and i=-1 where the
+      // oracle's generate_series(0, -1) is empty
+      .filter(col("n_chars") > 0)
       .select(col("doc_id"),
         explode(sequence(lit(0L), col("n_chars") - 1)).as("i"))
       .withColumn("smp", (col("doc_id") * 31 + col("i") * 17) % 256 - 128)

@@ -52,6 +52,18 @@ case class AsOfJoinPlan(
   require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
     "as-of join needs matching, non-empty key lists")
   require(toleranceMicros.forall(_ >= 0L), "as-of tolerance must be >= 0")
+  // the merge orderings (keyOrd/tsOrd in AsOfJoinExec) are built from the
+  // LEFT side's types but compare RIGHT-side projections too — a type
+  // mismatch (int vs bigint key) would compare garbage silently, so fail at
+  // analysis time instead
+  leftKeys.zip(rightKeys).zipWithIndex.foreach { case ((l, r), i) =>
+    require(l.dataType == r.dataType,
+      s"as-of join key #$i type mismatch: left is ${l.dataType.sql}, " +
+        s"right is ${r.dataType.sql} — cast one side explicitly")
+  }
+  require(leftTs.dataType == rightTs.dataType,
+    s"as-of join time-column type mismatch: left is ${leftTs.dataType.sql}, " +
+      s"right is ${rightTs.dataType.sql} — cast one side explicitly")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -93,8 +105,9 @@ case class AsOfJoinExec(
     right: SparkPlan) extends BinaryExecNode {
 
   require(toleranceMicros.isEmpty ||
-    leftTs.dataType == org.apache.spark.sql.types.TimestampType,
-    "as-of tolerance requires a TimestampType time column")
+    (leftTs.dataType == org.apache.spark.sql.types.TimestampType &&
+      rightTs.dataType == org.apache.spark.sql.types.TimestampType),
+    "as-of tolerance requires TimestampType time columns on both sides")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))

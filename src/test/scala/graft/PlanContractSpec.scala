@@ -12,6 +12,10 @@ class PlanContractSpec extends SparkSpec {
 
   private def planOf(name: String): String = {
     val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    // materialize FIRST: with AQE the pre-execution executedPlan is the
+    // initial (isFinalPlan=false) plan — contracts must pin the FINAL
+    // adaptive plan or Exchange/broadcast assertions silently drift
+    df.count()
     df.queryExecution.executedPlan.toString
   }
   private def count(p: String, needle: String): Int =

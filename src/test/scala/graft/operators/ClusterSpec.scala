@@ -47,9 +47,13 @@ class ClusterSpec extends SparkSpec {
     assert(labels.values.toSet === Set(0L), s"chain did not converge: $labels")
 
     // per-round localCheckpoint keeps the result's lineage flat — the plan
-    // must be a scan of materialized blocks, not 10 rounds of stacked joins
-    val planLines = out.queryExecution.optimizedPlan.toString.linesIterator.size
-    assert(planLines <= 5, s"lineage not truncated: $planLines plan lines")
+    // is the checkpoint scan plus the CONSTANT singleton rejoin (one
+    // anti-join + union), never 10 rounds of stacked propagation joins
+    val plan = out.queryExecution.optimizedPlan.toString
+    val planLines = plan.linesIterator.size
+    assert(planLines <= 12, s"lineage not truncated: $planLines plan lines\n$plan")
+    assert("(?i)join".r.findAllIn(plan).size <= 1,
+      s"more than the one singleton anti-join in the final plan:\n$plan")
   }
 
   test("clusters partition all docs; cluster_id is the component minimum") {
