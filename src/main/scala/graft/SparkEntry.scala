@@ -105,6 +105,11 @@ object SparkEntry {
     // full arithmetic oracle; m2 = REAL javax.imageio PNG encode→decode)
     "m1_multimodal_decode" -> (MultimodalOps.decodeFeatures _),
     "m2_image_decode" -> (MultimodalOps.decodeImages _),
+    // m3: resize planning over the m1 feature table — pure in-plan
+    // arithmetic (scale factor, floored target dims), stated exactly by
+    // the oracle; only upscale-capped shrink-to-fit 512 is exercised
+    "m3_resize" -> ((s: SparkSession, d: String) =>
+      MultimodalOps.resizePlan(MultimodalOps.decodeFeatures(s, d), 512)),
     "m4_audio_features" -> ((s: SparkSession, d: String) => MultimodalOps.audioFeatures(s, d)),
     // v1: frame sampling over video-mime records — every 30th of the stub
     // decoder's md5-derived frame count; fan-out + dims are oracle-checked,
@@ -1112,6 +1117,25 @@ object SparkEntry {
          |       CAST(64 + (${hexByte(2)} * 256 + ${hexByte(3)}) % 1984 AS INTEGER) AS height,
          |       CAST(1 AS INTEGER) AS n_frames
          |FROM documents""".stripMargin
+    },
+    // m3: the m1 feature table + resize arithmetic. Both engines compute
+    // scale = least(1.0, 512 / max(width, height)) as IEEE double division
+    // and floor(dim * scale), so the comparison is bit-exact.
+    "m3_resize" -> {
+      def hexByte(i: Int) =
+        s"((strpos('0123456789abcdef', substr(md5(text), ${2 * i + 1}, 1)) - 1) * 16 + " +
+          s"(strpos('0123456789abcdef', substr(md5(text), ${2 * i + 2}, 1)) - 1))"
+      s"""WITH f AS (SELECT doc_id, 'image/fake-' || source AS mime,
+         |            CAST(length(text) AS BIGINT) AS byte_len,
+         |            CAST(64 + (${hexByte(0)} * 256 + ${hexByte(1)}) % 1984 AS INTEGER) AS width,
+         |            CAST(64 + (${hexByte(2)} * 256 + ${hexByte(3)}) % 1984 AS INTEGER) AS height,
+         |            CAST(1 AS INTEGER) AS n_frames
+         |     FROM documents)
+         |SELECT doc_id, mime, byte_len, width, height, n_frames,
+         |       least(CAST(1.0 AS DOUBLE), 512 / greatest(width, height)) AS scale,
+         |       CAST(floor(width * least(CAST(1.0 AS DOUBLE), 512 / greatest(width, height))) AS INTEGER) AS out_width,
+         |       CAST(floor(height * least(CAST(1.0 AS DOUBLE), 512 / greatest(width, height))) AS INTEGER) AS out_height
+         |FROM f""".stripMargin
     },
     // m2: Spark really encodes a (1+id%64) × (1+id%48) PNG per doc and
     // really decodes it with javax.imageio; the oracle states the expected
