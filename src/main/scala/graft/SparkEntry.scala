@@ -101,6 +101,10 @@ object SparkEntry {
     "t8_normalize" -> ((s: SparkSession, d: String) => TextOps.normalizeText(s, d)),
     "t7_repetition" -> ((s: SparkSession, d: String) => TextOps.repetitionStats(s, d)),
     "t9_regex_tokens" -> ((s: SparkSession, d: String) => TextOps.regexTokens(s, d)),
+    // t10: BPE subword tokenization through the fixed demo merge table
+    // (training determinism is spec-pinned; the oracle replays the same
+    // merge ranks as string replacements)
+    "t10_bpe_tokenize" -> ((s: SparkSession, d: String) => CurationOps.bpeTokenize(s, d)),
     // LLM-data-pipeline: multimodal (m1 = deterministic fake decoder with a
     // full arithmetic oracle; m2 = REAL javax.imageio PNG encode→decode)
     "m1_multimodal_decode" -> (MultimodalOps.decodeFeatures _),
@@ -871,6 +875,31 @@ object SparkEntry {
         |       CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+'))) AS BIGINT) AS rx_distinct,
         |       regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+')[1] AS first_tok
         |FROM documents""".stripMargin,
+    // t10: BPE tokenization — the oracle replays the demo merge table as
+    // the SAME double-space-separated string replacements the Spark side
+    // folds (single source of truth: CurationOps.DemoBpeMerges), so merge
+    // order, simultaneous-pair semantics, and greedy overlap resolution are
+    // compared bit-exactly.
+    "t10_bpe_tokenize" -> {
+      val spaced = "'  ' || array_to_string(string_split(word, ''), '  ') || '  '"
+      val applied = graft.operators.CurationOps.DemoBpeMerges.foldLeft(spaced) {
+        case (s, (a, b)) => s"replace($s, ' $a  $b ', ' $a$b ')"
+      }
+      s"""WITH w AS (
+         |  SELECT doc_id, word_idx, word FROM (
+         |    SELECT doc_id,
+         |           CAST(unnest(generate_series(1, len(ws))) - 1 AS BIGINT) AS word_idx,
+         |           unnest(ws) AS word
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |          WHERE doc_id < 100))
+         |  WHERE len(word) > 0),
+         |t AS (SELECT doc_id, word_idx, word,
+         |             string_split(trim($applied), '  ') AS toks FROM w)
+         |SELECT doc_id, word_idx, word,
+         |       CAST(unnest(generate_series(1, len(toks))) - 1 AS BIGINT) AS tok_idx,
+         |       unnest(toks) AS token
+         |FROM t""".stripMargin
+    },
     // b1: bloom-prefiltered decontamination — the bloom is a pure candidate
     // reducer (the exact join decides), so the oracle is the exact pipeline.
     "b1_bloom_decontaminate" ->

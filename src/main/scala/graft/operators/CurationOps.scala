@@ -433,4 +433,121 @@ object CurationOps {
   }
   def vocabStats(spark: SparkSession, dir: String): DataFrame =
     vocabStats(table(spark, dir, "documents"))
+
+  // ---------------------------------------------------------------------
+  // T10 — deterministic BPE-style subword tokenization (Sennrich/Haddow/
+  // Birch, ACL'16): train a merge table from adjacent-symbol pair
+  // frequencies, then tokenize by applying the merges in rank order.
+  // Replaces the chars/4 token ESTIMATE (t3/g2/s3) with real subword
+  // accounting for a training-data pipeline.
+  //
+  // Symbol-string representation (shared by train and tokenize, and by the
+  // DuckDB oracle): a word is its characters joined by DOUBLE spaces with
+  // double-space margins ("  h  e  y  "); merge (a, b) is the plain string
+  // replacement " a  b " → " ab ". The single-space margins inside the
+  // pattern leave each neighbor's half of the boundary intact, so every
+  // non-overlapping (a, b) occurrence in a word merges in ONE left-to-right
+  // replace pass — e.g. "a b a b" → "ab ab" — while overlapping runs merge
+  // greedily left-first ("l l l" → "ll l"), exactly the classic BPE apply
+  // order. Later merges only ever reference symbols built by earlier ranks
+  // and fusing neighbors never creates a new adjacency of older symbols, so
+  // one pass per rank equals apply-until-fixpoint. `replace` is leftmost
+  // non-overlapping in both engines, making the oracle bit-exact.
+  // ---------------------------------------------------------------------
+
+  private val BpeSep = "  " // double-space symbol separator (see above)
+
+  /** A word as a BPE symbol string: "  c1  c2  ...  cn  ". */
+  private def bpeSymbols(word: Column): Column =
+    concat(lit(BpeSep), array_join(split(word, ""), BpeSep), lit(BpeSep))
+
+  /** Apply a merge table (rank order) to a symbol-string column — a fold of
+    * codegen'd `replace` calls, one per merge: pure map-side scan-project,
+    * no UDF, no shuffle. The merge table rides in the plan as literals (the
+    * broadcast-analog for expression trees).
+    */
+  def bpeApply(sym: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(sym) { case (s, (a, b)) =>
+      replace(s, lit(s" $a$BpeSep$b "), lit(s" $a$b "))
+    }
+
+  /** Train `numMerges` BPE merges over the corpus.
+    *
+    * The published training trick keeps this tractable at any corpus size:
+    * iterate over the DISTINCT-WORD frequency table, not the corpus — ONE
+    * corpus-sized shuffle builds the (word, count) dict (vocabulary
+    * cardinality, bounded by language, not data volume), then each merge
+    * rank costs one aggregation over that small frame. Per-round hygiene
+    * matches [[graft.operators.DedupOps.connectedComponents]]: the updated
+    * vocab is eagerly localCheckpoint'ed so lineage (and planning time)
+    * stays constant across ranks; the argmax collect moves ONE row to the
+    * driver per rank. Ties break (count desc, first asc, second asc) —
+    * fully deterministic, so the learned table is reproducible.
+    */
+  def bpeTrain(docs: DataFrame, numMerges: Int): Seq[(String, String)] = {
+    var vocab = graft.Tables.spread(docs.select(split(col("text"), " ").as("ws")))
+      .select(explode(col("ws")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("wct"))
+      .select(bpeSymbols(col("word")).as("sym"), col("wct"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.size < numMerges && !exhausted) {
+      val toks = split(trim(col("sym")), BpeSep)
+      val best = vocab
+        .select(explode(zip_with(toks, slice(toks, lit(2), size(toks)),
+          (a, b) => struct(a.as("f"), b.as("s")))).as("p"), col("wct"))
+        .filter(col("p.s").isNotNull) // zip_with pads the last window
+        .groupBy(col("p.f").as("first"), col("p.s").as("second"))
+        .agg(sum(col("wct")).as("ct"))
+        .orderBy(col("ct").desc, col("first"), col("second"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val m = (best(0).getString(0), best(0).getString(1))
+        merges += m
+        vocab = vocab.select(bpeApply(col("sym"), Seq(m)).as("sym"), col("wct"))
+          .localCheckpoint(true)
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Fixed demo merge table for the oracle-checked t10 face (training
+    * determinism is pinned by CurationOpsSpec): plausible English merges,
+    * ordered so later ranks consume earlier outputs (th→the, an→and,
+    * in→ing) — the sequencing is what the oracle must reproduce.
+    */
+  val DemoBpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("o", "n"),
+    ("e", "r"), ("an", "d"), ("o", "u"), ("in", "g"), ("s", "t"))
+
+  /** T10 — tokenize every word of every document through a merge table:
+    * one row per (doc, word, subword token). Tokenization is a pure
+    * scan-project (split + K `replace` calls + explode, all codegen'd);
+    * the only shuffle is `spread`'s split widening for compacted inputs.
+    */
+  def bpeTokenize(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val words = graft.Tables.spread(
+        docs.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("word_idx", "word"))))
+      .filter(length(col("word")) > 0)
+      .withColumn("word_idx", col("word_idx").cast("long"))
+    words.select(col("doc_id"), col("word_idx"), col("word"),
+        posexplode(split(trim(bpeApply(bpeSymbols(col("word")), merges)), BpeSep))
+          .as(Seq("tok_idx", "token")))
+      .withColumn("tok_idx", col("tok_idx").cast("long"))
+  }
+  /** T10 face: demo merge table over the first 100 docs (x1 convention). */
+  def bpeTokenize(spark: SparkSession, dir: String): DataFrame =
+    bpeTokenize(table(spark, dir, "documents").filter(col("doc_id") < 100),
+      DemoBpeMerges)
+
+  /** Real per-document subword token counts from a merge table — the
+    * drop-in replacement for the chars/4 estimate once a table is trained.
+    */
+  def bpeTokenCounts(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    bpeTokenize(docs, merges)
+      .groupBy("doc_id").agg(count(lit(1)).as("bpe_tokens"))
 }
