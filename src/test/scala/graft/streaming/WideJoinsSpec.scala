@@ -3,6 +3,7 @@ package graft.streaming
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 case class Oi(id: Long, user_id: Long, total_amount: Double, create_ts: Long)
 case class Od(id: Long, order_id: Long, sku_id: Long, order_price: Double, create_ts: Long)
@@ -70,5 +71,36 @@ class WideJoinsSpec extends SparkSpec {
     // dim side must be broadcast: no shuffle exchange for the dim
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("enrichAsOf: streaming micro-batches == batch native as-of, row for row (J3b)") {
+    implicit val sqlCtx = spark.sqlContext
+    // SCD2 history: per-user dim versions at distinct event times
+    val history = Seq((1L, 0L, "v0"), (1L, 100L, "v1"), (2L, 50L, "w0"))
+      .toDF("user_id", "ts", "ver")
+    val b1 = Seq((10L, 1L, 40L), (11L, 2L, 40L)) // (click_id, user_id, ts)
+    val b2 = Seq((12L, 1L, 150L), (13L, 2L, 60L), (14L, 3L, 10L))
+    val input = MemoryStream[(Long, Long, Long)]
+    input.addData(b1: _*); input.addData(b2: _*)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[String])]
+    val q = WideJoins.enrichAsOf(
+        input.toDF().toDF("click_id", "user_id", "ts"),
+        history, "user_id", "ts", "ts") { (df, _) =>
+        got ++= df.select("click_id", "r_ver").collect()
+          .map(r => r.getLong(0) -> Option(r.getAs[String]("r_ver")))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+
+    // batch face over the union of all micro-batches
+    val batch = graft.plans.AsOfJoinNative.asOf(
+        (b1 ++ b2).toDF("click_id", "user_id", "ts"), history,
+        "user_id", "ts", "ts")
+      .select("click_id", "r_ver").collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[String]("r_ver"))).toSet
+    assert(got.toSet === batch, s"stream ${got.toSet} != batch $batch")
+    // lookup-time semantics: each fact sees the version in force at ITS ts
+    assert(got.toMap === Map(10L -> Some("v0"), 11L -> None,
+      12L -> Some("v1"), 13L -> Some("w0"), 14L -> None))
   }
 }
