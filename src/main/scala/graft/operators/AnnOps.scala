@@ -305,6 +305,52 @@ object AnnOps {
     cents.select(col("cell").cast("int"), col("centroid")).collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
 
+  /** Lloyd's k-means training for the IVF coarse quantizer: iterate
+    * assign → average until the largest centroid movement drops under `tol`
+    * (euclidean) or `maxIter` rounds pass. Returns the trained centroids in
+    * [[assignCellsLit]]'s driver-held form, sorted by cell.
+    *
+    * Deterministic by construction (auditable at 100 TB like the hash
+    * samplers): seeding partitions the corpus by `vec_id % k` — no RNG, no
+    * partition-order dependence — and assignment tie-breaks (max score, min
+    * cell) are pinned in [[assignCellsLit]].
+    *
+    * Scale notes: each round is ONE corpus aggregation — assignment is a
+    * map-side projection against the k driver-held centroids (no join, no
+    * corpus shuffle; [[assignCellsLit]]), and the mean reduces on
+    * (cell, dim) with map-side partial agg, k·dims rows total. Driver state
+    * and per-round collect are k centroids — the coarse quantizer is small
+    * by construction. Empty cells keep their previous centroid (the
+    * standard Lloyd fallback), so the cell count never silently shrinks.
+    * Convergence is measured on the driver from the just-collected
+    * centroids: no extra job, no growing lineage (each round's frame is
+    * built fresh from the raw corpus and k literals).
+    */
+  def kmeansTrain(e: DataFrame, k: Int, maxIter: Int = 10,
+      tol: Double = 1e-4): Array[(Int, Array[Float])] = {
+    require(k > 0, "k-means needs k > 0")
+    var cents = collectCentroids(centroids(
+      e.withColumn("cell", (col("vec_id") % k).cast("int")), "cell"))
+    var moved = Double.MaxValue
+    var iter = 0
+    while (iter < maxIter && moved > tol) {
+      val assigned = assignCellsLit(e, cents)
+        .withColumnRenamed("assigned_cell", "cell")
+      val next = collectCentroids(centroids(assigned, "cell")).toMap
+      val prev = cents.toMap
+      moved = cents.map { case (cell, c) =>
+        next.get(cell).fold(0.0) { n =>
+          math.sqrt(c.zip(n).foldLeft(0.0) { case (a, (x, y)) =>
+            a + (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble)
+          })
+        }
+      }.foldLeft(0.0)(math.max)
+      cents = cents.map { case (cell, c) => (cell, next.getOrElse(cell, c)) }
+      iter += 1
+    }
+    cents.sortBy(_._1)
+  }
+
   /** Full IVF search: corpus pre-assigned to cells, each query probes its
     * `nProbe` nearest cells and ranks candidates by exact cosine — the
     * standard recall/throughput dial (nProbe = all cells ⇒ exact brute

@@ -152,6 +152,39 @@ class AnnOpsSpec extends SparkSpec {
     assert(recall > 0, "probing 2 cells recovered none of the true top-5")
   }
 
+  test("kmeansTrain converges to stable cells; trained ivfSearch recalls brute-force truth") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val k = 8
+    val cents = AnnOps.kmeansTrain(e, k, maxIter = 15, tol = 1e-6)
+    assert(cents.map(_._1).toSeq === (0 until k), "cells must survive training")
+    // training is deterministic: a second run is bit-identical
+    val again = AnnOps.kmeansTrain(e, k, maxIter = 15, tol = 1e-6)
+    assert(cents.map(_._2.toSeq).toSeq === again.map(_._2.toSeq).toSeq)
+    // stability: assignments under the trained centroids reproduce the
+    // centroids they were averaged from (one more Lloyd round moves < tol)
+    val assigned = AnnOps.assignCellsLit(e, cents)
+      .withColumnRenamed("assigned_cell", "cell")
+    val re = AnnOps.collectCentroids(AnnOps.centroids(assigned, "cell")).toMap
+    val worst = cents.map { case (c, v) =>
+      re.get(c).fold(0.0)(n => math.sqrt(v.zip(n).map { case (x, y) =>
+        (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum))
+    }.max
+    assert(worst <= 1e-6, s"trained centroids not a Lloyd fixpoint: moved $worst")
+
+    // recall vs n1 brute-force truth, LshRecallSpec-style: probing 3/8
+    // trained cells must recover most true top-5 neighbors
+    val centsDf = AnnOps.centroids(assigned, "cell")
+    val queries = e.filter(col("vec_id") < 10)
+    val brute = AnnOps.cosineTopK(e).select("query_id", "neighbor_id")
+    val ivf = AnnOps.ivfSearch(e, centsDf, queries, 5, 3)
+      .select("query_id", "neighbor_id")
+    val truth = brute.count()
+    val recalled = ivf.join(brute, Seq("query_id", "neighbor_id")).count()
+    assert(truth === 50)
+    assert(recalled * 2 >= truth,
+      s"3-probe recall $recalled/$truth under trained quantizer")
+  }
+
   test("semantic decontamination covers exactly the non-benchmark corpus; sims bounded") {
     val e = Tables.table(spark, sf, "embeddings")
     val d = AnnOps.semanticDecontaminate(e).cache()
