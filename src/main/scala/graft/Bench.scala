@@ -17,18 +17,25 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     try graft.Tables.table(spark, sfDir, "lineitem").limit(1).count()
     catch { case _: Throwable => }
+    // SPARK_GRAFT_FRESH_SESSION=1: run each query in its own newSession()
+    // (isolated SQL conf, temp views, UDF registry; the SparkContext and
+    // JVM-wide codegen cache are shared by design) — the repeat-run
+    // stability mode: cross-query session state can't leak into timings
+    val freshSession = sys.env.get("SPARK_GRAFT_FRESH_SESSION").contains("1")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val s = if (freshSession) spark.newSession() else spark
       val t0 = System.nanoTime()
       // a query that RAISES records -1 (excluded from the total), not its
       // elapsed-to-failure — e.g. d7's demo-width gate fails loudly beyond
       // 1k docs by contract, and a fake-fast number would read as a pass
-      val sec = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      val sec = try { fn(s, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => -1.0 }
       // isolation between queries (outside the timed span): operators that
       // .cache() intermediate tables (d3/d5/d7/d8) would otherwise keep
       // their blocks pinned across the remaining queries, and the resulting
       // memory pressure moves later queries' numbers ±3× run to run
-      spark.catalog.clearCache()
+      // (the cache manager lives in SharedState, so this clears every session)
+      s.catalog.clearCache()
       name -> sec
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
