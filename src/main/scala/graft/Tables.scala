@@ -52,10 +52,13 @@ object Tables {
     * at scale it is noise next to the expansion itself, and on well-split
     * inputs the max() keeps the native layout width.
     */
-  def spread(df: DataFrame): DataFrame = {
-    val target = math.max(
-      df.sparkSession.sparkContext.defaultParallelism,
-      df.rdd.getNumPartitions)
-    df.repartition(target)
-  }
+  def spread(df: DataFrame): DataFrame =
+    if (df.isStreaming) df // micro-batch split count is runtime-determined;
+    // the .rdd width probe below would throw on an unstarted streaming frame
+    else {
+      val target = math.max(
+        df.sparkSession.sparkContext.defaultParallelism,
+        df.rdd.getNumPartitions)
+      df.repartition(target)
+    }
 }

@@ -204,8 +204,92 @@ object MultimodalOps {
       .withColumn("out_width", floor(col("width") * col("scale")).cast("int"))
       .withColumn("out_height", floor(col("height") * col("scale")).cast("int"))
 
-  /** M4 — audio frame features over a STUBBED PCM decode (this container has
-    * no audio codecs — SURVEY §2's multimodal contract): each doc stands in
+  /** Deterministic 8-bit mono PCM WAV with `nSamples` samples of the m4
+    * recurrence `s(i) = (doc_id·31 + i·17) mod 256 − 128` (stored as the
+    * unsigned byte `s + 128`, the 8-bit WAV convention). REAL encode: the
+    * in-JDK `javax.sound.sampled` writer emits the RIFF/WAVE container, so
+    * the decode side exercises the genuine WAV parser, not a fixture.
+    */
+  private[operators] def syntheticWav(docId: Long, nSamples: Int): Array[Byte] = {
+    val data = new Array[Byte](nSamples)
+    var i = 0
+    while (i < nSamples) {
+      data(i) = (((docId * 31 + i * 17) % 256 - 128) + 128).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    } finally ais.close()
+  }
+
+  /** REAL audio decode via the in-JDK `javax.sound.sampled` WAV parser —
+    * the audio analog of [[ImageIoCodec]]: bytes → signed samples in
+    * [−128, 127]. Fails loudly on undecodable bytes (no silent fallback).
+    */
+  object WavCodec extends Serializable {
+    def decodeSamples(bytes: Array[Byte]): Array[Int] = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+          s"WavCodec demo handles 8-bit mono PCM, got $fmt")
+        val raw = ais.readAllBytes()
+        val signed = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        raw.map(b => if (signed) b.toInt else (b & 0xff) - 128)
+      } finally ais.close()
+    }
+  }
+
+  /** WAV payloads whose samples follow the m4 recurrence (sample count =
+    * `n_chars`) — real RIFF/WAVE bytes, spread like [[imageRecords]] so
+    * encode and decode amortize per partition across every core.
+    */
+  def audioRecords(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.Tables.spread(table(spark, dir, "documents")
+        .filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("n_chars")))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, n) =>
+        MediaRecord(id, "audio/wav", syntheticWav(id, n.toInt)) })
+  }
+
+  /** M5 — REAL audio decode end-to-end, the m2 pattern at the audio seam:
+    * encode a WAV per document, parse it back with [[WavCodec]], aggregate
+    * the decoded samples into the SAME per-frame features as m4. The oracle
+    * states the recurrence arithmetically, so any container/codec fault
+    * (wrong header math, dropped samples, sign errors) breaks the hash.
+    * Frame aggregation happens INSIDE the decoder pass — one row per frame
+    * leaves the codec seam, never one per sample.
+    */
+  def decodeAudioFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    audioRecords(spark, dir)
+      .mapPartitions(_.flatMap { m =>
+        WavCodec.decodeSamples(m.content).grouped(AudioFrame).zipWithIndex
+          .map { case (fr, idx) =>
+            var sumAbs = 0L; var maxAbs = 0L; var energy = 0L
+            fr.foreach { s =>
+              sumAbs += math.abs(s); energy += s.toLong * s
+              if (math.abs(s) > maxAbs) maxAbs = math.abs(s)
+            }
+            (m.doc_id, idx.toLong, fr.length.toLong, sumAbs, maxAbs, energy)
+          }
+      })
+      .toDF("doc_id", "frame", "n_samples", "sum_abs", "max_abs", "energy")
+  }
+
+  /** M4 — audio frame features over a STUBBED PCM decode (the pluggable
+    * codec-seam face; [[decodeAudioFrames]] is the REAL-codec sibling that
+    * round-trips actual WAV bytes): each doc stands in
     * for an audio blob whose sample count is `n_chars`, and the "decoder" is
     * a deterministic integer fake, `s(i) = (doc_id·31 + i·17) mod 256 − 128`
     * — swap it for a real codec at the same seam. Everything downstream is

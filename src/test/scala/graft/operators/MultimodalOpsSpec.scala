@@ -52,6 +52,30 @@ class MultimodalOpsSpec extends SparkSpec {
     }
   }
 
+  test("WavCodec round-trips real RIFF/WAVE bytes sample-exact (M5)") {
+    val wav = MultimodalOps.syntheticWav(7L, 200)
+    // it is a genuine WAV container, not raw PCM
+    assert(new String(wav.take(4), "US-ASCII") === "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE")
+    val decoded = MultimodalOps.WavCodec.decodeSamples(wav)
+    val expected = (0 until 200).map(i => ((7L * 31 + i * 17) % 256 - 128).toInt)
+    assert(decoded.toSeq === expected)
+  }
+
+  test("WavCodec fails loudly on undecodable bytes (M5)") {
+    intercept[Exception] {
+      MultimodalOps.WavCodec.decodeSamples("not a wav file".getBytes)
+    }
+  }
+
+  test("decodeAudioFrames equals the stub-decode m4 aggregates, distributed (M5)") {
+    val real = MultimodalOps.decodeAudioFrames(spark, "/root/testdata/sf0.001")
+    val stub = MultimodalOps.audioFeatures(spark, "/root/testdata/sf0.001")
+    assert(real.count() > 0)
+    assert(real.exceptAll(stub).count() === 0)
+    assert(stub.exceptAll(real).count() === 0)
+  }
+
   test("audioFeatures: frames partition the samples; stats match the recurrence (M4)") {
     import org.apache.spark.sql.functions._
     val out = MultimodalOps.audioFeatures(spark, "/root/testdata/sf0.001").cache()

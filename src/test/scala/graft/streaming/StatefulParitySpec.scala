@@ -104,6 +104,30 @@ class StatefulParitySpec extends SparkSpec {
     assert(keptByDoc === Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("bpeTokenize is a STATELESS streaming face: stream == batch per row (T10)") {
+    implicit val sqlCtx = spark.sqlContext
+    // tokenization is a pure scan-project, so the same call runs on a
+    // streaming frame unchanged (spread passes streaming inputs through)
+    val rows = Seq((1L, "the band"), (2L, "standing there"))
+    val merges = graft.operators.CurationOps.DemoBpeMerges
+    val input = MemoryStream[(Long, String)]
+    input.addData(rows: _*)
+    val q = graft.operators.CurationOps.bpeTokenize(
+        input.toDF().toDF("doc_id", "text"), merges)
+      .writeStream.format("memory").queryName("sp_bpe")
+      .trigger(Trigger.AvailableNow()).outputMode("append").start()
+    try q.awaitTermination() finally q.stop()
+    val streamed = spark.table("sp_bpe")
+      .select("doc_id", "word_idx", "tok_idx", "token").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val batched = graft.operators.CurationOps.bpeTokenize(
+        rows.toDF("doc_id", "text"), merges)
+      .select("doc_id", "word_idx", "tok_idx", "token").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(streamed === batched)
+    assert(streamed.nonEmpty)
+  }
+
   test("embeddingDedupStream: stream (AvailableNow) == batch, first arrival survives") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(11)
