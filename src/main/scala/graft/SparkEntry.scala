@@ -90,6 +90,9 @@ object SparkEntry {
     "s5_doc_chunk" -> ((s: SparkSession, d: String) => CurationOps.chunkDocuments(s, d)),
     "s6_domain_cap" -> ((s: SparkSession, d: String) => CurationOps.domainCap(s, d)),
     "s7_length_buckets" -> ((s: SparkSession, d: String) => CurationOps.lengthBuckets(s, d)),
+    // s8: sequence packing driven by REAL BPE subword counts (t10's merge
+    // table) instead of the chars/4 estimate — counting and packing compose
+    "s8_bpe_pack" -> ((s: SparkSession, d: String) => CurationOps.bpePackSequences(s, d)),
     "g1_ngram_topk" -> ((s: SparkSession, d: String) => CurationOps.ngramTopK(s, d)),
     "g3_tfidf_topterms" -> ((s: SparkSession, d: String) => CurationOps.tfidfTopTerms(s, d)),
     "g4_vocab_stats" -> ((s: SparkSession, d: String) => CurationOps.vocabStats(s, d)),
@@ -959,6 +962,35 @@ object SparkEntry {
          |       CAST(tok_offset // 512 AS BIGINT) AS seq_idx,
          |       CAST(tok_offset % 512 AS BIGINT) AS seq_offset
          |FROM o""".stripMargin,
+    // s8: s3's packing arithmetic over REAL BPE token counts — the token
+    // CTE replays t10's merge table per word and sums map-side; docs whose
+    // every word is empty drop out on both sides (no tokens to place).
+    "s8_bpe_pack" -> {
+      val spaced = "'  ' || array_to_string(string_split(word, ''), '  ') || '  '"
+      val applied = graft.operators.CurationOps.DemoBpeMerges.foldLeft(spaced) {
+        case (s, (a, b)) => s"replace($s, ' $a  $b ', ' $a$b ')"
+      }
+      s"""WITH w AS (
+         |  SELECT doc_id, word FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |    FROM documents WHERE doc_id < 100)
+         |  WHERE len(word) > 0),
+         |tc AS (SELECT doc_id,
+         |              CAST(sum(len(string_split(trim($applied), '  '))) AS BIGINT) AS tokens
+         |       FROM w GROUP BY doc_id),
+         |t AS (SELECT doc_id, tokens,
+         |             md5('shard:' || CAST(doc_id AS VARCHAR)) AS hs FROM tc),
+         |s AS (SELECT doc_id, tokens, ${hex16("hs")} % 8 AS shard FROM t),
+         |o AS (SELECT doc_id, shard, tokens,
+         |             sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens
+         |               AS tok_offset
+         |      FROM s)
+         |SELECT doc_id, shard, tokens, CAST(tok_offset AS BIGINT) AS tok_offset,
+         |       CAST(tok_offset // 512 AS BIGINT) AS seq_idx,
+         |       CAST(tok_offset % 512 AS BIGINT) AS seq_offset
+         |FROM o""".stripMargin
+    },
     // s5: overlapping token-window chunking — 128-token chunks, stride 96;
     // chunk count by integer ceil, bounds clamped to the doc's tokens.
     "s5_doc_chunk" ->

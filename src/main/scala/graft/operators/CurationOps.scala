@@ -132,10 +132,21 @@ object CurationOps {
     * no global sort anywhere. Integer division end to end, so placement is
     * bit-reproducible across engines.
     */
-  def packSequences(docs: DataFrame, ctxLen: Int = 512, numShards: Int = 8): DataFrame = {
+  def packSequences(docs: DataFrame, ctxLen: Int = 512, numShards: Int = 8): DataFrame =
+    packSequencesFrom(
+      docs.select(col("doc_id"), ceil(col("n_chars") / 4.0).cast("long").as("tokens")),
+      ctxLen, numShards)
+
+  /** Token-count-parameterized packing: the same placement arithmetic over a
+    * caller-supplied `(doc_id, tokens)` frame — e.g. REAL subword counts
+    * from [[bpeTokenCounts]] (s8) instead of the chars/4 estimate. Counting
+    * and packing compose without materializing any token stream.
+    */
+  def packSequencesFrom(tokenCounts: DataFrame, ctxLen: Int = 512,
+      numShards: Int = 8): DataFrame = {
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(col("doc_id"), ceil(col("n_chars") / 4.0).cast("long").as("tokens"))
+    tokenCounts.select(col("doc_id"), col("tokens"))
       .withColumn("shard", hashBucket("shard:") % numShards)
       .withColumn("tok_offset", sum("tokens").over(w) - col("tokens"))
       .withColumn("seq_idx", expr(s"tok_offset DIV $ctxLen"))
@@ -546,8 +557,20 @@ object CurationOps {
 
   /** Real per-document subword token counts from a merge table — the
     * drop-in replacement for the chars/4 estimate once a table is trained.
+    * Counted WITHOUT the per-token explode: one `size(split(...))` per word
+    * summed map-side, so the shuffle carries one row per doc.
     */
   def bpeTokenCounts(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
-    bpeTokenize(docs, merges)
-      .groupBy("doc_id").agg(count(lit(1)).as("bpe_tokens"))
+    graft.Tables.spread(
+        docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word")))
+      .filter(length(col("word")) > 0)
+      .select(col("doc_id"),
+        size(split(trim(bpeApply(bpeSymbols(col("word")), merges)), BpeSep))
+          .cast("long").as("word_tokens"))
+      .groupBy("doc_id").agg(sum(col("word_tokens")).as("tokens"))
+
+  /** S8 face: pack the t10 demo slice with REAL BPE token counts. */
+  def bpePackSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequencesFrom(bpeTokenCounts(
+      table(spark, dir, "documents").filter(col("doc_id") < 100), DemoBpeMerges))
 }
