@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
-import graft.functions.{CosineSimF, DotProductF, MinHashSigExpr, SimHashBitsExpr, SrpSigExpr}
+import graft.functions.{CosineSimF, DotProductF, MinHashSigExpr, SimHashBitsExpr, SrpSigExpr, WinnowMinsExpr}
 
 /** Session extension wiring: registers the engine's native expressions for
   * SQL use. Install with
@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimF].getName, "cosine_sim"),
       GraftExtensions.cosineBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_mins"),
+      new ExpressionInfo(classOf[WinnowMinsExpr].getName, "winnow_mins"),
+      GraftExtensions.winnowBuilder))
     ext.injectFunction((
       FunctionIdentifier("bloom_filter_agg"),
       new ExpressionInfo(classOf[BloomFilterAggregate].getName, "bloom_filter_agg"),
@@ -109,6 +113,12 @@ object GraftExtensions {
     case children => wrongArgs("srp_sig", 2, children.length)
   }
 
+  /** `winnow_mins(words, w)` — w must be a foldable integer literal. */
+  private[graft] val winnowBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => WinnowMinsExpr(a, intLiteralArg("winnow_mins", "w", b))
+    case children => wrongArgs("winnow_mins", 2, children.length)
+  }
+
   /** `bloom_filter_agg(xxhash64(x)[, est_items, num_bits])` — Spark's own
     * runtime-filter aggregate (a compact binary sketch), surfaced for explicit
     * semi-join reduction; probe with `bloom_might_contain(scalar-subquery,
@@ -136,6 +146,7 @@ object GraftExtensions {
     bridge.registerFunction(spark, "minhash_sig", minhashBuilder)
     bridge.registerFunction(spark, "simhash_bits", simhashBuilder)
     bridge.registerFunction(spark, "srp_sig", srpBuilder)
+    bridge.registerFunction(spark, "winnow_mins", winnowBuilder)
     bridge.registerFunction(spark, "cosine_sim", cosineBuilder)
     bridge.registerFunction(spark, "bloom_filter_agg", bloomAggBuilder)
     bridge.registerFunction(spark, "bloom_might_contain", bloomProbeBuilder)

@@ -31,6 +31,21 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(math.abs(rolled - 500L) <= 25L)
   }
 
+  test("winnow_mins callable from SQL; matches the Column-API face (D9 surface)") {
+    GraftExtensions.register(spark)
+    val words = (1 to 12).map(i => s"w$i")
+    spark.sql(s"SELECT array(${words.map("'" + _ + "'").mkString(",")}) AS ws")
+      .createOrReplaceTempView("ge_winnow")
+    val sqlFps = spark.sql("SELECT winnow_mins(ws, 4) AS f FROM ge_winnow")
+      .head.getSeq[String](0)
+    val colFps = spark.table("ge_winnow")
+      .select(graft.functions.WinnowMins(org.apache.spark.sql.functions.col("ws"), 4).as("f"))
+      .head.getSeq[String](0)
+    assert(sqlFps === colFps)
+    assert(sqlFps.nonEmpty)
+    spark.catalog.dropTempView("ge_winnow")
+  }
+
   test("simhash_bits/srp_sig raise targeted errors for bad literal parameters") {
     GraftExtensions.register(spark)
     spark.range(3).selectExpr("id", "array('a','b') AS words",
