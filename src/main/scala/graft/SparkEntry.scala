@@ -273,6 +273,25 @@ object SparkEntry {
     s"(((${d(1)} * 16 + ${d(2)}) * 16 + ${d(3)}) * 16 + ${d(4)})"
   }
 
+  /** 0-based md5(text) digest byte as a DuckDB int expression — the oracle
+    * mirror of the m1/v1/m3 fake decoder's digest arithmetic (ONE
+    * definition; three queries share it, so the convention cannot drift).
+    */
+  private def hexByteSql(i: Int): String =
+    s"((strpos('0123456789abcdef', substr(md5(text), ${2 * i + 1}, 1)) - 1) * 16 + " +
+      s"(strpos('0123456789abcdef', substr(md5(text), ${2 * i + 2}, 1)) - 1))"
+
+  /** DuckDB expression applying [[graft.operators.CurationOps.DemoBpeMerges]]
+    * to a `word` column via the shared double-space symbol-string convention
+    * — the single source both t10 and s8 fold from.
+    */
+  private val bpeAppliedSql: String = {
+    val spaced = "'  ' || array_to_string(string_split(word, ''), '  ') || '  '"
+    graft.operators.CurationOps.DemoBpeMerges.foldLeft(spaced) {
+      case (s, (a, b)) => s"replace($s, ' $a  $b ', ' $a$b ')"
+    }
+  }
+
   /** Shared d10/d11 oracle machinery: the d3 LSH pair pipeline thresholded at
     * 0.7 quantized Jaccard (the same pair set the c2 capstone removes), then
     * an undirected TRANSITIVE CLOSURE via `WITH RECURSIVE` — cluster_id =
@@ -894,11 +913,7 @@ object SparkEntry {
     // folds (single source of truth: CurationOps.DemoBpeMerges), so merge
     // order, simultaneous-pair semantics, and greedy overlap resolution are
     // compared bit-exactly.
-    "t10_bpe_tokenize" -> {
-      val spaced = "'  ' || array_to_string(string_split(word, ''), '  ') || '  '"
-      val applied = graft.operators.CurationOps.DemoBpeMerges.foldLeft(spaced) {
-        case (s, (a, b)) => s"replace($s, ' $a  $b ', ' $a$b ')"
-      }
+    "t10_bpe_tokenize" ->
       s"""WITH w AS (
          |  SELECT doc_id, word_idx, word FROM (
          |    SELECT doc_id,
@@ -908,12 +923,11 @@ object SparkEntry {
          |          WHERE doc_id < 100))
          |  WHERE len(word) > 0),
          |t AS (SELECT doc_id, word_idx, word,
-         |             string_split(trim($applied), '  ') AS toks FROM w)
+         |             string_split(trim($bpeAppliedSql), '  ') AS toks FROM w)
          |SELECT doc_id, word_idx, word,
          |       CAST(unnest(generate_series(1, len(toks))) - 1 AS BIGINT) AS tok_idx,
          |       unnest(toks) AS token
-         |FROM t""".stripMargin
-    },
+         |FROM t""".stripMargin,
     // b1: bloom-prefiltered decontamination — the bloom is a pure candidate
     // reducer (the exact join decides), so the oracle is the exact pipeline.
     "b1_bloom_decontaminate" ->
@@ -966,17 +980,13 @@ object SparkEntry {
     // CTE replays t10's merge table per word and sums map-side; docs whose
     // every word is empty drop out on both sides (no tokens to place).
     "s8_bpe_pack" -> {
-      val spaced = "'  ' || array_to_string(string_split(word, ''), '  ') || '  '"
-      val applied = graft.operators.CurationOps.DemoBpeMerges.foldLeft(spaced) {
-        case (s, (a, b)) => s"replace($s, ' $a  $b ', ' $a$b ')"
-      }
       s"""WITH w AS (
          |  SELECT doc_id, word FROM (
          |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
          |    FROM documents WHERE doc_id < 100)
          |  WHERE len(word) > 0),
          |tc AS (SELECT doc_id,
-         |              CAST(sum(len(string_split(trim($applied), '  '))) AS BIGINT) AS tokens
+         |              CAST(sum(len(string_split(trim($bpeAppliedSql), '  '))) AS BIGINT) AS tokens
          |       FROM w GROUP BY doc_id),
          |t AS (SELECT doc_id, tokens,
          |             md5('shard:' || CAST(doc_id AS VARCHAR)) AS hs FROM tc),
@@ -1179,28 +1189,21 @@ object SparkEntry {
         |       floor(top_ct * 10000.0 / n_words + 0.5) / 10000.0 AS top_share,
         |       (top_ct * 5 > n_words OR n_distinct * 10 < n_words * 3) AS is_repetitive
         |FROM base b JOIN top ON b.doc_id = top.doc_id""".stripMargin,
-    "m1_multimodal_decode" -> {
-      def hexByte(i: Int) = // 0-based digest byte index -> SQL int expression
-        s"((strpos('0123456789abcdef', substr(md5(text), ${2 * i + 1}, 1)) - 1) * 16 + " +
-          s"(strpos('0123456789abcdef', substr(md5(text), ${2 * i + 2}, 1)) - 1))"
+    "m1_multimodal_decode" ->
       s"""SELECT doc_id, 'image/fake-' || source AS mime,
          |       CAST(length(text) AS BIGINT) AS byte_len,
-         |       CAST(64 + (${hexByte(0)} * 256 + ${hexByte(1)}) % 1984 AS INTEGER) AS width,
-         |       CAST(64 + (${hexByte(2)} * 256 + ${hexByte(3)}) % 1984 AS INTEGER) AS height,
+         |       CAST(64 + (${hexByteSql(0)} * 256 + ${hexByteSql(1)}) % 1984 AS INTEGER) AS width,
+         |       CAST(64 + (${hexByteSql(2)} * 256 + ${hexByteSql(3)}) % 1984 AS INTEGER) AS height,
          |       CAST(1 AS INTEGER) AS n_frames
-         |FROM documents""".stripMargin
-    },
+         |FROM documents""".stripMargin,
     // m3: the m1 feature table + resize arithmetic. Both engines compute
     // scale = least(1.0, 512 / max(width, height)) as IEEE double division
     // and floor(dim * scale), so the comparison is bit-exact.
     "m3_resize" -> {
-      def hexByte(i: Int) =
-        s"((strpos('0123456789abcdef', substr(md5(text), ${2 * i + 1}, 1)) - 1) * 16 + " +
-          s"(strpos('0123456789abcdef', substr(md5(text), ${2 * i + 2}, 1)) - 1))"
       s"""WITH f AS (SELECT doc_id, 'image/fake-' || source AS mime,
          |            CAST(length(text) AS BIGINT) AS byte_len,
-         |            CAST(64 + (${hexByte(0)} * 256 + ${hexByte(1)}) % 1984 AS INTEGER) AS width,
-         |            CAST(64 + (${hexByte(2)} * 256 + ${hexByte(3)}) % 1984 AS INTEGER) AS height,
+         |            CAST(64 + (${hexByteSql(0)} * 256 + ${hexByteSql(1)}) % 1984 AS INTEGER) AS width,
+         |            CAST(64 + (${hexByteSql(2)} * 256 + ${hexByteSql(3)}) % 1984 AS INTEGER) AS height,
          |            CAST(1 AS INTEGER) AS n_frames
          |     FROM documents)
          |SELECT doc_id, mime, byte_len, width, height, n_frames,
@@ -1221,13 +1224,10 @@ object SparkEntry {
     // v1: frame-sampling fan-out — every 30th of the md5-derived frame
     // count, dims from the same digest bytes as m1.
     "v1_frame_sample" -> {
-      def hexByte(i: Int) =
-        s"((strpos('0123456789abcdef', substr(md5(text), ${2 * i + 1}, 1)) - 1) * 16 + " +
-          s"(strpos('0123456789abcdef', substr(md5(text), ${2 * i + 2}, 1)) - 1))"
       s"""WITH m AS (SELECT doc_id,
-         |             CAST(64 + (${hexByte(0)} * 256 + ${hexByte(1)}) % 1984 AS INTEGER) AS width,
-         |             CAST(64 + (${hexByte(2)} * 256 + ${hexByte(3)}) % 1984 AS INTEGER) AS height,
-         |             1 + ${hexByte(4)} % 240 AS n_frames
+         |             CAST(64 + (${hexByteSql(0)} * 256 + ${hexByteSql(1)}) % 1984 AS INTEGER) AS width,
+         |             CAST(64 + (${hexByteSql(2)} * 256 + ${hexByteSql(3)}) % 1984 AS INTEGER) AS height,
+         |             1 + ${hexByteSql(4)} % 240 AS n_frames
          |      FROM documents)
          |SELECT doc_id, CAST(unnest(generate_series(0, n_frames - 1, 30)) AS BIGINT) AS frame_idx,
          |       width, height

@@ -310,10 +310,14 @@ object AnnOps {
     * (euclidean) or `maxIter` rounds pass. Returns the trained centroids in
     * [[assignCellsLit]]'s driver-held form, sorted by cell.
     *
-    * Deterministic by construction (auditable at 100 TB like the hash
-    * samplers): seeding partitions the corpus by `vec_id % k` — no RNG, no
-    * partition-order dependence — and assignment tie-breaks (max score, min
-    * cell) are pinned in [[assignCellsLit]].
+    * Deterministic CONTROL FLOW (auditable at 100 TB like the hash
+    * samplers): seeding partitions the corpus by `vec_id % k` — no RNG —
+    * and assignment tie-breaks (max score, min cell) are pinned in
+    * [[assignCellsLit]]. The one caveat: centroid averaging sums doubles
+    * across shuffle partials, whose merge order a cluster does not
+    * guarantee, so re-training on a different partition layout can differ
+    * in the last ulp (the standard distributed-k-means property; bounded
+    * by float rounding, not by seed or tie-break nondeterminism).
     *
     * Scale notes: each round is ONE corpus aggregation — assignment is a
     * map-side projection against the k driver-held centroids (no join, no
@@ -337,7 +341,6 @@ object AnnOps {
       val assigned = assignCellsLit(e, cents)
         .withColumnRenamed("assigned_cell", "cell")
       val next = collectCentroids(centroids(assigned, "cell")).toMap
-      val prev = cents.toMap
       moved = cents.map { case (cell, c) =>
         next.get(cell).fold(0.0) { n =>
           math.sqrt(c.zip(n).foldLeft(0.0) { case (a, (x, y)) =>

@@ -497,6 +497,17 @@ object DedupOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** First-occurrence election shared by the batch operator and the
+    * streaming face's batch branch ([[graft.streaming.StatsStreams.segmentDedupStream]]):
+    * keep the minimum (doc_id, seg_idx) row per distinct segment key — ONE
+    * definition of the survivor contract, so the two faces cannot drift.
+    * Compiles to a map-side WindowGroupLimit (rank <= 1), like s6/g1.
+    */
+  private[graft] def electFirstSegment(segs: DataFrame, segKey: Column): DataFrame =
+    segs.withColumn("_occ", row_number().over(
+        Window.partitionBy(segKey).orderBy(col("doc_id"), col("seg_idx"))))
+      .filter(col("_occ") === 1).drop("_occ")
+
   def segmentDedup(docs: DataFrame): DataFrame = {
     val sw = SegmentWords
     val segs = graft.Tables.spread(
@@ -510,11 +521,7 @@ object DedupOps {
           i => array_join(slice(col("words"), (i * sw + 1).cast("int"), lit(sw)), " ")))
           .as(Seq("seg_idx", "seg")))
       .withColumn("seg_idx", col("seg_idx").cast("long"))
-    val firstWin = Window.partitionBy(md5(col("seg")))
-      .orderBy(col("doc_id"), col("seg_idx"))
-    val kept = segs
-      .withColumn("occ", row_number().over(firstWin))
-      .filter(col("occ") === 1)
+    val kept = electFirstSegment(segs, md5(col("seg")))
     kept.groupBy(col("doc_id"))
       .agg(
         max(col("n_segs")).as("n_segs"),

@@ -207,16 +207,10 @@ object StatsStreams {
       .withColumn("seg_key", md5(col("seg")))
       .withWatermark("event_time", "1 hour")
     if (segs.isStreaming) segs.dropDuplicatesWithinWatermark("seg_key")
-    else {
-      // batch face of the same contract: dropDuplicates keeps an ARBITRARY
-      // row per key on multi-partition input, so elect the minimum
-      // (doc_id, seg_idx) explicitly — parity with batch segmentDedup's
-      // first-occurrence election regardless of partitioning
-      val firstWin = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("seg_key")).orderBy(col("doc_id"), col("seg_idx"))
-      segs.withColumn("_occ", row_number().over(firstWin))
-        .filter(col("_occ") === 1).drop("_occ")
-    }
+    // batch face: dropDuplicates keeps an ARBITRARY row per key on
+    // multi-partition input — elect the first occurrence through the SAME
+    // helper the batch operator uses, so the contract cannot drift
+    else graft.operators.DedupOps.electFirstSegment(segs, col("seg_key"))
   }
 
   /** Streaming per-domain quota cap — the streaming face of

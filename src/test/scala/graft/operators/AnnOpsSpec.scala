@@ -157,9 +157,13 @@ class AnnOpsSpec extends SparkSpec {
     val k = 8
     val cents = AnnOps.kmeansTrain(e, k, maxIter = 15, tol = 1e-6)
     assert(cents.map(_._1).toSeq === (0 until k), "cells must survive training")
-    // training is deterministic: a second run is bit-identical
+    // deterministic control flow: a re-run on the same layout agrees to
+    // float rounding (double-sum merge order is the only free variable)
     val again = AnnOps.kmeansTrain(e, k, maxIter = 15, tol = 1e-6)
-    assert(cents.map(_._2.toSeq).toSeq === again.map(_._2.toSeq).toSeq)
+    val worstRerun = cents.zip(again).map { case ((_, a), (_, b)) =>
+      a.zip(b).map { case (x, y) => math.abs(x - y) }.max
+    }.max
+    assert(worstRerun <= 1e-5f, s"re-trained centroids diverged by $worstRerun")
     // stability: assignments under the trained centroids reproduce the
     // centroids they were averaged from (one more Lloyd round moves < tol)
     val assigned = AnnOps.assignCellsLit(e, cents)
