@@ -75,6 +75,11 @@ object SparkEntry {
     // LLM-data-pipeline: similarity search
     "n1_ann_cosine_topk" -> ((s: SparkSession, d: String) => AnnOps.cosineTopK(s, d)),
     "n2_ann_ivf_topk" -> ((s: SparkSession, d: String) => AnnOps.ivfTopK(s, d)),
+    // n2b: the TRAINED quantizer end-to-end (kmeansTrain → assignCellsLit →
+    // ivfSearchAssigned). Lloyd's loop is not oracle-stateable in one SQL
+    // query, so no oracleSql entry (driver records rows-only); the recall
+    // bound vs n1's brute-force truth is spec-pinned at sf0.1 (AnnOpsSpec)
+    "n2b_ann_ivf_trained" -> ((s: SparkSession, d: String) => AnnOps.ivfTrainedTopK(s, d)),
     "n3_ann_lsh_topk" -> ((s: SparkSession, d: String) => AnnOps.lshTopK(s, d)),
     "n4_embed_quantize" -> ((s: SparkSession, d: String) => AnnOps.quantizeStats(s, d)),
     "n5_cosine_sim_fn" -> (cosineSimFn _),
@@ -114,6 +119,10 @@ object SparkEntry {
     // (training determinism is spec-pinned; the oracle replays the same
     // merge ranks as string replacements)
     "t10_bpe_tokenize" -> ((s: SparkSession, d: String) => CurationOps.bpeTokenize(s, d)),
+    // t11: per-language token distribution from REAL BPE subword counts —
+    // the production accounting default once a merge table exists (t3/g2/s3
+    // keep the chars/4 bootstrap face); exact percentile opted in like g2
+    "t11_bpe_token_stats" -> ((s: SparkSession, d: String) => CurationOps.bpeTokenStats(s, d, exact = true)),
     // LLM-data-pipeline: multimodal (m1 = deterministic fake decoder with a
     // full arithmetic oracle; m2 = REAL javax.imageio PNG encode→decode)
     "m1_multimodal_decode" -> (MultimodalOps.decodeFeatures _),
@@ -928,6 +937,24 @@ object SparkEntry {
          |       CAST(unnest(generate_series(1, len(toks))) - 1 AS BIGINT) AS tok_idx,
          |       unnest(toks) AS token
          |FROM t""".stripMargin,
+    // t11: per-language stats over REAL BPE token counts — the token CTE is
+    // s8's (the shared bpeAppliedSql fold), the aggregation is g2's
+    // (quantile_cont == Spark exact percentile, floor-quantized); docs with
+    // no non-empty words drop on both sides (inner join on counted docs).
+    "t11_bpe_token_stats" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, word FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE len(word) > 0),
+         |tc AS (SELECT doc_id,
+         |              CAST(sum(len(string_split(trim($bpeAppliedSql), '  '))) AS BIGINT) AS tokens
+         |       FROM w GROUP BY doc_id)
+         |SELECT d.lang, count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS total_tokens,
+         |       min(tokens) AS min_tokens, max(tokens) AS max_tokens,
+         |       floor(quantile_cont(tokens, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50_tokens,
+         |       floor(quantile_cont(tokens, 0.9) * 10000.0 + 0.5) / 10000.0 AS p90_tokens
+         |FROM tc JOIN documents d USING (doc_id)
+         |GROUP BY d.lang""".stripMargin,
     // b1: bloom-prefiltered decontamination — the bloom is a pure candidate
     // reducer (the exact join decides), so the oracle is the exact pipeline.
     "b1_bloom_decontaminate" ->

@@ -364,6 +364,16 @@ object AnnOps {
       k: Int, nProbe: Int): DataFrame = {
     val assigned = corpus.join(
       assignCells(corpus, cents).withColumnRenamed("assigned_cell", "cell"), Seq("vec_id"))
+    ivfSearchAssigned(assigned, cents, queries, k, nProbe)
+  }
+
+  /** [[ivfSearch]] over a corpus whose `cell` column already exists — the
+    * form a real deployment runs (assignment is paid once at indexing time,
+    * or map-side via [[assignCellsLit]]; search never re-quantizes the
+    * corpus).
+    */
+  def ivfSearchAssigned(assigned: DataFrame, cents: DataFrame,
+      queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
     val probes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         norm(col("embedding")).as("nq"))
@@ -382,6 +392,31 @@ object AnnOps {
         cosinePre(col("qe"), col("embedding"), col("nq"), col("nv")).as("sim"))
     topKPerQuery(sims, k, Seq("query_id"))
   }
+
+  /** N2b — the TRAINED IVF pipeline end-to-end: [[kmeansTrain]] learns the
+    * coarse quantizer, [[assignCellsLit]] assigns every corpus vector
+    * map-side against the k driver-held centroids (no join, no corpus
+    * shuffle), and [[ivfSearchAssigned]] probes each query's `nProbe`
+    * nearest trained cells. n2's face consumes the fixture's pre-assigned
+    * `label` column; this face is what a deployment with no precomputed
+    * labels runs. Not oracle-stateable in one SQL query (Lloyd's loop is
+    * iterative float averaging), so the gate is behavioral: `AnnOpsSpec`
+    * pins the recall bound (≥ 50% of n1's brute-force truth at 3/8 probes,
+    * asserted at sf0.1) and the bench records its wall time.
+    */
+  def ivfTrainedTopK(e: DataFrame, k: Int = 8, topK: Int = 5,
+      nProbe: Int = 3): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val cents = kmeansTrain(e, k)
+    val assigned = assignCellsLit(e, cents)
+      .withColumnRenamed("assigned_cell", "cell")
+    val centsDf = cents.toSeq.toDF("cell", "centroid")
+    ivfSearchAssigned(assigned, centsDf, e.filter(col("vec_id") < 10), topK, nProbe)
+      .select("query_id", "neighbor_id", "rnk", "sim")
+  }
+  def ivfTrainedTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfTrainedTopK(table(spark, dir, "embeddings"))
 
   /** B2 — semantic benchmark decontamination: the embedding-space complement
     * of t5's n-gram recipe. Every 97th vector stands in for the held-out

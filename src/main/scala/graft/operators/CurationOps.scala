@@ -131,6 +131,12 @@ object CurationOps {
     * (ROWS UNBOUNDED PRECEDING — one pass per shard, no buffering); there is
     * no global sort anywhere. Integer division end to end, so placement is
     * bit-reproducible across engines.
+    *
+    * Token accounting: THIS overload is the chars/4 bootstrap estimate for
+    * corpora with no tokenizer yet. The production default once a merge
+    * table exists is [[packSequencesFrom]] fed by [[bpeTokenCounts]] — real
+    * subword counts at the same plan shape (the s8 gate query runs exactly
+    * that composition).
     */
   def packSequences(docs: DataFrame, ctxLen: Int = 512, numShards: Int = 8): DataFrame =
     packSequencesFrom(
@@ -315,14 +321,26 @@ object CurationOps {
     * (it is what the bit-exact DuckDB oracle states, so the g2 oracle entry
     * passes it explicitly). Same agg plan shape either way: one
     * partial+final hash agg keyed on lang, no extra shuffle.
+    *
+    * Token accounting: chars/4 is the bootstrap estimate; with a trained
+    * merge table, [[bpeTokenStats]] (t11) computes the same distribution
+    * from real subword counts and is the production default.
     */
-  def tokenQuantiles(docs: DataFrame, exact: Boolean = false): DataFrame = {
+  def tokenQuantiles(docs: DataFrame, exact: Boolean = false): DataFrame =
+    langTokenStats(
+      docs.select(col("lang"), ceil(col("n_chars") / 4.0).cast("long").as("tokens")),
+      exact)
+
+  /** The shared per-language distribution aggregation behind [[tokenQuantiles]]
+    * (chars/4 estimate) and [[bpeTokenStats]] (real subword counts): one
+    * partial+final hash agg keyed on lang over a `(lang, tokens)` frame.
+    */
+  private def langTokenStats(t: DataFrame, exact: Boolean): DataFrame = {
     def q(p: Double, name: String): Column = {
       val fn = if (exact) "percentile" else "approx_percentile"
       floor(expr(s"$fn(tokens, $p)") * 10000.0 + 0.5) / 10000.0
     }.as(name)
-    docs.select(col("lang"), ceil(col("n_chars") / 4.0).cast("long").as("tokens"))
-      .groupBy("lang")
+    t.groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum("tokens").as("total_tokens"),
         min("tokens").as("min_tokens"), max("tokens").as("max_tokens"),
         q(0.5, "p50_tokens"), q(0.9, "p90_tokens"))
@@ -573,4 +591,27 @@ object CurationOps {
   def bpePackSequences(spark: SparkSession, dir: String): DataFrame =
     packSequencesFrom(bpeTokenCounts(
       table(spark, dir, "documents").filter(col("doc_id") < 100), DemoBpeMerges))
+
+  /** T11 — per-language token distribution over REAL BPE subword counts:
+    * [[tokenQuantiles]]' aggregation fed by [[bpeTokenCounts]] through a
+    * merge table instead of the chars/4 estimate. With a trained table this
+    * is the PRODUCTION token-accounting default — the chars/4 faces (t3, g2,
+    * s3's zero-arg overload) are the bootstrap path for corpora with no
+    * tokenizer yet.
+    *
+    * Docs whose every word is empty have no tokens to count and drop out
+    * (same contract as s8). Plan shape: counting is map-side (one
+    * `size(split(replace-fold))` per word, summed before the one
+    * doc_id-keyed shuffle), the lang join is doc_id-keyed, and the final agg
+    * is the same lang-keyed partial+final hash agg as g2.
+    */
+  def bpeTokenStats(docs: DataFrame, merges: Seq[(String, String)],
+      exact: Boolean = false): DataFrame =
+    langTokenStats(
+      docs.select(col("doc_id"), col("lang"))
+        .join(bpeTokenCounts(docs, merges), Seq("doc_id"))
+        .select("lang", "tokens"),
+      exact)
+  def bpeTokenStats(spark: SparkSession, dir: String, exact: Boolean): DataFrame =
+    bpeTokenStats(table(spark, dir, "documents"), DemoBpeMerges, exact)
 }

@@ -223,6 +223,12 @@ object DedupOps {
     * overwhelming majority of the corpus — excluding them shrinks every
     * per-round join from |corpus| to |pair-graph vertices|. They rejoin as
     * their own cluster (one anti-join) after convergence.
+    *
+    * Contract: `pairs` endpoints are expected to be drawn from `vertices`
+    * (every caller here derives them from the same frame). The label seed is
+    * semi-joined against `vertices` regardless, so an out-of-contract pair id
+    * can never surface in the output — it is simply inert (it propagates no
+    * label and cannot bridge two real vertices).
     */
   def connectedComponents(vertices: DataFrame, pairs: DataFrame,
       maxIter: Int = 10): DataFrame = {
@@ -231,7 +237,13 @@ object DedupOps {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true) // LSH pair generation runs ONCE, not per round
+    // seed semi-joined against `vertices`: labels are the only rows that can
+    // reach the output, so this pins output ⊆ vertices even if a caller's
+    // pair frame references ids outside the vertex set (a phantom endpoint
+    // contributes nothing — unlabeled srcs propagate no minimum, unlabeled
+    // dsts drop in the left join below). Pair-graph-sized, paid once.
     var labels = edges.select(col("src").as("doc_id")).distinct()
+      .join(vertices.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint(true)
     var changed = 1L

@@ -259,6 +259,11 @@ object MultimodalOps {
         .select(col("doc_id"), col("n_chars")))
       .as[(Long, Long)]
       .mapPartitions(_.map { case (id, n) =>
+        // fail loudly like the rest of the codec seam: a Long n_chars above
+        // Int.MaxValue would silently truncate in toInt (negative array size
+        // or a wrong sample count) instead of surfacing the bad record
+        require(n <= Int.MaxValue,
+          s"audio blob for doc $id has $n samples — exceeds the Int-indexed demo codec")
         MediaRecord(id, "audio/wav", syntheticWav(id, n.toInt)) })
   }
 

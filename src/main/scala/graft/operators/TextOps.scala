@@ -60,6 +60,11 @@ object TextOps {
 
   /** T3 — token counting: whitespace tokens + a BPE-ish estimate (chars/4,
     * the published GPT-style rule of thumb), both exact integers.
+    *
+    * The estimate is the tokenizer-less bootstrap; once a merge table is
+    * trained, [[graft.operators.CurationOps.bpeTokenCounts]] (s8/t11) counts
+    * REAL subwords at the same one-row-per-doc shuffle cost and is the
+    * production accounting default.
     */
   def tokenCount(d: DataFrame): DataFrame = {
     d.select(col("doc_id"), col("n_chars"), nWords(words(col("text"))).as("ws_tokens"))

@@ -189,6 +189,23 @@ class AnnOpsSpec extends SparkSpec {
       s"3-probe recall $recalled/$truth under trained quantizer")
   }
 
+  test("n2b trained-IVF end-to-end recalls >= 50% of brute-force truth AT SF0.1") {
+    // the n2b gate is behavioral (Lloyd's loop is not oracle-stateable), so
+    // the recall bound runs at the BENCH scale factor, not the spec fixture:
+    // this is the assertion that makes the bench-timed query a tested one
+    val dir = "/root/testdata/sf0.1"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists(),
+      "sf0.1 fixtures not present")
+    val e = Tables.table(spark, dir, "embeddings")
+    val brute = AnnOps.cosineTopK(e).select("query_id", "neighbor_id")
+    val trained = AnnOps.ivfTrainedTopK(e).select("query_id", "neighbor_id")
+    val truth = brute.count()
+    val recalled = trained.join(brute, Seq("query_id", "neighbor_id")).count()
+    assert(truth === 50) // 10 queries × top-5
+    assert(recalled * 2 >= truth,
+      s"trained 3/8-probe recall $recalled/$truth at sf0.1")
+  }
+
   test("semantic decontamination covers exactly the non-benchmark corpus; sims bounded") {
     val e = Tables.table(spark, sf, "embeddings")
     val d = AnnOps.semanticDecontaminate(e).cache()

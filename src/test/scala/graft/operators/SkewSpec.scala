@@ -45,6 +45,38 @@ class SkewSpec extends SparkSpec {
     assert(saltedJoin === plain)
   }
 
+  test("salted layout bounds the straggler's shuffle input on a 30% hot key") {
+    // Straggler task time is proportional to the rows a reduce task receives,
+    // so the assertion runs on the DETERMINISTIC quantity (per-partition row
+    // counts under the two shuffle layouts) rather than flaky wall-clock:
+    // one hot key at 30% of rows — the viral-domain / boilerplate-segment
+    // profile — concentrates its whole 30% in ONE task when the shuffle is
+    // keyed on the raw key (any heavy-state agg, collect_list window, or
+    // non-broadcast join build does this); the salted (key, salt) layout
+    // caps every task near fair share.
+    val n = 100000
+    val hotN = 30000
+    val rows = (0 until hotN).map(i => ("hot", i.toLong)) ++
+      (hotN until n).map(i => (s"k${i % 997}", i.toLong))
+    val df = rows.toDF("k", "v")
+    def maxPartitionRows(d: org.apache.spark.sql.DataFrame): Long =
+      d.rdd.mapPartitions(it => Iterator(it.size.toLong)).collect().max
+    val parts = 32
+    val naive = maxPartitionRows(df.repartition(parts, col("k")))
+    // salt buckets sized so one hot bucket (hotN/64 ≈ 470 rows) is small
+    // against fair share — with buckets ≈ partitions, which-bucket-lands-
+    // where hash variance (not the hot key) would dominate the max
+    val salted = maxPartitionRows(
+      Skew.saltBigSide(df, 64).repartition(parts, col("k"), col("_salt")))
+    // the naive layout's straggler holds at least the whole hot key
+    assert(naive >= hotN, s"naive max partition $naive")
+    // the salted layout stays near fair share (n/parts), nowhere near 30%
+    assert(salted <= 3L * n / parts,
+      s"salted max partition $salted vs fair share ${n / parts}")
+    assert(salted * 4 <= naive,
+      s"salting did not break the straggler: $salted vs $naive")
+  }
+
   test("paymentWide streaming interval join honors [-15m, +5m] (J2)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -128,6 +128,35 @@ class StatefulParitySpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("winnowFingerprints is a STATELESS streaming face: stream == batch per row (D9)") {
+    implicit val sqlCtx = spark.sqlContext
+    // selection is a pure map-side projection (spread passes streaming
+    // frames through), so the same call runs on a readStream unchanged —
+    // the last map-side operator without a proven streaming face
+    val text1 = (1 to 30).map(i => s"w$i").mkString(" ")
+    val text2 = ((5 to 20).map(i => s"w$i") ++ Seq("x1", "x2", "x3")).mkString(" ")
+    val rows = Seq((1L, text1), (2L, text2))
+    val input = MemoryStream[(Long, String)]
+    input.addData(rows: _*)
+    val q = graft.operators.DedupOps.winnowFingerprints(
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("sp_winnow")
+      .trigger(Trigger.AvailableNow()).outputMode("append").start()
+    try q.awaitTermination() finally q.stop()
+    val streamed = spark.table("sp_winnow")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batched = graft.operators.DedupOps.winnowFingerprints(
+        rows.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batched)
+    assert(streamed.nonEmpty)
+    // the winnowing guarantee that makes segment overlap detectable: docs
+    // sharing a >= W+N-1 token run share at least one selected fingerprint
+    val fp1 = streamed.collect { case (1L, fp) => fp }
+    val fp2 = streamed.collect { case (2L, fp) => fp }
+    assert(fp1.intersect(fp2).nonEmpty, "shared run lost its fingerprint")
+  }
+
   test("embeddingDedupStream: stream (AvailableNow) == batch, first arrival survives") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(11)
