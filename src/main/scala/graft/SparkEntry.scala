@@ -145,7 +145,13 @@ object SparkEntry {
       MultimodalOps.sampleFrames(MultimodalOps.videoRecords(s, d), 30)
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
           col("width"), col("height"))
-    })
+    }),
+    // v2: REAL video decode — a genuine MJPEG (concatenated-JPEG) stream is
+    // encoded per doc and split+decoded frame by frame with the in-JDK JPEG
+    // plugin; the oracle states the frame fan-out and dims arithmetically,
+    // so the hash only matches if the segment-walking splitter found every
+    // real frame boundary (v1's stub face keeps the too-big-to-encode dims)
+    "v2_mjpeg_decode" -> ((s: SparkSession, d: String) => MultimodalOps.decodeMjpegFrames(s, d))
   )
 
   /** X1 positional tokenize (LATERAL TABLE(split_words(...)),
@@ -1260,6 +1266,16 @@ object SparkEntry {
          |       width, height
          |FROM m""".stripMargin
     },
+    // v2: the REAL MJPEG round trip — frames = 1 + id % 8, dims 16+id%32 ×
+    // 16+id%24 (JPEG is lossy in pixels but exact in geometry, so dims and
+    // fan-out pin the container work; pixel fidelity is spec-checked).
+    "v2_mjpeg_decode" ->
+      """SELECT doc_id,
+        |       CAST(unnest(generate_series(0, doc_id % 8)) AS BIGINT) AS frame_idx,
+        |       CAST(16 + doc_id % 32 AS INTEGER) AS width,
+        |       CAST(16 + doc_id % 24 AS INTEGER) AS height,
+        |       (16 + doc_id % 32) * (16 + doc_id % 24) AS n_pixels
+        |FROM documents""".stripMargin,
     // m5: the REAL WAV encode→decode round trip lands on the SAME integer
     // recurrence as m4 — identical oracle, so the hash only matches if the
     // RIFF container math, unsigned-byte convention, and sample order all

@@ -53,10 +53,12 @@ object ImageIoCodec extends MediaCodec {
 /** Multimodal column plumbing: binary payloads with typed metadata, decoded
   * per-partition in batches.
   *
-  * Two decode paths: [[ImageIoCodec]] is a REAL in-JDK image decoder
-  * (exercised end-to-end by m2's encode→decode round trip); the
-  * deterministic fake below stands in for codecs this container lacks
-  * (audio/video). The Spark-side plumbing is identical for both and is the
+  * Decode paths: [[ImageIoCodec]] (m2), [[MultimodalOps.WavCodec]] (m5) and
+  * [[MultimodalOps.MjpegCodec]] (v2) are REAL in-JDK codecs exercised
+  * end-to-end by encode→decode round trips; the deterministic fake below
+  * remains only for the m1/v1 faces whose md5-derived geometry (up to
+  * 2047²×240 frames) is deliberately too large to really encode at the
+  * gate. The Spark-side plumbing is identical for both and is the
   * part that must hold at 100 TB — binary columns stay columnar in parquet,
   * `mapPartitions` amortizes decoder init per partition (the idiomatic Scala
   * analog of a batched pandas UDF), and partition sizing is controlled
@@ -164,6 +166,118 @@ object MultimodalOps {
       .select(col("doc_id"), col("width").cast("long").as("width"),
         col("height").cast("long").as("height"),
         (col("width") * col("height")).cast("long").as("n_pixels"))
+  }
+
+  /** Deterministic MJPEG stream: `nFrames` real JPEG frames (ImageIO-encoded
+    * gradient keyed by doc id + frame index) concatenated back to back — the
+    * motion-JPEG-over-raw layout IP cameras emit. Real encode, so the decode
+    * side exercises genuine JPEG container work (segment structure, entropy
+    * data, frame boundaries), not a fixture.
+    */
+  private[operators] def syntheticMjpeg(docId: Long, w: Int, h: Int,
+      nFrames: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, ((x * 7 + y * 13 + f * 29 + docId) & 0xffffff).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** REAL video-container decode for MJPEG (concatenated JPEG) streams — the
+    * video analog of [[ImageIoCodec]]/[[WavCodec]]: split the stream into
+    * frames by WALKING the JPEG segment structure (marker lengths for tabled
+    * segments, FF-stuffing rules inside entropy-coded data — naive FFD9
+    * pattern-matching can false-positive inside table payloads), then decode
+    * each frame with the in-JDK ImageIO JPEG plugin. Fails loudly on
+    * malformed bytes, like every codec seam here.
+    */
+  object MjpegCodec extends Serializable {
+    /** Index just past the EOI of the JPEG frame starting at `start`. */
+    private def frameEnd(b: Array[Byte], start: Int): Int = {
+      def u(i: Int): Int = b(i) & 0xff
+      require(start + 1 < b.length && u(start) == 0xff && u(start + 1) == 0xd8,
+        s"expected SOI at $start")
+      var i = start + 2
+      while (i + 1 < b.length) {
+        require(u(i) == 0xff, s"bad JPEG marker alignment at byte $i")
+        val m = u(i + 1)
+        if (m == 0xd9) return i + 2 // EOI
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone
+        else {
+          require(i + 3 < b.length, s"truncated segment header at byte $i")
+          i += 2 + ((u(i + 2) << 8) | u(i + 3)) // marker + payload length
+          if (m == 0xda) { // SOS: entropy data runs to the next true marker
+            while (i + 1 < b.length &&
+              !(u(i) == 0xff && u(i + 1) != 0x00 &&
+                !(u(i + 1) >= 0xd0 && u(i + 1) <= 0xd7))) i += 1
+          }
+        }
+      }
+      throw new IllegalArgumentException("truncated MJPEG frame (no EOI)")
+    }
+
+    def decodeFrames(bytes: Array[Byte]): Seq[java.awt.image.BufferedImage] = {
+      val frames = scala.collection.mutable.ArrayBuffer.empty[java.awt.image.BufferedImage]
+      var i = 0
+      while (i < bytes.length) {
+        val end = frameEnd(bytes, i)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes, i, end - i))
+        require(img != null, s"undecodable JPEG frame at byte $i")
+        frames += img
+        i = end
+      }
+      require(frames.nonEmpty, "no JPEG frames in MJPEG stream")
+      frames.toSeq
+    }
+  }
+
+  /** MJPEG payloads with oracle-predictable geometry: width = 16 + id % 32,
+    * height = 16 + id % 24, frames = 1 + id % 8 (small dims — real video
+    * encode per doc has to be affordable at the gate, unlike v1's stub whose
+    * md5-derived dims range to 2047²×240).
+    */
+  def mjpegRecords(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    // spread FIRST — same single-split hazard as imageRecords: encode and
+    // decode both run inside mapPartitions, so split count caps parallelism
+    graft.Tables.spread(table(spark, dir, "documents").select(col("doc_id")))
+      .as[Long]
+      .mapPartitions(_.map(id => MediaRecord(id, "video/x-motion-jpeg",
+        syntheticMjpeg(id, 16 + (id % 32).toInt, 16 + (id % 24).toInt,
+          1 + (id % 8).toInt))))
+  }
+
+  /** V2 — REAL video decode end-to-end: encode an MJPEG stream per document,
+    * split + decode every frame with [[MjpegCodec]], emit one row per frame.
+    * The oracle predicts frame fan-out and dimensions from the id arithmetic,
+    * so a container fault (wrong frame boundary, dropped frame, dimension
+    * corruption) breaks the hash. Frame decode happens INSIDE the codec
+    * pass; one row per frame leaves the seam.
+    */
+  def decodeMjpegFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mjpegRecords(spark, dir)
+      .mapPartitions(_.flatMap { m =>
+        MjpegCodec.decodeFrames(m.content).zipWithIndex.map { case (img, idx) =>
+          (m.doc_id, idx.toLong, img.getWidth, img.getHeight,
+            img.getWidth.toLong * img.getHeight)
+        }
+      })
+      .toDF("doc_id", "frame_idx", "width", "height", "n_pixels")
   }
 
   /** M2 — frame sampling: one output row per sampled frame (every `everyN`th

@@ -76,6 +76,45 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(stub.exceptAll(real).count() === 0)
   }
 
+  test("MjpegCodec splits + decodes real concatenated-JPEG streams frame-exact (V2)") {
+    val (w, h, n) = (19, 11, 5)
+    val bytes = MultimodalOps.syntheticMjpeg(docId = 42L, w, h, n)
+    // a real JPEG stream came out of the encoder (SOI magic)
+    assert((bytes(0) & 0xff, bytes(1) & 0xff) === (0xff, 0xd8))
+    val frames = MultimodalOps.MjpegCodec.decodeFrames(bytes)
+    assert(frames.size === n, "frame boundary walk missed or invented frames")
+    assert(frames.forall(f => f.getWidth == w && f.getHeight == h))
+    // JPEG is lossy, so pixel checks are tolerance-based: each decoded frame
+    // must track ITS OWN source gradient (mean abs channel error small), and
+    // consecutive frames must differ (proves the splitter did not emit the
+    // same frame twice) — together these pin bytes→pixels per frame
+    def meanAbsErr(img: java.awt.image.BufferedImage, f: Int): Double = {
+      var err = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val got = img.getRGB(x, y)
+        val exp = ((x * 7 + y * 13 + f * 29 + 42L) & 0xffffff).toInt
+        for (sh <- Seq(16, 8, 0))
+          err += math.abs(((got >> sh) & 0xff) - ((exp >> sh) & 0xff))
+      }
+      err.toDouble / (w * h * 3)
+    }
+    frames.zipWithIndex.foreach { case (img, f) =>
+      assert(meanAbsErr(img, f) < 24.0, s"frame $f does not track its gradient")
+      // the frame tracks its own gradient CLOSER than its neighbor's
+      if (f + 1 < n) assert(meanAbsErr(img, f) < meanAbsErr(img, f + 1))
+    }
+  }
+
+  test("MjpegCodec fails loudly on truncated or misaligned streams (V2)") {
+    val bytes = MultimodalOps.syntheticMjpeg(docId = 1L, 16, 16, 2)
+    intercept[IllegalArgumentException] {
+      MultimodalOps.MjpegCodec.decodeFrames(bytes.dropRight(4)) // lost EOI
+    }
+    intercept[IllegalArgumentException] {
+      MultimodalOps.MjpegCodec.decodeFrames(bytes.drop(1)) // misaligned SOI
+    }
+  }
+
   test("audioFeatures: frames partition the samples; stats match the recurrence (M4)") {
     import org.apache.spark.sql.functions._
     val out = MultimodalOps.audioFeatures(spark, "/root/testdata/sf0.001").cache()
