@@ -130,16 +130,22 @@ object Bench {
         s""""sf":"$sfDir","passes":2,"timing":"min_of_two","failed":$failedJson,""" +
         s""""queries_p1":$p1,"queries_p2":$p2,"metrics":$metrics}"""
     // machine-readable channel: a file the driver can read verbatim (sbt
-    // decorates stdout; Spark logs interleave on stderr) — stdout line kept
-    // for the log-scrape path, emitted last and unprefixed (StdoutOutput)
+    // decorates stdout; Spark logs interleave on stderr)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // marker-prefixed copy FIRST so a tail-scrape truncated mid-stream still
-    // has one complete grep-able line; the bare line stays last for the
-    // legacy scrape path
+    // marker-prefixed FULL copy: complete and grep-able anywhere in the log
     println(s"GRAFT_BENCH_JSON:$json")
     spark.stop()
-    println(json)
+    // The LAST stdout line is a COMPACT self-contained result sized for a
+    // tail-window scrape (every BENCH_r{1-6}.json kept only the final ~2000
+    // chars of the log with parsed=null — the full line above is 10× that).
+    // Field order is deliberate: expendable fields first, per-query map and
+    // total LAST, so a clipped head still leaves queries/failed/value
+    // readable and the line stays valid JSON when captured whole.
+    def j2(d: Double): String = if (d < 0) "-1" else f"$d%.2f"
+    val qs2 = minTimes.map { case (k, v) => s"\"$k\":${j2(v)}" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","unit":"sec","passes":2,"timing":"min_of_two","sf":"$sfDir","queries":$qs2,"failed":$failedJson,"value":${j2(total)}}""")
   }
 }
