@@ -558,9 +558,11 @@ object CurationOps {
     * the only shuffle is `spread`'s split widening for compacted inputs.
     */
   def bpeTokenize(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
-    val words = graft.Tables.spread(
-        docs.select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("word_idx", "word"))))
+    // spread BEFORE the posexplode — same rationale as [[bpeTokenCountsWith]]:
+    // one narrow row per doc crosses the widening shuffle, not the word stream
+    val words = graft.Tables.spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("word_idx", "word")))
       .filter(length(col("word")) > 0)
       .withColumn("word_idx", col("word_idx").cast("long"))
     words.select(col("doc_id"), col("word_idx"), col("word"),
@@ -589,8 +591,11 @@ object CurationOps {
   private def bpeTokenCountsWith(docs: DataFrame, merges: Seq[(String, String)],
       carry: Seq[String]): DataFrame = {
     val keep = col("doc_id") +: carry.map(col)
-    graft.Tables.spread(
-        docs.select(keep :+ explode(split(col("text"), " ")).as("word"): _*))
+    // spread BEFORE exploding (the d9/g1 convention): the widening shuffle
+    // moves one narrow row per DOC; exploding first would put the whole
+    // word stream — corpus-sized at 100 TB — on the wire instead
+    graft.Tables.spread(docs.select(keep :+ col("text"): _*))
+      .select(keep :+ explode(split(col("text"), " ")).as("word"): _*)
       .filter(length(col("word")) > 0)
       .select(keep :+
         size(split(trim(bpeApply(bpeSymbols(col("word")), merges)), BpeSep))
