@@ -20,13 +20,79 @@ import java.util.concurrent.ConcurrentHashMap
   */
 object Bench {
   /** Per-job-group task-metric totals, accumulated on listener events. */
-  private final class GroupMetrics {
+  private[graft] final class GroupMetrics {
     @volatile var shufReadBytes = 0L
     @volatile var shufReadRecords = 0L
     @volatile var shufWriteBytes = 0L
     @volatile var shufWriteRecords = 0L
     @volatile var peakExecMem = 0L
     @volatile var tasks = 0L
+  }
+
+  /** The bench's JSON emitters, extracted so the driver contract is unit-
+    * testable (a malformed line would zero the round's recorded bench).
+    * Locale.ROOT everywhere: the f-interpolator honors the JVM default
+    * locale, and a comma-decimal locale would emit invalid JSON numbers.
+    */
+  private[graft] object Json {
+    private def fmt(p: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, p, Double.box(v))
+    private def sec(d: Double, decimals: Int): String =
+      if (d < 0) "-1" else fmt(s"%.${decimals}f", d)
+    private def objOf(entries: Seq[(String, String)]): String =
+      entries.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+
+    def minTimes(passes: Seq[(String, Seq[Double])]): Seq[(String, Double)] =
+      passes.map { case (n, ps) =>
+        n -> (if (ps.exists(_ < 0)) -1.0 else ps.min)
+      }
+    def failed(passes: Seq[(String, Seq[Double])]): Seq[String] =
+      minTimes(passes).collect { case (n, t) if t < 0 => n }
+    def total(passes: Seq[(String, Seq[Double])]): Double =
+      minTimes(passes).map(_._2).filter(_ >= 0).sum
+
+    private def failedJson(passes: Seq[(String, Seq[Double])]): String =
+      failed(passes).map("\"" + _ + "\"").mkString("[", ",", "]")
+
+    /** The complete self-evidencing record: both passes + listener metrics.
+      * Written to bench_out.json and the GRAFT_BENCH_JSON marker line.
+      */
+    def full(passes: Seq[(String, Seq[Double])],
+        metricsOf: String => Option[GroupMetrics], sfDir: String): String = {
+      def mb(b: Long): String = fmt("%.1f", b / 1048576.0)
+      val qs = objOf(minTimes(passes).map { case (k, v) => k -> sec(v, 4) })
+      val p1 = objOf(passes.map { case (k, ps) => k -> sec(ps(0), 4) })
+      val p2 = objOf(passes.map { case (k, ps) => k -> sec(ps(1), 4) })
+      val metrics = objOf(passes.map { case (name, _) =>
+        // pass-2 metrics: the warm pass is the attributable one (identical
+        // shuffle volume to pass 1 unless the PLAN itself is nondeterministic)
+        val m = metricsOf(name).getOrElse(new GroupMetrics)
+        name -> objOf(Seq(
+          "shuffle_read_mb" -> mb(m.shufReadBytes),
+          "shuffle_write_mb" -> mb(m.shufWriteBytes),
+          "shuffle_read_rows" -> m.shufReadRecords.toString,
+          "shuffle_write_rows" -> m.shufWriteRecords.toString,
+          "peak_task_mem_mb" -> mb(m.peakExecMem),
+          "tasks" -> m.tasks.toString))
+      })
+      s"""{"metric":"total","value":${total(passes)},"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir","passes":2,"timing":"min_of_two","failed":${failedJson(passes)},""" +
+        s""""queries_p1":$p1,"queries_p2":$p2,"metrics":$metrics}"""
+    }
+
+    /** The LAST stdout line: a COMPACT self-contained result sized for a
+      * tail-window scrape (every recorded BENCH_r{1-6}.json kept only the
+      * final ~2000 chars of the log with parsed=null — the full line is 10×
+      * that). Field order is deliberate: expendable fields first, per-query
+      * map and total LAST, so a clipped head still leaves queries/failed/
+      * value readable and the line stays valid JSON when captured whole.
+      */
+    def compact(passes: Seq[(String, Seq[Double])], sfDir: String): String = {
+      val qs = objOf(minTimes(passes).map { case (k, v) => k -> sec(v, 2) })
+      s"""{"metric":"total","unit":"sec","passes":2,"timing":"min_of_two",""" +
+        s""""sf":"$sfDir","queries":$qs,"failed":${failedJson(passes)},""" +
+        s""""value":${sec(total(passes), 2)}}"""
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -81,8 +147,7 @@ object Bench {
     // state can't leak into timings
     val freshSession = sys.env.get("SPARK_GRAFT_FRESH_SESSION").contains("1")
 
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    val passes = names.map { case (name, fn) =>
+    val passes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val perPass = (1 to 2).map { pass =>
         val s = if (freshSession) spark.newSession() else spark
         s.sparkContext.setJobGroup(s"$name#p$pass", name, interruptOnCancel = false)
@@ -101,7 +166,7 @@ object Bench {
         s.catalog.clearCache()
         sec
       }
-      name -> perPass
+      name -> (perPass: Seq[Double])
     }
 
     // drain the async listener queue BEFORE reading the accumulated metrics:
@@ -113,35 +178,8 @@ object Bench {
       .waitUntilListenerBusEmpty(spark.sparkContext, 30000L)
     catch { case _: Throwable => } // a stuck bus degrades metrics, not timings
 
-    // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
-    // comma-decimal locale would silently emit invalid JSON numbers
-    def fmt(p: String, v: Double): String =
-      String.format(java.util.Locale.ROOT, p, Double.box(v))
-    def j(d: Double): String = if (d < 0) "-1" else fmt("%.4f", d)
-    val minTimes = passes.map { case (n, ps) =>
-      n -> (if (ps.exists(_ < 0)) -1.0 else ps.min)
-    }
-    val failed = minTimes.collect { case (n, t) if t < 0 => n }
-    val qs = minTimes.map { case (k, v) => s"\"$k\":${j(v)}" }.mkString("{", ",", "}")
-    val p1 = passes.map { case (k, ps) => s"\"$k\":${j(ps(0))}" }.mkString("{", ",", "}")
-    val p2 = passes.map { case (k, ps) => s"\"$k\":${j(ps(1))}" }.mkString("{", ",", "}")
-    val total = minTimes.map(_._2).filter(_ >= 0).sum
-    def mb(b: Long): String = fmt("%.1f", b / 1048576.0)
-    val metrics = names.map { case (name, _) =>
-      // pass-2 metrics: the warm pass is the attributable one (identical
-      // shuffle volume to pass 1 unless the PLAN itself is nondeterministic)
-      val m = Option(groups.get(s"$name#p2")).getOrElse(new GroupMetrics)
-      s""""$name":{"shuffle_read_mb":${mb(m.shufReadBytes)},""" +
-        s""""shuffle_write_mb":${mb(m.shufWriteBytes)},""" +
-        s""""shuffle_read_rows":${m.shufReadRecords},""" +
-        s""""shuffle_write_rows":${m.shufWriteRecords},""" +
-        s""""peak_task_mem_mb":${mb(m.peakExecMem)},"tasks":${m.tasks}}"""
-    }.mkString("{", ",", "}")
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""sf":"$sfDir","passes":2,"timing":"min_of_two","failed":$failedJson,""" +
-        s""""queries_p1":$p1,"queries_p2":$p2,"metrics":$metrics}"""
+    val json = Json.full(passes,
+      name => Option(groups.get(s"$name#p2")), sfDir)
     // machine-readable channel: a file the driver can read verbatim (sbt
     // decorates stdout; Spark logs interleave on stderr)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
@@ -150,15 +188,6 @@ object Bench {
     // marker-prefixed FULL copy: complete and grep-able anywhere in the log
     println(s"GRAFT_BENCH_JSON:$json")
     spark.stop()
-    // The LAST stdout line is a COMPACT self-contained result sized for a
-    // tail-window scrape (every BENCH_r{1-6}.json kept only the final ~2000
-    // chars of the log with parsed=null — the full line above is 10× that).
-    // Field order is deliberate: expendable fields first, per-query map and
-    // total LAST, so a clipped head still leaves queries/failed/value
-    // readable and the line stays valid JSON when captured whole.
-    def j2(d: Double): String = if (d < 0) "-1" else fmt("%.2f", d)
-    val qs2 = minTimes.map { case (k, v) => s"\"$k\":${j2(v)}" }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","unit":"sec","passes":2,"timing":"min_of_two","sf":"$sfDir","queries":$qs2,"failed":$failedJson,"value":${j2(total)}}""")
+    println(Json.compact(passes, sfDir))
   }
 }

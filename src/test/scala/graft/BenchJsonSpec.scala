@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** The bench JSON is the driver contract — a malformed or locale-broken line
+  * would zero the round's recorded bench, so both emitters are pinned here:
+  * parseable JSON, correct totals/failed accounting, value-last compact
+  * ordering (tail-window survivability), and locale independence.
+  */
+class BenchJsonSpec extends AnyFunSuite {
+  private val mapper = new ObjectMapper()
+  private val passes: Seq[(String, Seq[Double])] = Seq(
+    "a_fast" -> Seq(0.51234, 0.10999),
+    "b_failed" -> Seq(-1.0, 2.0), // raised in pass 1 → excluded, listed
+    "c_slow" -> Seq(3.25, 4.0))
+
+  test("full emitter: valid JSON, min-of-two, failed excluded from total") {
+    val m = new Bench.GroupMetrics
+    m.shufReadBytes = 3 * 1048576L; m.shufReadRecords = 42L; m.tasks = 7L
+    val node = mapper.readTree(Bench.Json.full(passes,
+      n => if (n == "a_fast") Some(m) else None, "/sf"))
+    assert(node.get("metric").asText === "total")
+    assert(node.get("unit").asText === "sec")
+    assert(node.get("passes").asInt === 2)
+    // total = min(a) + min(c); b raised and is excluded, not fake-fast
+    assert(math.abs(node.get("value").asDouble - (0.10999 + 3.25)) < 1e-9)
+    assert(node.get("queries").get("a_fast").asDouble === 0.11)
+    assert(node.get("queries").get("b_failed").asInt === -1)
+    assert(node.get("failed").size === 1)
+    assert(node.get("failed").get(0).asText === "b_failed")
+    assert(node.get("queries_p1").get("c_slow").asDouble === 3.25)
+    assert(node.get("queries_p2").get("c_slow").asDouble === 4.0)
+    val am = node.get("metrics").get("a_fast")
+    assert(am.get("shuffle_read_mb").asDouble === 3.0)
+    assert(am.get("shuffle_read_rows").asLong === 42L)
+    assert(am.get("tasks").asLong === 7L)
+    // queries with no recorded metrics still emit a complete (zeroed) object
+    assert(node.get("metrics").get("c_slow").get("tasks").asLong === 0L)
+  }
+
+  test("compact emitter: valid JSON with value LAST (tail-clip survivability)") {
+    val line = Bench.Json.compact(passes, "/sf")
+    val node = mapper.readTree(line)
+    assert(math.abs(node.get("value").asDouble - 3.36) < 1e-9) // 0.11 + 3.25
+    assert(node.get("queries").size === 3)
+    assert(node.get("failed").get(0).asText === "b_failed")
+    // the total must be the FINAL field: a head-clipped tail keeps it
+    assert(line.endsWith(s""""value":3.36}"""), line.takeRight(40))
+    // and the queries map must precede only failed+value (nothing bulky after)
+    assert(line.indexOf("\"queries\":") < line.indexOf("\"failed\":"))
+  }
+
+  test("emitters are locale-independent (comma-decimal default locale)") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY) // 3,25 locale
+      val node = mapper.readTree(Bench.Json.compact(passes, "/sf"))
+      assert(math.abs(node.get("value").asDouble - 3.36) < 1e-9)
+      assert(mapper.readTree(Bench.Json.full(passes, _ => None, "/sf"))
+        .get("queries").get("c_slow").asDouble === 3.25)
+    } finally java.util.Locale.setDefault(prev)
+  }
+}
