@@ -78,4 +78,16 @@ class PlanContractSpec extends SparkSpec {
     // clustering keys are a superset, so ONE exchange total
     assert(count(p, "Exchange hashpartitioning") === 1, p)
   }
+
+  test("real-BPE token stats is ONE corpus scan with no join-back (t11)") {
+    val p = planOf("t11_bpe_token_stats")
+    // lang rides the counting aggregation's grouping key; a regression to
+    // count-then-join-lang-back would reintroduce a join and a second scan
+    assert(count(p, "BroadcastHashJoin") === 0 && count(p, "SortMergeJoin") === 0,
+      s"t11 regressed to a lang join-back:\n$p")
+    assert(count(p, "Scan parquet") === 1, s"t11 scans the corpus twice:\n$p")
+    // two keyed exchanges: (doc_id, lang) partial agg + lang final agg
+    // (spread's round-robin widening is not keyed and not counted here)
+    assert(count(p, "Exchange hashpartitioning") <= 2, p)
+  }
 }
