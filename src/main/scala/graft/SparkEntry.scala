@@ -151,7 +151,11 @@ object SparkEntry {
     // plugin; the oracle states the frame fan-out and dims arithmetically,
     // so the hash only matches if the segment-walking splitter found every
     // real frame boundary (v1's stub face keeps the too-big-to-encode dims)
-    "v2_mjpeg_decode" -> ((s: SparkSession, d: String) => MultimodalOps.decodeMjpegFrames(s, d))
+    "v2_mjpeg_decode" -> ((s: SparkSession, d: String) => MultimodalOps.decodeMjpegFrames(s, d)),
+    // v3: frame sampling on the REAL codec with decode-skipping — the
+    // boundary walk touches every frame, JPEG decode only every 2nd; the
+    // oracle is v2's fan-out filtered to even frame indices
+    "v3_mjpeg_sample" -> ((s: SparkSession, d: String) => MultimodalOps.sampleMjpegFrames(s, d, 2))
   )
 
   /** X1 positional tokenize (LATERAL TABLE(split_words(...)),
@@ -1276,6 +1280,15 @@ object SparkEntry {
         |       CAST(16 + doc_id % 24 AS INTEGER) AS height,
         |       (16 + doc_id % 32) * (16 + doc_id % 24) AS n_pixels
         |FROM documents""".stripMargin,
+    // v3: v2's fan-out sampled to every 2nd frame (decode-skipping walk).
+    "v3_mjpeg_sample" ->
+      """SELECT doc_id, frame_idx, width, height FROM (
+        |  SELECT doc_id,
+        |         CAST(unnest(generate_series(0, doc_id % 8)) AS BIGINT) AS frame_idx,
+        |         CAST(16 + doc_id % 32 AS INTEGER) AS width,
+        |         CAST(16 + doc_id % 24 AS INTEGER) AS height
+        |  FROM documents)
+        |WHERE frame_idx % 2 = 0""".stripMargin,
     // m5: the REAL WAV encode→decode round trip lands on the SAME integer
     // recurrence as m4 — identical oracle, so the hash only matches if the
     // RIFF container math, unsigned-byte convention, and sample order all

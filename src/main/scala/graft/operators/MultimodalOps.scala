@@ -230,24 +230,38 @@ object MultimodalOps {
       throw new IllegalArgumentException("truncated MJPEG frame (no EOI)")
     }
 
-    def decodeFrames(bytes: Array[Byte]): Seq[java.awt.image.BufferedImage] = {
-      val frames = scala.collection.mutable.ArrayBuffer.empty[java.awt.image.BufferedImage]
+    /** (frame index, byte range) of every frame — the boundary walk alone,
+      * no pixel decode. This split is the point of a container walker: at
+      * sampling time only the SELECTED frames pay JPEG entropy decode, the
+      * rest cost a header-structure walk (bytes scanned, no IDCT).
+      */
+    def frameRanges(bytes: Array[Byte]): Seq[(Int, Int, Int)] = {
+      val ranges = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
       var i = 0
+      var idx = 0
       while (i < bytes.length) {
         // tolerate FF padding between frames (cameras pad EOI→SOI); anything
         // else that is not an SOI still fails loudly in frameEnd
         while (i + 1 < bytes.length && (bytes(i) & 0xff) == 0xff &&
           (bytes(i + 1) & 0xff) == 0xff) i += 1
         val end = frameEnd(bytes, i)
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bytes, i, end - i))
-        require(img != null, s"undecodable JPEG frame at byte $i")
-        frames += img
+        ranges += ((idx, i, end))
+        idx += 1
         i = end
       }
-      require(frames.nonEmpty, "no JPEG frames in MJPEG stream")
-      frames.toSeq
+      require(ranges.nonEmpty, "no JPEG frames in MJPEG stream")
+      ranges.toSeq
     }
+
+    def decodeRange(bytes: Array[Byte], start: Int, end: Int): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes, start, end - start))
+      require(img != null, s"undecodable JPEG frame at byte $start")
+      img
+    }
+
+    def decodeFrames(bytes: Array[Byte]): Seq[java.awt.image.BufferedImage] =
+      frameRanges(bytes).map { case (_, s, e) => decodeRange(bytes, s, e) }
   }
 
   /** MJPEG payloads with oracle-predictable geometry: width = 16 + id % 32,
@@ -283,6 +297,26 @@ object MultimodalOps {
         }
       })
       .toDF("doc_id", "frame_idx", "width", "height", "n_pixels")
+  }
+
+  /** V3 — REAL frame sampling with decode-skipping: walk every frame
+    * boundary (cheap — header structure only), JPEG-decode ONLY every
+    * `everyN`th frame. This is v1's sampling shape on the real codec, and
+    * the scale property that justifies the container walker: decode cost is
+    * proportional to SAMPLED frames, walk cost to stream bytes. One row per
+    * sampled frame leaves the codec seam.
+    */
+  def sampleMjpegFrames(spark: SparkSession, dir: String, everyN: Int): DataFrame = {
+    import spark.implicits._
+    mjpegRecords(spark, dir)
+      .mapPartitions(_.flatMap { m =>
+        MjpegCodec.frameRanges(m.content).collect {
+          case (idx, s, e) if idx % everyN == 0 =>
+            val img = MjpegCodec.decodeRange(m.content, s, e)
+            (m.doc_id, idx.toLong, img.getWidth, img.getHeight)
+        }
+      })
+      .toDF("doc_id", "frame_idx", "width", "height")
   }
 
   /** M2 — frame sampling: one output row per sampled frame (every `everyN`th

@@ -111,6 +111,27 @@ class MultimodalOpsSpec extends SparkSpec {
     }
   }
 
+  test("MjpegCodec.frameRanges walks boundaries without decoding; ranges decode independently (V3)") {
+    val (w, h, n) = (17, 13, 6)
+    val bytes = MultimodalOps.syntheticMjpeg(docId = 9L, w, h, n)
+    val ranges = MultimodalOps.MjpegCodec.frameRanges(bytes)
+    assert(ranges.map(_._1) === (0 until n))
+    // ranges tile the stream: contiguous, starting at 0, ending at EOF
+    assert(ranges.head._2 === 0)
+    assert(ranges.last._3 === bytes.length)
+    ranges.sliding(2).foreach { case Seq((_, _, e1), (_, s2, _)) =>
+      assert(e1 === s2, "frame ranges must tile the stream")
+    }
+    // each range decodes independently — the decode-skipping contract:
+    // sampling decodes ONLY selected ranges, never neighbors
+    val sampled = ranges.filter(_._1 % 2 == 0)
+    assert(sampled.size === 3)
+    sampled.foreach { case (_, s, e) =>
+      val img = MultimodalOps.MjpegCodec.decodeRange(bytes, s, e)
+      assert(img.getWidth === w && img.getHeight === h)
+    }
+  }
+
   test("MjpegCodec fails loudly on truncated or misaligned streams (V2)") {
     val bytes = MultimodalOps.syntheticMjpeg(docId = 1L, 16, 16, 2)
     intercept[IllegalArgumentException] {
