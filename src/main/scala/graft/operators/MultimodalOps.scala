@@ -174,7 +174,7 @@ object MultimodalOps {
     * side exercises genuine JPEG container work (segment structure, entropy
     * data, frame boundaries), not a fixture.
     */
-  private[operators] def syntheticMjpeg(docId: Long, w: Int, h: Int,
+  private[graft] def syntheticMjpeg(docId: Long, w: Int, h: Int,
       nFrames: Int): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     var f = 0
@@ -287,9 +287,18 @@ object MultimodalOps {
     * corruption) breaks the hash. Frame decode happens INSIDE the codec
     * pass; one row per frame leaves the seam.
     */
-  def decodeMjpegFrames(spark: SparkSession, dir: String): DataFrame = {
+  def decodeMjpegFrames(spark: SparkSession, dir: String): DataFrame =
+    decodeMjpegFrames(mjpegRecords(spark, dir))
+
+  /** The record-parameterized core of v2 — a STATELESS map over opaque
+    * blobs, so the identical call decodes a `readStream` of media records
+    * (continuous video ingestion) and a batch frame alike; parity is
+    * proven in `StatefulParitySpec`.
+    */
+  def decodeMjpegFrames(records: Dataset[MediaRecord]): DataFrame = {
+    val spark = records.sparkSession
     import spark.implicits._
-    mjpegRecords(spark, dir)
+    records
       .mapPartitions(_.flatMap { m =>
         MjpegCodec.decodeFrames(m.content).zipWithIndex.map { case (img, idx) =>
           (m.doc_id, idx.toLong, img.getWidth, img.getHeight,

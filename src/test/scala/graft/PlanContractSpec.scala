@@ -79,6 +79,17 @@ class PlanContractSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") === 1, p)
   }
 
+  test("codec pipelines never shuffle after the widening exchange (m5, v2, v3)") {
+    Seq("m5_audio_decode", "v2_mjpeg_decode", "v3_mjpeg_sample").foreach { q =>
+      val p = planOf(q)
+      // encode + decode + per-frame emit all happen inside one mapPartitions
+      // pass; the only exchange is spread's round-robin split widening
+      assert(count(p, "Exchange hashpartitioning") === 0,
+        s"$q shuffles inside the codec pipeline:\n$p")
+      assert(count(p, "BroadcastHashJoin") === 0 && count(p, "SortMergeJoin") === 0, p)
+    }
+  }
+
   test("real-BPE token stats is ONE corpus scan with no join-back (t11)") {
     val p = planOf("t11_bpe_token_stats")
     // lang rides the counting aggregation's grouping key; a regression to

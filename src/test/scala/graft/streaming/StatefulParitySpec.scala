@@ -157,6 +157,35 @@ class StatefulParitySpec extends SparkSpec {
     assert(fp1.intersect(fp2).nonEmpty, "shared run lost its fingerprint")
   }
 
+  test("MJPEG decode is a STATELESS streaming face: stream == batch per frame (V2)") {
+    implicit val sqlCtx = spark.sqlContext
+    // the codec seam is a pure per-record map over opaque blobs, so the
+    // same call runs on a readStream of media records — continuous video
+    // ingestion — without a separate streaming implementation
+    import graft.operators.{MultimodalOps, MediaRecord}
+    def rec(id: Long): MediaRecord = MediaRecord(id, "video/x-motion-jpeg",
+      MultimodalOps.syntheticMjpeg(id, 16 + (id % 4).toInt, 12, 1 + (id % 3).toInt))
+    val rows = Seq(rec(1L), rec(2L), rec(3L))
+    val input = MemoryStream[MediaRecord]
+    input.addData(rows: _*)
+    val q = MultimodalOps.decodeMjpegFrames(input.toDS())
+      .writeStream.format("memory").queryName("sp_mjpeg")
+      .trigger(Trigger.AvailableNow()).outputMode("append").start()
+    try q.awaitTermination() finally q.stop()
+    def rowSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "frame_idx", "width", "height", "n_pixels").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .toSet
+    val streamed = rowSet(spark.table("sp_mjpeg"))
+    val batched = rowSet(MultimodalOps.decodeMjpegFrames(
+      spark.createDataset(rows)(org.apache.spark.sql.Encoders.product[MediaRecord])))
+    assert(streamed === batched)
+    // fan-out sanity: doc 1 has 2 frames, doc 2 has 3, doc 3 has 1
+    assert(streamed.count(_._1 == 1L) === 2)
+    assert(streamed.count(_._1 == 2L) === 3)
+    assert(streamed.count(_._1 == 3L) === 1)
+  }
+
   test("embeddingDedupStream: stream (AvailableNow) == batch, first arrival survives") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(11)
