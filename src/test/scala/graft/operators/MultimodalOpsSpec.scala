@@ -132,6 +132,26 @@ class MultimodalOpsSpec extends SparkSpec {
     }
   }
 
+  test("segment walker survives a literal EOI inside a COM payload — the naive-scan trap (V2)") {
+    // JPEG table/comment segments may legally contain the FF D9 byte pair;
+    // a pattern-matching splitter would cut the frame there. Splice a COM
+    // (FFFE) segment whose payload embeds a fake EOI right after SOI and
+    // prove the walker still finds the TRUE frame boundary.
+    val frame = MultimodalOps.syntheticMjpeg(docId = 5L, 16, 12, 1)
+    val payload = Array[Byte](0xFF.toByte, 0xD9.toByte, 'x'.toByte)
+    val len = payload.length + 2 // JPEG segment length includes its own 2 bytes
+    val com = Array[Byte](0xFF.toByte, 0xFE.toByte,
+      ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ payload
+    val spliced = frame.take(2) ++ com ++ frame.drop(2)
+    val one = MultimodalOps.MjpegCodec.decodeFrames(spliced)
+    assert(one.size === 1, "trap segment split the frame")
+    assert(one.head.getWidth === 16 && one.head.getHeight === 12)
+    // a stream whose FIRST frame carries the trap still splits correctly
+    val stream = spliced ++ MultimodalOps.syntheticMjpeg(docId = 6L, 20, 10, 1)
+    val two = MultimodalOps.MjpegCodec.decodeFrames(stream)
+    assert(two.map(f => (f.getWidth, f.getHeight)) === Seq((16, 12), (20, 10)))
+  }
+
   test("MjpegCodec fails loudly on truncated or misaligned streams (V2)") {
     val bytes = MultimodalOps.syntheticMjpeg(docId = 1L, 16, 16, 2)
     intercept[IllegalArgumentException] {
