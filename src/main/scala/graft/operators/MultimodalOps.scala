@@ -328,9 +328,11 @@ object MultimodalOps {
       .toDF("doc_id", "frame_idx", "width", "height")
   }
 
-  /** M2 — frame sampling: one output row per sampled frame (every `everyN`th
+  /** V1 — frame sampling: one output row per sampled frame (every `everyN`th
     * of `n_frames`), the flatMap shape a video pipeline needs. Frame bytes
-    * are the stubbed decoder's output (`???`-equivalent: deterministic fake);
+    * are the stubbed decoder's output (`???`-equivalent: deterministic fake
+    * — the md5-derived geometry ranges to 2047²×240, deliberately too large
+    * to really encode; [[sampleMjpegFrames]] is the real-codec sibling);
     * the row fan-out, schema, and partition behavior are the real thing.
     */
   def sampleFrames(spark: SparkSession, dir: String, everyN: Int): DataFrame =
