@@ -89,9 +89,12 @@ object Bench {
       */
     def compact(passes: Seq[(String, Seq[Double])], sfDir: String): String = {
       val qs = objOf(minTimes(passes).map { case (k, v) => k -> sec(v, 2) })
-      s"""{"metric":"total","unit":"sec","passes":2,"timing":"min_of_two",""" +
-        s""""sf":"$sfDir","queries":$qs,"failed":${failedJson(passes)},""" +
-        s""""value":${sec(total(passes), 2)}}"""
+      // preamble kept MINIMAL (passes/timing live in the full line, sf as
+      // basename): with 81 queries the map alone is ~2030 chars, so every
+      // preamble byte is a query entry saved from the tail clip
+      val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+      s"""{"metric":"total","unit":"sec","sf":"$sfShort","queries":$qs,""" +
+        s""""failed":${failedJson(passes)},"value":${sec(total(passes), 2)}}"""
     }
   }
 
