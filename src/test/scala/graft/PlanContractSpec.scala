@@ -79,6 +79,22 @@ class PlanContractSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") === 1, p)
   }
 
+  test("LSH pair mining: candidates-only verify, at most ONE keyed shuffle (d3)") {
+    val p = planOf("d3_minhash_lsh_pairs")
+    // band self-join + jaccard verify ride broadcast joins; the single
+    // keyed exchange is the pair-dedup/count — NEVER an all-pairs shuffle
+    assert(count(p, "Exchange hashpartitioning") <= 1, p)
+    assert(count(p, "SortMergeJoin") === 0, p)
+    assert(count(p, "BroadcastNestedLoopJoin") === 0, p)
+  }
+
+  test("stratified hash sampling is a pure corpus predicate: zero keyed shuffles (s1)") {
+    val p = planOf("s1_hash_sample")
+    // the 5-row rate table broadcasts; the corpus side is scan → filter
+    assert(count(p, "Exchange hashpartitioning") === 0, p)
+    assert(count(p, "BroadcastHashJoin") === 1, p)
+  }
+
   test("codec pipelines never shuffle after the widening exchange (m5, v2, v3)") {
     Seq("m5_audio_decode", "v2_mjpeg_decode", "v3_mjpeg_sample").foreach { q =>
       val p = planOf(q)
