@@ -39,8 +39,14 @@ object Bench {
       String.format(java.util.Locale.ROOT, p, Double.box(v))
     private def sec(d: Double, decimals: Int): String =
       if (d < 0) "-1" else fmt(s"%.${decimals}f", d)
+    /** JSON string-escape: backslash and quote (the two that can realistically
+      * appear in a path or query name and would otherwise break the line —
+      * the driver contract tolerates zero malformed output).
+      */
+    private[graft] def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
     private def objOf(entries: Seq[(String, String)]): String =
-      entries.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+      entries.map { case (k, v) => s"\"${esc(k)}\":$v" }.mkString("{", ",", "}")
 
     def minTimes(passes: Seq[(String, Seq[Double])]): Seq[(String, Double)] =
       passes.map { case (n, ps) =>
@@ -52,13 +58,20 @@ object Bench {
       minTimes(passes).map(_._2).filter(_ >= 0).sum
 
     private def failedJson(passes: Seq[(String, Seq[Double])]): String =
-      failed(passes).map("\"" + _ + "\"").mkString("[", ",", "]")
+      failed(passes).map("\"" + esc(_) + "\"").mkString("[", ",", "]")
 
     /** The complete self-evidencing record: both passes + listener metrics.
       * Written to bench_out.json and the GRAFT_BENCH_JSON marker line.
+      * `extraOf` appends behavioral evidence to a query's metrics object
+      * (e.g. n2b's measured recall vs the n1 brute-force truth);
+      * `listenerDropped` makes metric under-attribution itself visible: a
+      * nonzero value means the bounded listener queue shed events and the
+      * per-query totals are LOWER bounds for this run.
       */
     def full(passes: Seq[(String, Seq[Double])],
-        metricsOf: String => Option[GroupMetrics], sfDir: String): String = {
+        metricsOf: String => Option[GroupMetrics], sfDir: String,
+        extraOf: String => Seq[(String, String)] = _ => Nil,
+        listenerDropped: Long = 0L): String = {
       def mb(b: Long): String = fmt("%.1f", b / 1048576.0)
       val qs = objOf(minTimes(passes).map { case (k, v) => k -> sec(v, 4) })
       val p1 = objOf(passes.map { case (k, ps) => k -> sec(ps(0), 4) })
@@ -73,10 +86,11 @@ object Bench {
           "shuffle_read_rows" -> m.shufReadRecords.toString,
           "shuffle_write_rows" -> m.shufWriteRecords.toString,
           "peak_task_mem_mb" -> mb(m.peakExecMem),
-          "tasks" -> m.tasks.toString))
+          "tasks" -> m.tasks.toString) ++ extraOf(name))
       })
       s"""{"metric":"total","value":${total(passes)},"unit":"sec","queries":$qs,""" +
-        s""""sf":"$sfDir","passes":2,"timing":"min_of_two","failed":${failedJson(passes)},""" +
+        s""""sf":"${esc(sfDir)}","passes":2,"timing":"min_of_two",""" +
+        s""""listener_dropped":$listenerDropped,"failed":${failedJson(passes)},""" +
         s""""queries_p1":$p1,"queries_p2":$p2,"metrics":$metrics}"""
     }
 
@@ -86,14 +100,20 @@ object Bench {
       * that). Field order is deliberate: expendable fields first, per-query
       * map and total LAST, so a clipped head still leaves queries/failed/
       * value readable and the line stays valid JSON when captured whole.
+      * Within the map, entries are CHEAPEST-FIRST at 1 decimal (BENCH_r07
+      * still clipped one query): if the window ever clips again, the lost
+      * entries are the sub-second ones — the expensive queries the record
+      * exists to track sit at the tail with the total.
       */
     def compact(passes: Seq[(String, Seq[Double])], sfDir: String): String = {
-      val qs = objOf(minTimes(passes).map { case (k, v) => k -> sec(v, 2) })
+      val qs = objOf(minTimes(passes)
+        .sortBy { case (n, v) => (v, n) } // failed (-1) sort first: named in `failed` anyway
+        .map { case (k, v) => k -> sec(v, 1) })
       // preamble kept MINIMAL (passes/timing live in the full line, sf as
       // basename): with 81 queries the map alone is ~2030 chars, so every
       // preamble byte is a query entry saved from the tail clip
       val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-      s"""{"metric":"total","unit":"sec","sf":"$sfShort","queries":$qs,""" +
+      s"""{"metric":"total","unit":"sec","sf":"${esc(sfShort)}","queries":$qs,""" +
         s""""failed":${failedJson(passes)},"value":${sec(total(passes), 2)}}"""
     }
   }
@@ -167,6 +187,14 @@ object Bench {
         // moves later numbers ±3× run to run (the cache manager lives in
         // SharedState, so this clears every session)
         s.catalog.clearCache()
+        // ...and clearCache drops SQL-cached TABLES but not checkpoint
+        // blocks: the iterative dedup family leaves its FINAL label
+        // checkpoint persisted (the returned frame's only substance — the
+        // caller owns the release, and here the caller is done). Waiting on
+        // the async ContextCleaner instead let blocks pile up across
+        // queries: BENCH_r07 recorded d11 p2 at 7× p1 under that pressure.
+        s.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         sec
       }
       name -> (perPass: Seq[Double])
@@ -181,8 +209,33 @@ object Bench {
       .waitUntilListenerBusEmpty(spark.sparkContext, 30000L)
     catch { case _: Throwable => } // a stuck bus degrades metrics, not timings
 
+    // behavioral evidence rides the record: n2b's measured recall vs n1's
+    // brute-force truth (AnnOpsSpec pins the >= 50% bound at sf0.1; this
+    // carries the per-round NUMBER, so the driver artifact shows the trained
+    // quantizer finding true neighbors — not just finishing quickly).
+    // Untimed by design: runs after the timed loop, outside any job group.
+    val n2bRecall: Option[Double] = try {
+      val brute = SparkEntry.queries("n1_ann_cosine_topk")(spark, sfDir)
+        .select("query_id", "neighbor_id")
+      val ivf = SparkEntry.queries("n2b_ann_ivf_trained")(spark, sfDir)
+        .select("query_id", "neighbor_id")
+      val truth = brute.count()
+      if (truth == 0) None
+      else Some(ivf.join(brute, Seq("query_id", "neighbor_id")).count().toDouble / truth)
+    } catch { case _: Throwable => None }
+
+    val dropped = try org.apache.spark.GraftSparkInternals
+      .listenerEventsDropped(spark.sparkContext)
+    catch { case _: Throwable => 0L }
+
     val json = Json.full(passes,
-      name => Option(groups.get(s"$name#p2")), sfDir)
+      name => Option(groups.get(s"$name#p2")), sfDir,
+      extraOf = n =>
+        if (n == "n2b_ann_ivf_trained")
+          n2bRecall.toSeq.map(r => "recall" ->
+            String.format(java.util.Locale.ROOT, "%.3f", Double.box(r)))
+        else Nil,
+      listenerDropped = dropped)
     // machine-readable channel: a file the driver can read verbatim (sbt
     // decorates stdout; Spark logs interleave on stderr)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

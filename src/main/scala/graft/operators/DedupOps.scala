@@ -151,12 +151,17 @@ object DedupOps {
     ngramJaccard(table(spark, dir, "documents"))
 
   /** Exact Jaccard for candidate pairs: join the per-doc distinct-shingle-set
-    * table (`sets`: doc_id, shset, n) to both pair sides, |A∩B| =
-    * size(array_intersect). Versus the explode-equi-join-regroup formulation
-    * this removes two wide shuffles — the set table is one row per doc, so
-    * AQE broadcasts it and the pair side stays map-side. Pairs with an empty
-    * intersection are dropped, matching an inner shingle join (LSH candidates
-    * always intersect by construction).
+    * table (`sets`: doc_id, shset, n) to both pair sides, |A∩B| counted by
+    * the native [[graft.functions.IntersectCount]] expression (same
+    * arithmetic as `size(array_intersect)` — distinct common elements — but
+    * count-only: hash the smaller set once per pair, probe, never allocate
+    * the intersection array Spark's interpreted string-array ArrayIntersect
+    * would build just for `size()` to discard). Versus the
+    * explode-equi-join-regroup formulation this removes two wide shuffles —
+    * the set table is one row per doc, so AQE broadcasts it and the pair
+    * side stays map-side. Pairs with an empty intersection are dropped,
+    * matching an inner shingle join (LSH candidates always intersect by
+    * construction).
     */
   private def jaccardOf(cand: DataFrame, sets: DataFrame): DataFrame = {
     // floor(x*10^4 + 0.5)/10^4 instead of round(): bit-identical across engines
@@ -166,7 +171,7 @@ object DedupOps {
     cand
       .join(sets.select(col("doc_id").as("a"), col("shset").as("sa"), col("n").as("na")), Seq("a"))
       .join(sets.select(col("doc_id").as("b"), col("shset").as("sb"), col("n").as("nb")), Seq("b"))
-      .withColumn("inter_ct", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("inter_ct", graft.functions.IntersectCount(col("sa"), col("sb")))
       .filter(col("inter_ct") > 0)
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("inter_ct"),
         uni.as("union_ct"),
@@ -215,8 +220,19 @@ object DedupOps {
     * `LongAccumulator` out of the SAME job that materializes the checkpoint
     * — ONE action per round, not a checkpoint plus a count pass. (Task
     * retries can only over-count an accumulator; the loop reads it solely as
-    * `changed == 0`, which retries cannot fake.) Superseded round RDDs are
-    * freed by the context cleaner as their references drop out of the loop.
+    * `changed == 0`, which retries cannot fake.)
+    *
+    * Block lifecycle is DETERMINISTIC, not cleaner-driven: each round's new
+    * eager checkpoint supersedes the previous label snapshot, whose
+    * MEMORY_AND_DISK blocks are unpersisted as soon as the new one
+    * materializes; `edges` is dropped after convergence. Waiting for the
+    * async ContextCleaner instead (the round-6 behavior) pinned
+    * pair-graph-sized blocks × up to 10 rounds for the rest of the session —
+    * BENCH_r07 measured the fallout as a 7× pass-2 blowup on d11 and
+    * elevated p2 on every query sharing the session with the d-cluster. The
+    * FINAL label checkpoint stays persisted: eager localCheckpoint truncates
+    * lineage, so the returned frame's blocks are its only substance — the
+    * caller (or `Bench`'s between-query sweep) owns that release.
     *
     * Only TOUCHED vertices iterate: a vertex with no incident pair can never
     * change label, and in a deduplication graph singletons are the
@@ -272,15 +288,41 @@ object DedupOps {
       }(org.apache.spark.sql.Encoders.row(marked.schema))
         .localCheckpoint(true)
       changed = acc.value
+      // `next` is materialized: the previous snapshot's blocks are dead now,
+      // not whenever the async ContextCleaner gets to them
+      unpersistCheckpoint(labels)
       labels = next.drop("_changed")
       iter += 1
     }
+    // the converged labels are checkpointed; the edge blocks are dead
+    unpersistCheckpoint(edges)
     // untouched vertices were never candidates: each is its own cluster
     val singletons = vertices.select(col("doc_id"))
       .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
     labels.unionByName(singletons)
   }
+
+  /** Release the MEMORY_AND_DISK blocks behind an EAGER `localCheckpoint`'d
+    * frame, synchronously from the caller's perspective (the non-blocking
+    * unpersist enqueues removal immediately; blocks stop counting against
+    * storage before the next job needs the memory). An eager local
+    * checkpoint's logical plan is exactly a `LogicalRDD` over the persisted
+    * internal-row RDD, so this targets PRECISELY the superseded snapshot —
+    * no `getPersistentRDDs` diffing that could race a concurrent session and
+    * destroy someone else's checkpoint. No-op for any other plan shape.
+    * NOTE: only call on frames whose blocks are truly dead — a checkpoint's
+    * blocks are its only substance (lineage is truncated), so a later action
+    * on the same frame would throw.
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    // the checkpoint'd frame may carry a projection on top (labels after
+    // .drop), so walk to the leaves; LogicalRDD is itself a LeafNode
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Cluster-aware corpus dedup against PRECOMPUTED clusters (the output of
     * [[nearDupClusters]]): keep exactly one document (the minimum id) per

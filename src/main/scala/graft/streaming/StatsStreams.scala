@@ -247,9 +247,10 @@ object StatsStreams {
     * [[graft.operators.CurationOps.decontaminate]]: incoming docs are flagged
     * against a STATIC held-out benchmark table. The bench shingle set is
     * aggregated to a single set-row and cross-broadcast, so the per-doc
-    * overlap count is `array_intersect` on the doc's own (map-side) shingle
-    * array — a STATELESS streaming projection: no watermark, no state store,
-    * no stream-side shuffle; works identically in batch.
+    * overlap count is the native count-only [[graft.functions.IntersectCount]]
+    * on the doc's own (map-side) shingle array — a STATELESS streaming
+    * projection: no watermark, no state store, no stream-side shuffle; works
+    * identically in batch.
     *
     * Scale notes: right-sized for bench sets that fit an executor (the usual
     * case — held-out benchmarks are small by construction). If the set is too
@@ -266,7 +267,7 @@ object StatsStreams {
       .withColumn("sh", array_distinct(graft.operators.DedupOps.shingleArray(col("text"))))
       .crossJoin(broadcast(benchSet))
       .withColumn("overlap_ct",
-        size(array_intersect(col("sh"), col("bench_set"))).cast("long"))
+        graft.functions.IntersectCount(col("sh"), col("bench_set")))
       .select(col("doc_id"), col("overlap_ct"), (col("overlap_ct") === 0).as("is_clean"))
   }
 

@@ -9,4 +9,18 @@ object GraftSparkInternals {
   /** Block until all posted listener events are delivered (or timeout). */
   def waitUntilListenerBusEmpty(sc: SparkContext, timeoutMillis: Long): Unit =
     sc.listenerBus.waitUntilEmpty(timeoutMillis)
+
+  /** Total events shed by the bounded async listener queues (summed across
+    * queues; each `AsyncEventQueue` registers a
+    * `queue.<name>.numDroppedEvents` counter). Nonzero means listener-
+    * accumulated metrics under-count — the bench emits this so
+    * under-attribution is itself visible instead of masquerading as a plan
+    * change.
+    */
+  def listenerEventsDropped(sc: SparkContext): Long = {
+    import scala.jdk.CollectionConverters._
+    sc.listenerBus.metrics.metricRegistry.getCounters().asScala.collect {
+      case (name, c) if name.endsWith("numDroppedEvents") => c.getCount
+    }.sum
+  }
 }

@@ -51,6 +51,35 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(line.indexOf("\"queries\":") < line.indexOf("\"failed\":"))
   }
 
+  test("compact emitter: cheapest-first map at 1 decimal (clip loses the least)") {
+    val line = Bench.Json.compact(passes, "/sf")
+    val node = mapper.readTree(line)
+    // 1 decimal per query; the headline total keeps 2
+    assert(node.get("queries").get("a_fast").asDouble === 0.1)
+    assert(node.get("queries").get("c_slow").asDouble === 3.3)
+    // ascending cost (failed -1 sorts first — it is named in `failed`), so a
+    // head clip eats sub-second entries before it can touch the slow ones
+    val order = Seq("b_failed", "a_fast", "c_slow").map(n => line.indexOf("\"" + n + "\""))
+    assert(order === order.sorted && order.forall(_ >= 0), line)
+  }
+
+  test("string values are escaped: a quote/backslash in sfDir cannot break the line") {
+    val evil = """/sf/with"quote\and\backslash"""
+    val full = mapper.readTree(Bench.Json.full(passes, _ => None, evil))
+    assert(full.get("sf").asText === evil)
+    val compact = mapper.readTree(Bench.Json.compact(passes, evil))
+    assert(compact.get("sf").asText === """with"quote\and\backslash""")
+  }
+
+  test("full emitter: extra per-query metrics (n2b recall) and dropped-events counter") {
+    val node = mapper.readTree(Bench.Json.full(passes, _ => None, "/sf",
+      extraOf = n => if (n == "c_slow") Seq("recall" -> "0.840") else Nil,
+      listenerDropped = 17L))
+    assert(node.get("metrics").get("c_slow").get("recall").asDouble === 0.84)
+    assert(!node.get("metrics").get("a_fast").has("recall"))
+    assert(node.get("listener_dropped").asLong === 17L)
+  }
+
   test("emitters are locale-independent (comma-decimal default locale)") {
     val prev = java.util.Locale.getDefault
     try {
