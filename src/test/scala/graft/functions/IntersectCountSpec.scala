@@ -3,10 +3,13 @@ package graft.functions
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
-import org.scalatestplus.scalacheck.ScalaCheckPropertyChecks
+import org.scalacheck.rng.Seed
 
-class IntersectCountSpec extends SparkSpec with ScalaCheckPropertyChecks {
+class IntersectCountSpec extends SparkSpec {
   import spark.implicits._
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g(Gen.Parameters.default, Seed(seed)).get
 
   test("matches size(array_intersect) on hand cases incl. dups and nulls") {
     val rows = Seq(
@@ -25,16 +28,24 @@ class IntersectCountSpec extends SparkSpec with ScalaCheckPropertyChecks {
     got.collect().foreach(r => assert(r.getLong(0) === r.getLong(1), r))
   }
 
-  test("property: agrees with size(array_intersect) on random arrays") {
+  test("property: agrees with size(array_intersect) on random arrays, both eval paths") {
     val elem = Gen.oneOf(Gen.oneOf("a", "b", "c", "d", "e"), Gen.alphaStr.map(_.take(6)))
     val arr = Gen.listOfN(12, elem).map(_.toSeq)
-    forAll(Gen.listOfN(30, Gen.zip(arr, arr))) { pairs =>
-      if (pairs.nonEmpty) {
-        val got = pairs.toDF("a", "b").select(
-          IntersectCount(col("a"), col("b")).as("native"),
-          size(array_intersect(col("a"), col("b"))).cast("long").as("spark"))
-        got.collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
-      }
+    val pairsGen = Gen.listOfN(30, Gen.zip(arr, arr))
+    // Exercise generated (doGenCode) AND interpreted (nullSafeEval) code paths:
+    // they share compute() but the null short-circuit is emitted separately.
+    Seq("true", "false").foreach { codegen =>
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try {
+        (1L to 5L).foreach { s =>
+          val pairs = sample(pairsGen, s)
+          val got = pairs.toDF("a", "b").select(
+            IntersectCount(col("a"), col("b")).as("native"),
+            size(array_intersect(col("a"), col("b"))).cast("long").as("spark"))
+          got.collect().foreach(r =>
+            assert(r.getLong(0) === r.getLong(1), s"seed $s codegen=$codegen"))
+        }
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
     }
   }
 
@@ -55,6 +66,7 @@ class IntersectCountSpec extends SparkSpec with ScalaCheckPropertyChecks {
       .withColumn("sh", graft.operators.DedupOps.shingleArray(col("text")))
     val plan = d.select(IntersectCount(col("sh"), col("sh")))
       .queryExecution.executedPlan.toString
-    assert(plan.contains("*(1) Project"), plan)
+    // the Project evaluating intersect_count must sit inside a *(N) codegen span
+    assert("""\*\(\d+\) Project \[intersect_count""".r.findFirstIn(plan).isDefined, plan)
   }
 }
