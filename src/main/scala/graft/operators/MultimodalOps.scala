@@ -308,14 +308,43 @@ object MultimodalOps {
       .toDF("doc_id", "frame_idx", "width", "height", "n_pixels")
   }
 
-  /** V3 — REAL frame sampling with decode-skipping: walk every frame
-    * boundary (cheap — header structure only), JPEG-decode ONLY every
-    * `everyN`th frame. This is v1's sampling shape on the real codec, and
-    * the scale property that justifies the container walker: decode cost is
-    * proportional to SAMPLED frames, walk cost to stream bytes. One row per
-    * sampled frame leaves the codec seam.
+  /** V3 — REAL frame sampling with decode-skipping, RANGE-PARALLEL across
+    * tasks: stage 1 walks every frame boundary (cheap — header structure
+    * only) and emits one row per SAMPLED frame carrying only that frame's
+    * own byte slice (no decode); a round-robin exchange then spreads the
+    * JPEG decode over the whole cluster. Decode parallelism is proportional
+    * to SAMPLED FRAMES, not blobs — an hours-long stream no longer
+    * serializes its decode inside the single task that holds the blob,
+    * which is the property that survives a 100× blob-length scale-up.
+    * Round-robin (not keyed): frames need balance, not co-location, and a
+    * keyed exchange would inherit per-blob skew. The shuffle moves only the
+    * sampled slices (strictly fewer bytes than the stream); at real scale
+    * the slice becomes an object-store (uri, offset, len) range-read and
+    * the plan shape is identical. One row per sampled frame leaves the seam.
     */
   def sampleMjpegFrames(spark: SparkSession, dir: String, everyN: Int): DataFrame = {
+    import spark.implicits._
+    mjpegRecords(spark, dir)
+      .mapPartitions(_.flatMap { m =>
+        MjpegCodec.frameRanges(m.content).collect {
+          case (idx, s, e) if idx % everyN == 0 =>
+            (m.doc_id, idx.toLong, java.util.Arrays.copyOfRange(m.content, s, e))
+        }
+      })
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .mapPartitions(_.map { case (id, idx, frame) =>
+        val img = MjpegCodec.decodeRange(frame, 0, frame.length)
+        (id, idx, img.getWidth, img.getHeight)
+      })
+      .toDF("doc_id", "frame_idx", "width", "height")
+  }
+
+  /** The fused single-pass sibling of [[sampleMjpegFrames]]: walk + decode
+    * inside one task per blob, zero exchanges. Right when blobs are many and
+    * short (decode parallelism ≈ blob parallelism already); kept as the
+    * parity witness for the range-parallel plan.
+    */
+  def sampleMjpegFramesFused(spark: SparkSession, dir: String, everyN: Int): DataFrame = {
     import spark.implicits._
     mjpegRecords(spark, dir)
       .mapPartitions(_.flatMap { m =>

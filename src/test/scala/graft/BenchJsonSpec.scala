@@ -71,6 +71,26 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(compact.get("sf").asText === """with"quote\and\backslash""")
   }
 
+  test("control chars are escaped: a newline/tab cannot split the one-line contract") {
+    val evil = "/sf/with\nnewline\tandctrl"
+    val line = Bench.Json.full(passes, _ => None, evil)
+    assert(!line.contains('\n') && !line.contains('\t'), line)
+    assert(mapper.readTree(line).get("sf").asText === evil)
+  }
+
+  test("extraFailed names a quality failure in both emitters without dropping its timing") {
+    val full = mapper.readTree(Bench.Json.full(passes, _ => None, "/sf",
+      extraFailed = Seq("c_slow")))
+    val names = (0 until full.get("failed").size).map(full.get("failed").get(_).asText)
+    assert(names.toSet === Set("b_failed", "c_slow"))
+    // timing retained: quality failure, not a crash
+    assert(full.get("queries").get("c_slow").asDouble === 3.25)
+    assert(math.abs(full.get("value").asDouble - (0.10999 + 3.25)) < 1e-9)
+    val compact = mapper.readTree(Bench.Json.compact(passes, "/sf",
+      extraFailed = Seq("c_slow", "b_failed"))) // dup with timing-failed → no double-listing
+    assert(compact.get("failed").size === 2)
+  }
+
   test("full emitter: extra per-query metrics (n2b recall) and dropped-events counter") {
     val node = mapper.readTree(Bench.Json.full(passes, _ => None, "/sf",
       extraOf = n => if (n == "c_slow") Seq("recall" -> "0.840") else Nil,

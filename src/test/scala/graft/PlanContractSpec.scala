@@ -95,8 +95,8 @@ class PlanContractSpec extends SparkSpec {
     assert(count(p, "BroadcastHashJoin") === 1, p)
   }
 
-  test("codec pipelines never shuffle after the widening exchange (m5, v2, v3)") {
-    Seq("m5_audio_decode", "v2_mjpeg_decode", "v3_mjpeg_sample").foreach { q =>
+  test("codec pipelines never shuffle after the widening exchange (m5, v2)") {
+    Seq("m5_audio_decode", "v2_mjpeg_decode").foreach { q =>
       val p = planOf(q)
       // encode + decode + per-frame emit all happen inside one mapPartitions
       // pass; the only exchange is spread's round-robin split widening
@@ -104,6 +104,19 @@ class PlanContractSpec extends SparkSpec {
         s"$q shuffles inside the codec pipeline:\n$p")
       assert(count(p, "BroadcastHashJoin") === 0 && count(p, "SortMergeJoin") === 0, p)
     }
+  }
+
+  test("mjpeg sampling decodes range-parallel: one balance exchange, never keyed (v3)") {
+    val p = planOf("v3_mjpeg_sample")
+    // stage 1 walks boundaries and slices sampled frames; a round-robin
+    // exchange then spreads decode across tasks (parallelism ∝ sampled
+    // frames, not blobs). Exactly TWO round-robin exchanges: spread's split
+    // widening + the frame-balance one. Keyed partitioning would inherit
+    // per-blob skew — pinned absent.
+    assert(count(p, "Exchange RoundRobinPartitioning") === 2,
+      s"v3 lost the range-parallel decode exchange:\n$p")
+    assert(count(p, "Exchange hashpartitioning") === 0, p)
+    assert(count(p, "BroadcastHashJoin") === 0 && count(p, "SortMergeJoin") === 0, p)
   }
 
   test("real-BPE token stats is ONE corpus scan with no join-back (t11)") {

@@ -132,6 +132,16 @@ class MultimodalOpsSpec extends SparkSpec {
     }
   }
 
+  test("range-parallel sampling matches the fused single-pass plan row-for-row (V3)") {
+    // the balance exchange may reorder and re-bucket rows, but the decoded
+    // output set must be identical to the zero-exchange fused sibling
+    val par = MultimodalOps.sampleMjpegFrames(spark, sf, everyN = 2)
+    val fused = MultimodalOps.sampleMjpegFramesFused(spark, sf, everyN = 2)
+    assert(par.count() > 0)
+    assert(par.exceptAll(fused).count() === 0)
+    assert(fused.exceptAll(par).count() === 0)
+  }
+
   test("segment walker survives a literal EOI inside a COM payload — the naive-scan trap (V2)") {
     // JPEG table/comment segments may legally contain the FF D9 byte pair;
     // a pattern-matching splitter would cut the frame there. Splice a COM
