@@ -189,6 +189,30 @@ class AnnOpsSpec extends SparkSpec {
       s"3-probe recall $recalled/$truth under trained quantizer")
   }
 
+  test("persisted IVF index round-trips: search from the parquet index equals in-memory") {
+    // the deployment shape ivfSearchAssigned exists for: assignment is paid
+    // ONCE at indexing time, the index (cell-partitioned corpus + centroid
+    // table) lives on disk, and search never re-quantizes — probing a cell
+    // subset can prune to that subset's partitions on the indexed layout
+    import spark.implicits._
+    val e = Tables.table(spark, sf, "embeddings")
+    val cents = AnnOps.kmeansTrain(e, 4)
+    val assigned = AnnOps.assignCellsLit(e, cents)
+      .withColumnRenamed("assigned_cell", "cell")
+    val centsDf = cents.toSeq.toDF("cell", "centroid")
+    val queries = e.filter(col("vec_id") < 5)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/corpus")
+    centsDf.write.mode("overwrite").parquet(s"$dir/cents")
+    val inMem = AnnOps.ivfSearchAssigned(assigned, centsDf, queries, 5, 2)
+    val fromDisk = AnnOps.ivfSearchAssigned(
+      spark.read.parquet(s"$dir/corpus"),
+      spark.read.parquet(s"$dir/cents"), queries, 5, 2)
+    assert(fromDisk.count() > 0)
+    assert(fromDisk.exceptAll(inMem).count() === 0)
+    assert(inMem.exceptAll(fromDisk).count() === 0)
+  }
+
   test("n2b trained-IVF end-to-end recalls >= 50% of brute-force truth AT SF0.1") {
     // the n2b gate is behavioral (Lloyd's loop is not oracle-stateable), so
     // the recall bound runs at the BENCH scale factor, not the spec fixture:
