@@ -211,6 +211,13 @@ class AnnOpsSpec extends SparkSpec {
     assert(fromDisk.count() > 0)
     assert(fromDisk.exceptAll(inMem).count() === 0)
     assert(inMem.exceptAll(fromDisk).count() === 0)
+    // the scale payoff of the cell-partitioned layout: the probe subset
+    // dynamic-partition-prunes the index scan, so probing 2/k cells reads
+    // only those partitions' bytes — search I/O follows probed cells, not
+    // index size
+    val plan = fromDisk.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"persisted index scan is not partition-pruned:\n$plan")
   }
 
   test("n2b trained-IVF end-to-end recalls >= 50% of brute-force truth AT SF0.1") {
