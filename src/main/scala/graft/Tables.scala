@@ -18,14 +18,31 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Read one testdata table. Idempotently flips the nanos conf (runtime-settable). */
+  /** Read one testdata table. Idempotently flips the nanos conf (runtime-settable).
+    *
+    * `events.ts` has shipped in two physical encodings across driver testdata
+    * generations: INT64 TIMESTAMP(NANOS) (surfaced as LongType under the
+    * legacy conf, truncated here to µs) and plain TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false (surfaced as TIMESTAMP_NTZ). Dispatch on the
+    * surfaced type so either generation loads, and normalize both to
+    * session-local TIMESTAMP so downstream `unix_micros`/`window`/
+    * `session_window` calls type-check. The session timezone is pinned UTC
+    * here (idempotent, every entry point already sets it) so the NTZ→LTZ
+    * cast is the identity on the underlying µs instant — byte-for-byte what
+    * DuckDB's TIMESTAMP read of the same file yields.
+    */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      // integer nanos DIV 1000 → exact µs truncation (no double rounding)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer nanos DIV 1000 → exact µs truncation (no double rounding)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    } else df
   }
 
   /** Exact decimal sum of a double column, surfaced back as double.
