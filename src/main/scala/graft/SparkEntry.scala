@@ -115,6 +115,7 @@ object SparkEntry {
     "t8_normalize" -> ((s: SparkSession, d: String) => TextOps.normalizeText(s, d)),
     "t7_repetition" -> ((s: SparkSession, d: String) => TextOps.repetitionStats(s, d)),
     "t9_regex_tokens" -> ((s: SparkSession, d: String) => TextOps.regexTokens(s, d)),
+    "t12_gopher_rules" -> ((s: SparkSession, d: String) => TextOps.gopherRules(s, d)),
     // t10: BPE subword tokenization through the fixed demo merge table
     // (training determinism is spec-pinned; the oracle replays the same
     // merge ranks as string replacements)
@@ -920,6 +921,49 @@ object SparkEntry {
         |       floor(quantile_cont(tokens, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50_tokens,
         |       floor(quantile_cont(tokens, 0.9) * 10000.0 + 0.5) / 10000.0 AS p90_tokens
         |FROM t GROUP BY lang""".stripMargin,
+    // t12: the Gopher/MassiveText rule battery — every signal integer-
+    // compared (10·symbols ≤ words, not ratio ≤ 0.1) so verdicts can never
+    // hash-diverge across engines; ratio columns 4-dp quantized. Count-by-
+    // length-delta uses plain (non-regex) replace in both engines; the
+    // '...'-count division is an exact integer multiple, so DuckDB's
+    // round-to-nearest BIGINT cast and Spark's truncating cast agree.
+    "t12_gopher_rules" ->
+      """WITH s AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |         string_split(text, chr(10)) AS l,
+        |         CAST(length(replace(text, ' ', '')) AS BIGINT) AS char_ct,
+        |         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+        |           + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS symbol_ct
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, char_ct, symbol_ct,
+        |         CAST(len(w) AS BIGINT) AS n_words,
+        |         CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
+        |         CAST(len(list_filter(w, x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS stop_ct,
+        |         CAST(len(l) AS BIGINT) AS n_lines,
+        |         CAST(len(list_filter(l, x -> starts_with(ltrim(x), '-') OR starts_with(ltrim(x), '*')
+        |                                      OR starts_with(ltrim(x), '•'))) AS BIGINT) AS bullet_lines,
+        |         CAST(len(list_filter(l, x -> ends_with(rtrim(x), '...'))) AS BIGINT) AS ellipsis_lines
+        |  FROM s)
+        |SELECT doc_id, n_words, char_ct, symbol_ct, alpha_words, stop_ct,
+        |       n_lines, bullet_lines, ellipsis_lines,
+        |       floor(char_ct * 10000.0 / n_words + 0.5) / 10000.0 AS mean_word_len,
+        |       floor(symbol_ct * 10000.0 / n_words + 0.5) / 10000.0 AS symbol_ratio,
+        |       n_words >= 50 AND n_words <= 100000 AS r_word_count,
+        |       char_ct >= n_words * 3 AND char_ct <= n_words * 10 AS r_mean_word_len,
+        |       symbol_ct * 10 <= n_words AS r_symbol_ratio,
+        |       bullet_lines * 10 <= n_lines * 9 AS r_bullet_lines,
+        |       ellipsis_lines * 10 <= n_lines * 3 AS r_ellipsis_lines,
+        |       alpha_words * 10 >= n_words * 8 AS r_alpha_words,
+        |       stop_ct >= 2 AS r_stopwords,
+        |       (n_words >= 50 AND n_words <= 100000)
+        |         AND (char_ct >= n_words * 3 AND char_ct <= n_words * 10)
+        |         AND symbol_ct * 10 <= n_words
+        |         AND bullet_lines * 10 <= n_lines * 9
+        |         AND ellipsis_lines * 10 <= n_lines * 3
+        |         AND alpha_words * 10 >= n_words * 8
+        |         AND stop_ct >= 2 AS keep
+        |FROM g""".stripMargin,
     // t9: regex run-class tokenization (BPE pre-splitter shape).
     "t9_regex_tokens" ->
       """SELECT doc_id,

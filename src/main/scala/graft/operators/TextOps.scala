@@ -124,6 +124,63 @@ object TextOps {
   def curateCorpus(spark: SparkSession, dir: String): DataFrame =
     curateCorpus(table(spark, dir, "documents"))
 
+  /** T12 — the published Gopher/MassiveText document-quality rule battery
+    * (Rae et al. 2021, §A1.1), the de-facto standard pre-filter for LLM
+    * training corpora: word-count bounds, mean-word-length bounds,
+    * symbol-to-word ratio, bullet/ellipsis line fractions, alphabetic-word
+    * fraction, and a minimum stopword count. Emits every signal plus its
+    * per-rule verdict and the conjunctive `keep`, so thresholds can be
+    * re-swept from the signal columns without another scan.
+    *
+    * All seven rules compare in INTEGER arithmetic (`10·symbols ≤ words`
+    * instead of `ratio ≤ 0.1`), so verdicts hash-match any oracle
+    * bit-for-bit; the two surfaced ratio columns are 4-dp quantized for the
+    * same reason. Like t2, signals whose natural trigger is absent from the
+    * synthetic fixture (newlines, bullets) degrade gracefully — a
+    * single-line doc is one non-bullet, non-ellipsis line — and the rule
+    * structure is what carries to a real corpus.
+    *
+    * Scale notes: one narrow scan-projection, zero shuffles, no UDFs —
+    * every signal is a codegen'd string/array function over the shared
+    * word/line splits, so at 100 TB this is scan-bandwidth-bound with full
+    * column pruning, exactly like t1-t9.
+    */
+  def gopherRules(d: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val lines = split(col("text"), "\n")
+    // non-overlapping left-to-right counts via length deltas — `replace`
+    // (not regexp) has identical semantics in Spark and SQL oracles
+    def ct(c: Column, s: String): Column =
+      ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(s), ""))) / s.length).cast("long")
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    d.select(col("doc_id"), nWords(w).as("n_words"), charCt(col("text")).as("char_ct"),
+        (ct(col("text"), "#") + ct(col("text"), "...")).as("symbol_ct"),
+        size(filter(w, x => x.rlike("[a-zA-Z]"))).cast("long").as("alpha_words"),
+        size(filter(w, x => x.isInCollection(stops))).cast("long").as("stop_ct"),
+        size(lines).cast("long").as("n_lines"),
+        size(filter(lines, x => ltrim(x).startsWith("-") || ltrim(x).startsWith("*") ||
+          ltrim(x).startsWith("•"))).cast("long").as("bullet_lines"),
+        size(filter(lines, x => rtrim(x).endsWith("..."))).cast("long").as("ellipsis_lines"))
+      .withColumn("mean_word_len",
+        floor(col("char_ct") * 10000.0 / col("n_words") + 0.5) / 10000.0)
+      .withColumn("symbol_ratio",
+        floor(col("symbol_ct") * 10000.0 / col("n_words") + 0.5) / 10000.0)
+      .withColumn("r_word_count", col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("r_mean_word_len", // 3 ≤ char_ct/n_words ≤ 10, integer form
+        col("char_ct") >= col("n_words") * 3 && col("char_ct") <= col("n_words") * 10)
+      .withColumn("r_symbol_ratio", col("symbol_ct") * 10 <= col("n_words"))
+      .withColumn("r_bullet_lines", col("bullet_lines") * 10 <= col("n_lines") * 9)
+      .withColumn("r_ellipsis_lines", col("ellipsis_lines") * 10 <= col("n_lines") * 3)
+      .withColumn("r_alpha_words", col("alpha_words") * 10 >= col("n_words") * 8)
+      .withColumn("r_stopwords", col("stop_ct") >= 2)
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_word_len") && col("r_symbol_ratio") &&
+        col("r_bullet_lines") && col("r_ellipsis_lines") && col("r_alpha_words") &&
+        col("r_stopwords"))
+  }
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRules(table(spark, dir, "documents"))
+
   /** Shared regexes for [[piiRedact]] — restricted to syntax with identical
     * semantics in Java regex (Spark) and RE2 (common oracle engines): explicit
     * character classes, no `\d`/`\b`/lookaround.

@@ -94,4 +94,31 @@ class TextOpsSpec extends SparkSpec {
       col("distinct_ratio") <= 0.0 || col("top_share") <= 0.0).count() === 0)
     r.unpersist()
   }
+
+  test("gopher rules fire on the signals the synthetic corpus lacks (lines, bullets, symbols)") {
+    import spark.implicits._
+    val good = ("the data and the model go to the store and that " * 6).trim // 60 words, stopword-rich
+    val fixtures = Seq(
+      (1L, good),                                            // passes every rule
+      (2L, "short doc"),                                     // r_word_count
+      (3L, ("## # " * 20 + good)),                           // r_symbol_ratio (#'s)
+      (4L, (1 to 60).map(i => s"- item $i").mkString("\n")), // r_bullet_lines (all bullets)
+      (5L, (1 to 60).map(i => s"line $i goes on...").mkString("\n")), // r_ellipsis_lines
+      (6L, ("1 2 3 4 5 6 7 8 9 0 " * 6).trim),               // r_alpha_words + r_stopwords
+      (7L, ("to be " + "w " * 58).trim))                     // 60 words but only 2 chars/word avg → r_mean_word_len
+    val r = TextOps.gopherRules(fixtures.toDF("doc_id", "text"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    def b(id: Long, c: String) = r(id).getBoolean(r(id).fieldIndex(c))
+    assert(b(1, "keep"), "clean doc must pass the whole battery")
+    assert(!b(2, "r_word_count") && !b(2, "keep"))
+    assert(!b(3, "r_symbol_ratio") && !b(3, "keep"))
+    assert(!b(4, "r_bullet_lines") && !b(4, "keep"))
+    assert(!b(5, "r_ellipsis_lines") && !b(5, "keep"))
+    assert(!b(6, "r_alpha_words") && !b(6, "r_stopwords") && !b(6, "keep"))
+    assert(!b(7, "r_mean_word_len") && !b(7, "keep"))
+    // line accounting: doc 4 is 60 lines, all bullets; doc 1 is one line
+    assert(r(4L).getLong(r(4L).fieldIndex("n_lines")) === 60L)
+    assert(r(4L).getLong(r(4L).fieldIndex("bullet_lines")) === 60L)
+    assert(r(1L).getLong(r(1L).fieldIndex("n_lines")) === 1L)
+  }
 }
