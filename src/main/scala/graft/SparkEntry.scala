@@ -72,6 +72,7 @@ object SparkEntry {
     "d10_neardup_clusters" -> ((s: SparkSession, d: String) => DedupOps.nearDupClusters(s, d)),
     "d11_dedup_by_cluster" -> ((s: SparkSession, d: String) => DedupOps.dedupByCluster(s, d)),
     "d12_segment_dedup" -> ((s: SparkSession, d: String) => DedupOps.segmentDedup(s, d)),
+    "d13_substring_spans" -> ((s: SparkSession, d: String) => DedupOps.exactSubstringSpans(s, d)),
     // LLM-data-pipeline: similarity search
     "n1_ann_cosine_topk" -> ((s: SparkSession, d: String) => AnnOps.cosineTopK(s, d)),
     "n2_ann_ivf_topk" -> ((s: SparkSession, d: String) => AnnOps.ivfTopK(s, d)),
@@ -846,6 +847,28 @@ object SparkEntry {
         |SELECT doc_id, max(n_segs) AS n_segs, count(*) AS kept_segs,
         |       string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
         |FROM k GROUP BY doc_id""".stripMargin,
+    // d13: exact duplicated-substring spans (Lee et al. seed-and-extend) —
+    // positions covered by any corpus-duplicated 8-gram, merged into maximal
+    // islands via the pos − row_number() gaps-and-islands identity. Grams
+    // compare as strings in both engines (no hash to diverge on).
+    "d13_substring_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 8),
+        |x AS (SELECT doc_id, words,
+        |             unnest(generate_series(1, len(words) - 7)) AS i FROM w),
+        |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |             array_to_string(words[i:i+7], ' ') AS gram FROM x),
+        |c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |e AS (SELECT g.doc_id,
+        |             g.pos + unnest(generate_series(0, 7)) AS cov
+        |      FROM g JOIN c USING (gram)),
+        |p AS (SELECT DISTINCT doc_id, CAST(cov AS BIGINT) AS cov FROM e),
+        |i AS (SELECT doc_id, cov,
+        |             cov - row_number() OVER (PARTITION BY doc_id ORDER BY cov) AS isl
+        |      FROM p)
+        |SELECT doc_id, min(cov) AS span_start, max(cov) AS span_end,
+        |       max(cov) - min(cov) + 1 AS span_tokens
+        |FROM i GROUP BY doc_id, isl""".stripMargin,
     // s6: per-domain quota cap — row_number over the salted-md5 pick order.
     "s6_domain_cap" ->
       """SELECT doc_id, source, lang, rn FROM (

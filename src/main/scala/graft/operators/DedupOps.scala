@@ -584,6 +584,73 @@ object DedupOps {
       .select(col("doc_id"), col("n_segs"), col("kept_segs"),
         array_join(transform(col("lst"), s => s.getField("seg")), " ").as("clean_text"))
   }
+  /** k-gram array via the same shifted-zip fold as [[shingleExpr]] (k−1
+    * zip_with passes, each lambda touching only its own zip variables): the
+    * word array evaluates O(1) times per row — never `transform(sequence,
+    * i -> slice(words, i, k))`, whose captured-array indexing re-evaluates
+    * the array per element (the O(n²) interpreted-lambda trap measured in
+    * d9).
+    */
+  private def kgramExpr(words: Column, k: Int): Column = {
+    val joined = (2 to k).foldLeft(words) { (acc, j) =>
+      zip_with(acc, slice(words, lit(j), size(words)),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    slice(joined, lit(1), size(words) - (k - 1))
+  }
+
+  /** D13 — EXACT duplicated-substring spans, the modality the published
+    * exact-substring dedup recipe targets (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": remove any ≥N-token run
+    * that repeats anywhere in the corpus — verbatim boilerplate, licenses,
+    * templated headers — which near-dup document hashing can't see because
+    * the HOST documents differ). Returns every maximal token span
+    * `[span_start, span_end]` (0-based, inclusive) whose every position is
+    * covered by a `k`-gram occurring ≥ 2 times corpus-wide (within- and
+    * cross-document repeats both count, as in the paper); `span_tokens` ≥ k
+    * by construction.
+    *
+    * Seed-and-extend, not suffix arrays: the paper's suffix array is the
+    * right SINGLE-MACHINE structure, but it needs the whole corpus adjacent
+    * in memory/disk — the distributed shape is duplicated-k-gram seeds
+    * merged into maximal spans, which is embarrassingly shuffle-bounded:
+    * (1) k-gram generation is map-side (shifted-zip fold above);
+    * (2) ONE gram-keyed count with map-side partials finds duplicated seeds
+    *     (linear in corpus tokens — the same shuffle class as the d9/t5
+    *     shingle streams, never pairwise);
+    * (3) seed positions explode to covered token positions (constant k
+    *     fan-out), distinct per (doc, pos) — bounded by corpus token count;
+    * (4) islands of consecutive covered positions merge per-doc via the
+    *     row_number gaps-and-islands window (doc-keyed, reduce side bounded
+    *     by the doc's own length).
+    * Grams join/group as STRINGS so the oracle states identical arithmetic;
+    * a production run at 100 TB swaps in a 128-bit gram hash (fixed-width
+    * shuffle keys) with the same plan shape.
+    */
+  def exactSubstringSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    val grams = graft.Tables.spread(docs)
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= k)
+      .select(col("doc_id"),
+        posexplode(kgramExpr(col("words"), k)).as(Seq("pos", "gram")))
+    val dup = grams.groupBy("gram").agg(count(lit(1)).as("ct"))
+      .filter(col("ct") >= 2).select("gram")
+    val covered = grams.join(dup, "gram")
+      .select(col("doc_id"),
+        explode(sequence(col("pos").cast("long"),
+          col("pos").cast("long") + (k - 1))).as("cov"))
+      .distinct()
+    covered
+      .withColumn("isl",
+        col("cov") - row_number().over(Window.partitionBy("doc_id").orderBy("cov")))
+      .groupBy("doc_id", "isl")
+      .agg(min("cov").as("span_start"), max("cov").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+  def exactSubstringSpans(spark: SparkSession, dir: String): DataFrame =
+    exactSubstringSpans(table(spark, dir, "documents"))
+
   def segmentDedup(spark: SparkSession, dir: String): DataFrame =
     segmentDedup(table(spark, dir, "documents"))
 }

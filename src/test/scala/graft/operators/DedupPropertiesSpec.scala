@@ -238,4 +238,42 @@ class DedupPropertiesSpec extends SparkSpec {
       out.unpersist()
     }
   }
+
+  test("exact substring spans (D13): cross/within-doc repeats found, overlaps merge, unique text silent") {
+    // hand fixture with every structural case, k = 4 for readability
+    val boiler = "all rights reserved by the owner" // 6 words, shared verbatim
+    val fixtures = Seq(
+      // docs 0,1: the 6-word boilerplate embedded in DIFFERENT hosts →
+      // cross-doc span of exactly those 6 tokens in each
+      (0L, s"alpha bravo charlie $boiler delta echo"),
+      (1L, s"foxtrot golf $boiler hotel india juliet kilo"),
+      // doc 2: a WITHIN-doc repeat (same 4-gram twice, no other doc has it)
+      (2L, "red green blue white red green blue white"),
+      // doc 3: wholly unique text → no spans at all
+      (3L, "one lonely sentence with nothing repeated anywhere here"),
+      // docs 4,5: two duplicated 4-grams OVERLAPPING by 3 → ONE merged
+      // 5-token span, not two 4-token spans
+      (4L, "pre lorem ipsum dolor sit amet post one"),
+      (5L, "zz lorem ipsum dolor sit amet yy xx"))
+      .map { case (id, t) => (id, t, t.replace(" ", "").length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+    val spans = DedupOps.exactSubstringSpans(fixtures, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.toSet.map((x: (Long, Long, Long, Long)) =>
+        (x._2, x._3, x._4))).toMap
+    // cross-doc: doc 0's words 3..8 and doc 1's words 2..7 are the boilerplate
+    assert(spans(0L) === Set((3L, 8L, 6L)), s"doc0 got ${spans.get(0L)}")
+    assert(spans(1L) === Set((2L, 7L, 6L)), s"doc1 got ${spans.get(1L)}")
+    // within-doc: both occurrences of the repeated 4-gram surface — and since
+    // the repeat is back-to-back, coverage merges into ONE whole-doc span
+    assert(spans(2L) === Set((0L, 7L, 8L)), s"doc2 got ${spans.get(2L)}")
+    // unique doc: no rows
+    assert(!spans.contains(3L), s"doc3 must be silent, got ${spans.get(3L)}")
+    // overlap merge: 'lorem ipsum dolor sit amet' = 5 tokens, one span each
+    assert(spans(4L) === Set((1L, 5L, 5L)), s"doc4 got ${spans.get(4L)}")
+    assert(spans(5L) === Set((1L, 5L, 5L)), s"doc5 got ${spans.get(5L)}")
+    // every span is at least k tokens by construction
+    val all = DedupOps.exactSubstringSpans(fixtures, k = 4)
+    assert(all.filter(col("span_tokens") < 4).count() === 0)
+  }
 }
