@@ -73,6 +73,7 @@ object SparkEntry {
     "d11_dedup_by_cluster" -> ((s: SparkSession, d: String) => DedupOps.dedupByCluster(s, d)),
     "d12_segment_dedup" -> ((s: SparkSession, d: String) => DedupOps.segmentDedup(s, d)),
     "d13_substring_spans" -> ((s: SparkSession, d: String) => DedupOps.exactSubstringSpans(s, d)),
+    "d14_strip_spans" -> ((s: SparkSession, d: String) => DedupOps.stripDuplicatedSpans(s, d)),
     // LLM-data-pipeline: similarity search
     "n1_ann_cosine_topk" -> ((s: SparkSession, d: String) => AnnOps.cosineTopK(s, d)),
     "n2_ann_ivf_topk" -> ((s: SparkSession, d: String) => AnnOps.ivfTopK(s, d)),
@@ -869,6 +870,36 @@ object SparkEntry {
         |SELECT doc_id, min(cov) AS span_start, max(cov) AS span_end,
         |       max(cov) - min(cov) + 1 AS span_tokens
         |FROM i GROUP BY doc_id, isl""".stripMargin,
+    // d14: strip the d13 spans from every doc (remove-all-occurrences).
+    // The token-level LEFT JOIN here is the oracle's way to subtract
+    // covered positions; the Spark side does the same subtraction map-side
+    // with an indexed filter. Docs whose every token is covered surface
+    // with clean_text = '' via the final doc-level LEFT JOIN + coalesce.
+    "d14_strip_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 8),
+        |x AS (SELECT doc_id, words,
+        |             unnest(generate_series(1, len(words) - 7)) AS i FROM w),
+        |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |             array_to_string(words[i:i+7], ' ') AS gram FROM x),
+        |c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |e AS (SELECT g.doc_id,
+        |             g.pos + unnest(generate_series(0, 7)) AS cov
+        |      FROM g JOIN c USING (gram)),
+        |p AS (SELECT DISTINCT doc_id, CAST(cov AS BIGINT) AS cov FROM e),
+        |w0 AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |t AS (SELECT doc_id, words, unnest(generate_series(1, len(words))) AS i FROM w0),
+        |tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, words[i] AS word FROM t),
+        |kept AS (SELECT tok.doc_id, tok.pos, tok.word
+        |         FROM tok LEFT JOIN p ON tok.doc_id = p.doc_id AND tok.pos = p.cov
+        |         WHERE p.cov IS NULL),
+        |agg AS (SELECT doc_id, count(*) AS kept_ct,
+        |               string_agg(word, ' ' ORDER BY pos) AS clean_text
+        |        FROM kept GROUP BY doc_id)
+        |SELECT w0.doc_id, CAST(len(w0.words) AS BIGINT) AS n_words,
+        |       CAST(len(w0.words) - coalesce(agg.kept_ct, 0) AS BIGINT) AS removed_tokens,
+        |       coalesce(agg.clean_text, '') AS clean_text
+        |FROM w0 LEFT JOIN agg USING (doc_id)""".stripMargin,
     // s6: per-domain quota cap — row_number over the salted-md5 pick order.
     "s6_domain_cap" ->
       """SELECT doc_id, source, lang, rn FROM (

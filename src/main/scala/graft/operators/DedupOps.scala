@@ -651,6 +651,43 @@ object DedupOps {
   def exactSubstringSpans(spark: SparkSession, dir: String): DataFrame =
     exactSubstringSpans(table(spark, dir, "documents"))
 
+  /** D14 — the REMOVAL face of [[exactSubstringSpans]]: excise every
+    * duplicated span from every document (the conservative
+    * remove-all-occurrences policy — no global election of a keeper
+    * occurrence, so the operator stays one pass) and return the cleaned
+    * text plus removal accounting. Every input doc appears exactly once;
+    * a doc whose whole text is duplicated comes back with
+    * `clean_text = ''`.
+    *
+    * Scale notes: spans collapse to ONE small array row per affected doc
+    * (docs-with-dups sized, broadcastable), then removal is a map-side
+    * indexed `filter` over the split words against that array — order
+    * preserved by construction, NO per-token explode, no sort, no window.
+    * The spans array is a join-produced attribute, so the per-element
+    * `exists` probe reads a materialized value (not the d9 inlined-
+    * expression trap); cost is O(words × spans-per-doc), the latter small
+    * by nature. The one corpus-sized cost is [[exactSubstringSpans]]'s own
+    * lineage, shared unchanged.
+    */
+  def stripDuplicatedSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    val spanArrs = exactSubstringSpans(docs, k).groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    docs.join(spanArrs, Seq("doc_id"), "left")
+      .withColumn("spans",
+        coalesce(col("spans"),
+          array().cast("array<struct<span_start:bigint,span_end:bigint>>")))
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("kept", filter(col("words"), (_, i) =>
+        !exists(col("spans"), s =>
+          i.cast("long") >= s.getField("span_start") &&
+          i.cast("long") <= s.getField("span_end"))))
+      .select(col("doc_id"), size(col("words")).cast("long").as("n_words"),
+        (size(col("words")) - size(col("kept"))).cast("long").as("removed_tokens"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
+  def stripDuplicatedSpans(spark: SparkSession, dir: String): DataFrame =
+    stripDuplicatedSpans(table(spark, dir, "documents"))
+
   def segmentDedup(spark: SparkSession, dir: String): DataFrame =
     segmentDedup(table(spark, dir, "documents"))
 }

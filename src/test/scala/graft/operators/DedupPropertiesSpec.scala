@@ -275,5 +275,18 @@ class DedupPropertiesSpec extends SparkSpec {
     // every span is at least k tokens by construction
     val all = DedupOps.exactSubstringSpans(fixtures, k = 4)
     assert(all.filter(col("span_tokens") < 4).count() === 0)
+
+    // the removal face excises exactly the spans, order-preserved; every
+    // doc surfaces once, a fully-duplicated doc as the empty string
+    val clean = DedupOps.stripDuplicatedSpans(fixtures, k = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(clean.size === 6)
+    assert(clean(0L) === ((11L, 6L, "alpha bravo charlie delta echo")))
+    assert(clean(1L) === ((12L, 6L, "foxtrot golf hotel india juliet kilo")))
+    assert(clean(2L) === ((8L, 8L, ""))) // whole doc duplicated → empty
+    assert(clean(3L)._2 === 0L) // unique doc untouched
+    assert(clean(3L)._3 === "one lonely sentence with nothing repeated anywhere here")
+    assert(clean(4L) === ((8L, 5L, "pre post one")))
+    assert(clean(5L) === ((8L, 5L, "zz yy xx")))
   }
 }
