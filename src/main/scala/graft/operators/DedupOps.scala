@@ -599,6 +599,27 @@ object DedupOps {
     slice(joined, lit(1), size(words) - (k - 1))
   }
 
+  /** Positional k-gram array of a raw text column (element i = the k-gram
+    * starting at token i), empty for sub-k-word docs — the map-side
+    * building block shared by the batch span operators and the streaming
+    * face ([[graft.streaming.StatsStreams.stripSpansStream]]).
+    */
+  def kgramArray(text: Column, k: Int): Column = {
+    val w = split(text, " ")
+    when(size(w) >= k, kgramExpr(w, k)).otherwise(array().cast("array<string>"))
+  }
+
+  /** The corpus's duplicated-gram seed set (every k-gram occurring ≥ 2
+    * times, within- and cross-document occurrences both counted) — d13's
+    * stage-2 output as a standalone frame, the reference set the streaming
+    * span face broadcasts. One gram-keyed count with map-side partials.
+    */
+  def duplicatedGrams(docs: DataFrame, k: Int = 8): DataFrame =
+    graft.Tables.spread(docs)
+      .select(explode(kgramArray(col("text"), k)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("ct"))
+      .filter(col("ct") >= 2).select("gram")
+
   /** D13 — EXACT duplicated-substring spans, the modality the published
     * exact-substring dedup recipe targets (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better": remove any ≥N-token run

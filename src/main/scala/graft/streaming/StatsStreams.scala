@@ -271,6 +271,44 @@ object StatsStreams {
       .select(col("doc_id"), col("overlap_ct"), (col("overlap_ct") === 0).as("is_clean"))
   }
 
+  /** Streaming exact-substring span removal — the streaming face of
+    * [[graft.operators.DedupOps.exactSubstringSpans]]/[[graft.operators.DedupOps.stripDuplicatedSpans]]:
+    * incoming docs are cleaned against a STATIC reference gram set (the
+    * indexed corpus's duplicated k-grams from
+    * [[graft.operators.DedupOps.duplicatedGrams]], or any curated
+    * boilerplate list). The set aggregates to one row and cross-broadcasts;
+    * the whole mark-merge-excise runs inside the row projection via the
+    * native [[graft.functions.DupSpans]] kernel (hash the ref once per row,
+    * O(1) probe per gram) plus an indexed filter over the split words
+    * against the row's own few spans — a STATELESS streaming projection: no
+    * watermark, no state store, no stream-side shuffle; identical in batch.
+    *
+    * A stream cannot know the future, so (like [[segmentDedupStream]]) the
+    * streaming contract is necessarily vs-reference rather than
+    * corpus-global: two never-before-seen docs that share a fresh span
+    * dedup against the NEXT index build, not within the stream. With
+    * `ref = duplicatedGrams(corpus)` the batch face of this call equals
+    * [[graft.operators.DedupOps.stripDuplicatedSpans]] row-for-row
+    * (parity-spec-pinned).
+    */
+  def stripSpansStream(docs: DataFrame, refGrams: DataFrame, k: Int = 8): DataFrame = {
+    val refSet = refGrams.agg(collect_set("gram").as("ref_set"))
+    docs
+      .withColumn("grams", graft.operators.DedupOps.kgramArray(col("text"), k))
+      .crossJoin(broadcast(refSet))
+      .withColumn("spans",
+        graft.functions.DupSpans(col("grams"), col("ref_set"), k))
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("kept", filter(col("words"), (_, i) =>
+        !exists(col("spans"), s =>
+          i.cast("long") >= shiftright(s, 32) &&
+          i.cast("long") <= s.bitwiseAND(lit(0xffffffffL)))))
+      .select(col("doc_id"),
+        size(col("words")).cast("long").as("n_words"),
+        (size(col("words")) - size(col("kept"))).cast("long").as("removed_tokens"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
+
   /** A4/X1 — KeywordStats streaming: tokenize (whitespace UDTF replacement,
     * app/function/SplitFunction.java:12-28) + 10s window count.
     * Input columns: full_word string, ts (millis).

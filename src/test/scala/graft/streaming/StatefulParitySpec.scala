@@ -215,4 +215,45 @@ class StatefulParitySpec extends SparkSpec {
     assert(streamed === batched, "embedding dedup diverged between stream and batch")
     assert(streamed.values.toSet === Set(1L, 2L, 4L))
   }
+
+  test("stripSpansStream is a STATELESS streaming face; batch face == stripDuplicatedSpans (D13/D14)") {
+    implicit val sqlCtx = spark.sqlContext
+    val k = 4
+    val corpus = Seq(
+      (0L, "alpha bravo charlie all rights reserved by the owner delta"),
+      (1L, "foxtrot golf all rights reserved by the owner hotel india"),
+      (2L, "red green blue white red green blue white"),
+      (3L, "one lonely sentence with nothing repeated anywhere at all"))
+    val corpusDf = corpus.toDF("doc_id", "text")
+    val ref = graft.operators.DedupOps.duplicatedGrams(corpusDf, k)
+
+    // 1) with ref = the corpus's own duplicated grams, the BATCH face must
+    //    reproduce stripDuplicatedSpans row-for-row (same island semantics)
+    val viaStream = graft.streaming.StatsStreams.stripSpansStream(corpusDf, ref, k)
+      .select("doc_id", "n_words", "removed_tokens", "clean_text")
+    val viaBatch = graft.operators.DedupOps.stripDuplicatedSpans(corpusDf, k)
+      .select("doc_id", "n_words", "removed_tokens", "clean_text")
+    assert(viaStream.exceptAll(viaBatch).count() === 0)
+    assert(viaBatch.exceptAll(viaStream).count() === 0)
+
+    // 2) the same call on a real MemoryStream (AvailableNow) agrees with
+    //    its own batch face — stateless projection, nothing batch-dependent
+    val input = MemoryStream[(Long, String)]
+    input.addData(corpus: _*)
+    val q = graft.streaming.StatsStreams.stripSpansStream(
+        input.toDF().toDF("doc_id", "text"), ref, k)
+      .writeStream.format("memory").queryName("sp_spans")
+      .trigger(Trigger.AvailableNow()).outputMode("append").start()
+    try q.awaitTermination() finally q.stop()
+    val streamed = spark.table("sp_spans")
+      .select("doc_id", "removed_tokens", "clean_text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val batched = viaStream
+      .select("doc_id", "removed_tokens", "clean_text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(streamed === batched, "span strip diverged between stream and batch")
+    // sanity on content: boilerplate removed cross-doc, unique doc untouched
+    assert(streamed.contains((3L, 0L, "one lonely sentence with nothing repeated anywhere at all")))
+    assert(streamed.exists { case (id, rm, _) => id == 0L && rm == 6L })
+  }
 }
