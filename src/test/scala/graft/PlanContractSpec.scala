@@ -130,4 +130,33 @@ class PlanContractSpec extends SparkSpec {
     // (spread's round-robin widening is not keyed and not counted here)
     assert(count(p, "Exchange hashpartitioning") <= 2, p)
   }
+
+  test("gopher rule battery is a pure zero-shuffle scan-projection (t12)") {
+    val p = planOf("t12_gopher_rules")
+    assert(count(p, "Exchange") === 0, s"t12 grew a shuffle:\n$p")
+    assert(count(p, "BroadcastHashJoin") === 0 && count(p, "SortMergeJoin") === 0, p)
+    assert(p.contains("Scan parquet"), p)
+  }
+
+  test("substring-span dedup is linear: no cartesian, bounded keyed exchanges (d13)") {
+    val p = planOf("d13_substring_spans")
+    // seed-and-extend must never pair documents: any nested-loop/cartesian
+    // means the gram equi-join degenerated
+    assert(count(p, "CartesianProduct") === 0, s"d13 went pairwise:\n$p")
+    assert(count(p, "BroadcastNestedLoopJoin") === 0, p)
+    // keyed exchanges: gram count agg, (doc,pos) distinct, doc window
+    // (+1 slack for an AQE-planned join exchange at other SFs)
+    assert(count(p, "Exchange hashpartitioning") <= 4, s"d13 shuffle shape drifted:\n$p")
+    // the duplicated-seed join keys on gram — an equi-join, broadcast or SMJ
+    assert(count(p, "BroadcastHashJoin") + count(p, "SortMergeJoin") >= 1, p)
+  }
+
+  test("span removal joins spans per-doc once and filters map-side (d14)") {
+    val p = planOf("d14_strip_spans")
+    assert(count(p, "CartesianProduct") === 0, p)
+    // the doc-level spans join + d13's internal seed join — never more
+    assert(count(p, "BroadcastHashJoin") + count(p, "SortMergeJoin") <= 2, p)
+    // d13's three keyed exchanges + at most the span-array agg on doc_id
+    assert(count(p, "Exchange hashpartitioning") <= 5, s"d14 shuffle shape drifted:\n$p")
+  }
 }
