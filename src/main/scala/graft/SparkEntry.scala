@@ -74,6 +74,7 @@ object SparkEntry {
     "d12_segment_dedup" -> ((s: SparkSession, d: String) => DedupOps.segmentDedup(s, d)),
     "d13_substring_spans" -> ((s: SparkSession, d: String) => DedupOps.exactSubstringSpans(s, d)),
     "d14_strip_spans" -> ((s: SparkSession, d: String) => DedupOps.stripDuplicatedSpans(s, d)),
+    "g5_dup_rate_by_source" -> ((s: SparkSession, d: String) => DedupOps.dupRateBySource(s, d)),
     // LLM-data-pipeline: similarity search
     "n1_ann_cosine_topk" -> ((s: SparkSession, d: String) => AnnOps.cosineTopK(s, d)),
     "n2_ann_ivf_topk" -> ((s: SparkSession, d: String) => AnnOps.ivfTopK(s, d)),
@@ -900,6 +901,30 @@ object SparkEntry {
         |       CAST(len(w0.words) - coalesce(agg.kept_ct, 0) AS BIGINT) AS removed_tokens,
         |       coalesce(agg.clean_text, '') AS clean_text
         |FROM w0 LEFT JOIN agg USING (doc_id)""".stripMargin,
+    // g5: duplication accounting by source over the d13 spans (disjoint per
+    // doc, so sum(span_tokens) is exact coverage).
+    "g5_dup_rate_by_source" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 8),
+        |x AS (SELECT doc_id, words,
+        |             unnest(generate_series(1, len(words) - 7)) AS i FROM w),
+        |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |             array_to_string(words[i:i+7], ' ') AS gram FROM x),
+        |c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |e AS (SELECT g.doc_id,
+        |             g.pos + unnest(generate_series(0, 7)) AS cov
+        |      FROM g JOIN c USING (gram)),
+        |p AS (SELECT DISTINCT doc_id, CAST(cov AS BIGINT) AS cov FROM e),
+        |dpd AS (SELECT doc_id, count(*) AS dup_tokens FROM p GROUP BY doc_id),
+        |base AS (SELECT d.doc_id, d.source,
+        |                CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+        |                CAST(coalesce(dpd.dup_tokens, 0) AS BIGINT) AS dup_tokens
+        |         FROM documents d LEFT JOIN dpd USING (doc_id))
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n_words) AS BIGINT) AS total_tokens,
+        |       CAST(sum(dup_tokens) AS BIGINT) AS dup_tokens,
+        |       floor(sum(dup_tokens) * 10000.0 / sum(n_words) + 0.5) / 10000.0 AS dup_rate
+        |FROM base GROUP BY source""".stripMargin,
     // s6: per-domain quota cap — row_number over the salted-md5 pick order.
     "s6_domain_cap" ->
       """SELECT doc_id, source, lang, rn FROM (

@@ -709,6 +709,34 @@ object DedupOps {
   def stripDuplicatedSpans(spark: SparkSession, dir: String): DataFrame =
     stripDuplicatedSpans(table(spark, dir, "documents"))
 
+  /** G5 — duplication accounting BY SOURCE: the corpus-health dashboard a
+    * curation run reads before deciding which feeds to throttle. Per
+    * source: docs, total tokens, tokens inside duplicated (d13) spans, and
+    * the 4-dp duplication rate. Spans are disjoint per doc by construction,
+    * so their `span_tokens` SUM is exact coverage — no overlap correction.
+    *
+    * Scale notes: d13's linear lineage + one doc-keyed sum, a doc-level
+    * left join (spans side is docs-with-dups sized), and a final
+    * source-keyed agg with map-side partials — source cardinality is small
+    * by nature, so the last exchange is trivially balanced.
+    */
+  def dupRateBySource(docs: DataFrame, k: Int = 8): DataFrame = {
+    val perDoc = exactSubstringSpans(docs, k).groupBy("doc_id")
+      .agg(sum("span_tokens").as("dup_tokens"))
+    docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("total_tokens"),
+        sum("dup_tokens").as("dup_tokens"))
+      .withColumn("dup_rate",
+        floor(col("dup_tokens") * 10000.0 / col("total_tokens") + 0.5) / 10000.0)
+  }
+  def dupRateBySource(spark: SparkSession, dir: String): DataFrame =
+    dupRateBySource(table(spark, dir, "documents"))
+
   def segmentDedup(spark: SparkSession, dir: String): DataFrame =
     segmentDedup(table(spark, dir, "documents"))
 }
