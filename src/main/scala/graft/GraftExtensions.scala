@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
-import graft.functions.{CosineSimF, DotProductF, MinHashSigExpr, SimHashBitsExpr, SrpSigExpr, WinnowMinsExpr}
+import graft.functions.{CosineSimF, DotProductF, DupSpansExpr, IntersectCountExpr, MinHashSigExpr, SimHashBitsExpr, SrpSigExpr, WinnowMinsExpr}
 
 /** Session extension wiring: registers the engine's native expressions for
   * SQL use. Install with
@@ -42,6 +42,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("winnow_mins"),
       new ExpressionInfo(classOf[WinnowMinsExpr].getName, "winnow_mins"),
       GraftExtensions.winnowBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("intersect_count"),
+      new ExpressionInfo(classOf[IntersectCountExpr].getName, "intersect_count"),
+      GraftExtensions.intersectBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("dup_spans"),
+      new ExpressionInfo(classOf[DupSpansExpr].getName, "dup_spans"),
+      GraftExtensions.dupSpansBuilder))
     ext.injectFunction((
       FunctionIdentifier("bloom_filter_agg"),
       new ExpressionInfo(classOf[BloomFilterAggregate].getName, "bloom_filter_agg"),
@@ -119,6 +127,17 @@ object GraftExtensions {
     case children => wrongArgs("winnow_mins", 2, children.length)
   }
 
+  private[graft] val intersectBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => IntersectCountExpr(a, b)
+    case children => wrongArgs("intersect_count", 2, children.length)
+  }
+
+  /** `dup_spans(grams, ref, k)` — k must be a foldable integer literal. */
+  private[graft] val dupSpansBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b, k) => DupSpansExpr(a, b, intLiteralArg("dup_spans", "k", k))
+    case children => wrongArgs("dup_spans", 3, children.length)
+  }
+
   /** `bloom_filter_agg(xxhash64(x)[, est_items, num_bits])` — Spark's own
     * runtime-filter aggregate (a compact binary sketch), surfaced for explicit
     * semi-join reduction; probe with `bloom_might_contain(scalar-subquery,
@@ -148,6 +167,8 @@ object GraftExtensions {
     bridge.registerFunction(spark, "srp_sig", srpBuilder)
     bridge.registerFunction(spark, "winnow_mins", winnowBuilder)
     bridge.registerFunction(spark, "cosine_sim", cosineBuilder)
+    bridge.registerFunction(spark, "intersect_count", intersectBuilder)
+    bridge.registerFunction(spark, "dup_spans", dupSpansBuilder)
     bridge.registerFunction(spark, "bloom_filter_agg", bloomAggBuilder)
     bridge.registerFunction(spark, "bloom_might_contain", bloomProbeBuilder)
     spark.udf.register("exact_count_distinct", graft.functions.ExactDistinct.asUdaf)

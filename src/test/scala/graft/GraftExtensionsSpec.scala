@@ -46,6 +46,31 @@ class GraftExtensionsSpec extends SparkSpec {
     spark.catalog.dropTempView("ge_winnow")
   }
 
+  test("intersect_count and dup_spans callable from SQL; match the Column-API faces") {
+    GraftExtensions.register(spark)
+    spark.sql(
+      "SELECT array('a','b','c') AS a, array('b','c','d') AS b, array('g1','g2') AS ref")
+      .createOrReplaceTempView("ge_native")
+    assert(spark.sql("SELECT intersect_count(a, b) FROM ge_native").head.getLong(0) === 2L)
+    val sqlSpans = spark.sql("SELECT dup_spans(array('g1','x','g2'), ref, 3) FROM ge_native")
+      .head.getSeq[Long](0)
+    val colSpans = spark.table("ge_native")
+      .select(graft.functions.DupSpans(
+        org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.lit("g1"),
+          org.apache.spark.sql.functions.lit("x"),
+          org.apache.spark.sql.functions.lit("g2")), org.apache.spark.sql.functions.col("ref"), 3))
+      .head.getSeq[Long](0)
+    assert(sqlSpans === colSpans)
+    // seeds 0 and 2 with k=3 merge: one span [0,4] packed
+    assert(sqlSpans === Seq((0L << 32) | 4L))
+    // k must be a foldable integer literal, same contract as the others
+    val nf = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT dup_spans(a, ref, intersect_count(a, b)) FROM ge_native"))
+    assert(nf.getErrorClass === "NON_FOLDABLE_ARGUMENT", nf.getMessage)
+    spark.catalog.dropTempView("ge_native")
+  }
+
   test("simhash_bits/srp_sig raise targeted errors for bad literal parameters") {
     GraftExtensions.register(spark)
     spark.range(3).selectExpr("id", "array('a','b') AS words",
