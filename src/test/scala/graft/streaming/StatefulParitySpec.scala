@@ -256,4 +256,28 @@ class StatefulParitySpec extends SparkSpec {
     assert(streamed.contains((3L, 0L, "one lonely sentence with nothing repeated anywhere at all")))
     assert(streamed.exists { case (id, rm, _) => id == 0L && rm == 6L })
   }
+
+  test("gopherRules is a STATELESS streaming face: stream == batch per row (T12)") {
+    implicit val sqlCtx = spark.sqlContext
+    // the rule battery is a pure scan-projection, so the same call runs on
+    // a streaming frame unchanged — live ingest quality-gating
+    val rows = Seq(
+      (1L, ("the data and the model go to the store and that " * 6).trim),
+      (2L, "short doc"),
+      (3L, (1 to 60).map(i => s"- item $i").mkString("\n")))
+    val input = MemoryStream[(Long, String)]
+    input.addData(rows: _*)
+    val q = graft.operators.TextOps.gopherRules(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("sp_gopher")
+      .trigger(Trigger.AvailableNow()).outputMode("append").start()
+    try q.awaitTermination() finally q.stop()
+    val cols = Seq("doc_id", "n_words", "r_word_count", "r_bullet_lines", "keep")
+    val streamed = spark.table("sp_gopher").select(cols.head, cols.tail: _*)
+      .collect().map(_.toSeq).toSet
+    val batched = graft.operators.TextOps.gopherRules(rows.toDF("doc_id", "text"))
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    assert(streamed === batched)
+    assert(streamed.exists(r => r.head == 1L && r.last == true))
+    assert(streamed.exists(r => r.head == 3L && r.last == false))
+  }
 }
