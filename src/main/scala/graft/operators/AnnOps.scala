@@ -365,14 +365,37 @@ object AnnOps {
     * built fresh from the raw corpus and k literals).
     */
   def kmeansTrain(e: DataFrame, k: Int, maxIter: Int = 10,
-      tol: Double = 1e-4): Array[(Int, Array[Float])] = {
+      tol: Double = 1e-4): Array[(Int, Array[Float])] =
+    kmeansTrain(e, k, maxIter, tol, trainFrac = 1.0)
+
+  /** [[kmeansTrain]] over a deterministic hash SAMPLE of the corpus — the
+    * production shape at 100 TB: a coarse quantizer needs only enough
+    * vectors to place k centroids (k ≪ corpus), so every Lloyd round
+    * scanning the full corpus is waste — train on `trainFrac`, then assign
+    * EVERYTHING once with [[assignCellsLit]]/[[assignCellsLitSpill]]
+    * (assignment is the map-only pass; training is the iterated one).
+    * Sampling is a per-row `xxhash64(vec_id)` predicate — deterministic,
+    * seedless, pushdown-friendly, the s1 recipe — so re-training on the
+    * same corpus sees the same sample regardless of layout. Training rounds
+    * then cost `trainFrac` of the corpus scan each; centroid quality
+    * degrades only as the sample stops being representative (centroids are
+    * means — their variance shrinks with sample size, not corpus size).
+    */
+  def kmeansTrain(e: DataFrame, k: Int, maxIter: Int,
+      tol: Double, trainFrac: Double): Array[(Int, Array[Float])] = {
     require(k > 0, "k-means needs k > 0")
+    require(trainFrac > 0.0 && trainFrac <= 1.0,
+      s"trainFrac must be in (0, 1], got $trainFrac")
+    val train =
+      if (trainFrac >= 1.0) e
+      else e.filter(pmod(xxhash64(col("vec_id")), lit(10000L)) <
+        lit((trainFrac * 10000).toLong))
     var cents = collectCentroids(centroids(
-      e.withColumn("cell", (col("vec_id") % k).cast("int")), "cell"))
+      train.withColumn("cell", (col("vec_id") % k).cast("int")), "cell"))
     var moved = Double.MaxValue
     var iter = 0
     while (iter < maxIter && moved > tol) {
-      val assigned = assignCellsLit(e, cents)
+      val assigned = assignCellsLit(train, cents)
         .withColumnRenamed("assigned_cell", "cell")
       val next = collectCentroids(centroids(assigned, "cell")).toMap
       moved = cents.map { case (cell, c) =>

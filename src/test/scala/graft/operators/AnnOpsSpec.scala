@@ -247,6 +247,35 @@ class AnnOpsSpec extends SparkSpec {
       s"spill=2 3/8-probe recall $spillRecalled/$truth at sf0.1")
   }
 
+  test("sample-trained quantizer: full cell coverage, searchable, recall survives (100 TB train path)") {
+    val e = Tables.table(spark, sf, "embeddings")
+    // train on ~40% of vectors, assign and search EVERYTHING
+    val cents = AnnOps.kmeansTrain(e, 4, 10, 1e-4, trainFrac = 0.4)
+    assert(cents.map(_._1).toSeq === (0 until 4), "sampled training lost cells")
+    cents.foreach { case (c, v) =>
+      assert(v.nonEmpty && v.forall(x => !x.isNaN), s"cell $c degenerate centroid")
+    }
+    import spark.implicits._
+    val assigned = AnnOps.assignCellsLit(e, cents)
+      .withColumnRenamed("assigned_cell", "cell")
+    // every vector (sampled or not) gets a cell; all cells in range
+    assert(assigned.filter(col("cell").isNull ||
+      col("cell") < 0 || col("cell") >= 4).count() === 0)
+    val centsDf = cents.toSeq.toDF("cell", "centroid")
+    val res = AnnOps.ivfSearchAssigned(assigned, centsDf,
+      e.filter(col("vec_id") < 10), 5, 2)
+    val brute = AnnOps.cosineTopK(e).select("query_id", "neighbor_id")
+    val recalled = res.join(brute, Seq("query_id", "neighbor_id")).count()
+    assert(recalled * 4 >= brute.count(),
+      s"sample-trained 2/4-probe recall collapsed: $recalled/${brute.count()}")
+    // determinism: the hash-sampled train set is layout-independent
+    val again = AnnOps.kmeansTrain(e.repartition(7), 4, 10, 1e-4, trainFrac = 0.4)
+    val worst = cents.zip(again).map { case ((_, a), (_, b)) =>
+      a.zip(b).map { case (x, y) => math.abs(x - y) }.max
+    }.max
+    assert(worst <= 1e-4f, s"sampled training diverged across layouts by $worst")
+  }
+
   test("spilled assignment: rank-1 matches single assignment, spill rows distinct per vector") {
     val e = Tables.table(spark, sf, "embeddings")
     val cents = AnnOps.kmeansTrain(e, 4)
