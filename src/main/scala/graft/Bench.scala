@@ -121,19 +121,41 @@ object Bench {
       * still clipped one query): if the window ever clips again, the lost
       * entries are the sub-second ones — the expensive queries the record
       * exists to track sit at the tail with the total.
+      *
+      * BUDGET-ENFORCED since round 10: at 85 queries the full map is ~2020
+      * chars and the window is 2000 MINUS sbt's trailing `[success] ...`
+      * line (~75 chars) — clip-tolerant ordering is useless if the clipped
+      * line no longer parses (r9: parsed=null; r8 fit by 4 chars). The
+      * emitter now drops CHEAPEST entries until the whole line fits
+      * `budget`, recording `"omitted":k` so the driver artifact shows the
+      * map is partial. Omitted timings still reach the judge via
+      * bench_out.json / bench_history (the full record). Failed queries
+      * sort first (-1) and are dropped from the map first — harmless, the
+      * `failed` array names every one of them.
       */
+    private[graft] val CompactBudget = 1850
     def compact(passes: Seq[(String, Seq[Double])], sfDir: String,
-        extraFailed: Seq[String] = Nil): String = {
-      val qs = objOf(minTimes(passes)
+        extraFailed: Seq[String] = Nil, budget: Int = CompactBudget): String = {
+      val entries = minTimes(passes)
         .sortBy { case (n, v) => (v, n) } // failed (-1) sort first: named in `failed` anyway
-        .map { case (k, v) => k -> sec(v, 1) })
+        .map { case (k, v) => k -> sec(v, 1) }
       // preamble kept MINIMAL (passes/timing live in the full line, sf as
-      // basename): with 81 queries the map alone is ~2030 chars, so every
-      // preamble byte is a query entry saved from the tail clip
+      // basename): every preamble byte is a query entry saved from the drop
       val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-      s"""{"metric":"total","unit":"sec","sf":"${esc(sfShort)}","queries":$qs,""" +
-        s""""failed":${failedJson(passes, extraFailed)},""" +
-        s""""value":${sec(total(passes), 2)}}"""
+      def line(kept: Seq[(String, String)], omitted: Int): String = {
+        val om = if (omitted > 0) s""""omitted":$omitted,""" else ""
+        s"""{"metric":"total","unit":"sec","sf":"${esc(sfShort)}",$om""" +
+          s""""queries":${objOf(kept)},""" +
+          s""""failed":${failedJson(passes, extraFailed)},""" +
+          s""""value":${sec(total(passes), 2)}}"""
+      }
+      var drop = 0
+      var out = line(entries, 0)
+      while (out.length > budget && drop < entries.length) {
+        drop += 1
+        out = line(entries.drop(drop), drop)
+      }
+      out
     }
   }
 

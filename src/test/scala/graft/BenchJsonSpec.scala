@@ -100,6 +100,50 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(node.get("listener_dropped").asLong === 17L)
   }
 
+  test("compact emitter: budget enforcement drops cheapest entries, stays parseable") {
+    // 100 realistically-long names blow any window; the emitter must come
+    // back under budget by shedding the CHEAP head, name the omission
+    // count, and keep the expensive tail + failed + value intact
+    val many: Seq[(String, Seq[Double])] =
+      (1 to 100).map(i => (f"q${i}%03d_realistically_named", Seq(i * 0.1, i * 0.1))) :+
+        ("z_raised" -> Seq(-1.0, -1.0))
+    val line = Bench.Json.compact(many, "/sf0.1")
+    assert(line.length <= Bench.Json.CompactBudget, s"len=${line.length}")
+    val node = mapper.readTree(line)
+    assert(node.get("omitted").asInt > 0)
+    assert(node.get("omitted").asInt + node.get("queries").size === 101)
+    // the raised query sorts first (-1) → dropped from the map, but still named
+    assert(node.get("failed").get(0).asText === "z_raised")
+    // the most expensive query survives, with the grand total
+    assert(node.get("queries").get("q100_realistically_named").asDouble === 10.0)
+    assert(line.endsWith("}") && node.get("value") != null)
+    // and a set that already fits emits no omitted field at all
+    assert(!mapper.readTree(Bench.Json.compact(passes, "/sf")).has("omitted"))
+  }
+
+  test("compact emitter: the current roster's line fits the driver window") {
+    // regression pin for the exact r9 failure (parsed=null): the real
+    // roster's line must leave >= 75 chars of the driver's 2000-char tail
+    // window for sbt's trailing `[success] ...` line, even at worst-case
+    // 4-char timings ("99.9"). Omission of the cheap head is the sanctioned
+    // mechanism — but the EXPENSIVE tail must never be omitted, and the
+    // omission must stay a minority of the roster (if this trips, names
+    // have grown faster than the budget can absorb).
+    val roster: Seq[(String, Seq[Double])] =
+      SparkEntry.queries.keys.toSeq.sorted.zipWithIndex
+        .map { case (n, i) => (n, Seq(i * 0.1 + 0.1, i * 0.1 + 0.1)) }
+    val line = Bench.Json.compact(roster, "/root/testdata/sf0.1")
+    assert(line.length <= Bench.Json.CompactBudget, s"len=${line.length}")
+    val node = mapper.readTree(line)
+    val omitted = if (node.has("omitted")) node.get("omitted").asInt else 0
+    assert(omitted + node.get("queries").size === roster.size)
+    assert(omitted <= roster.size / 3, s"omitted=$omitted of ${roster.size}")
+    // the 20 most expensive entries always survive omission
+    roster.sortBy(-_._2.head).take(20).foreach { case (n, _) =>
+      assert(node.get("queries").has(n), s"expensive query $n omitted")
+    }
+  }
+
   test("emitters are locale-independent (comma-decimal default locale)") {
     val prev = java.util.Locale.getDefault
     try {
