@@ -119,6 +119,7 @@ object SparkEntry {
     "t7_repetition" -> ((s: SparkSession, d: String) => TextOps.repetitionStats(s, d)),
     "t9_regex_tokens" -> ((s: SparkSession, d: String) => TextOps.regexTokens(s, d)),
     "t12_gopher_rules" -> ((s: SparkSession, d: String) => TextOps.gopherRules(s, d)),
+    "t13_lm_score" -> ((s: SparkSession, d: String) => TextOps.lmScore(s, d)),
     // t10: BPE subword tokenization through the fixed demo merge table
     // (training determinism is spec-pinned; the oracle replays the same
     // merge ranks as string replacements)
@@ -1043,6 +1044,29 @@ object SparkEntry {
         |         AND alpha_words * 10 >= n_words * 8
         |         AND stop_ct >= 2 AS keep
         |FROM g""".stripMargin,
+    // t13: CCNet bigram-LM scoring — the single ln per (doc,bigram) is
+    // 4dp-floor-quantized then summed as DECIMAL(18,4) (exact/associative:
+    // double-sum ORDER can never move the hash); P is an integer ratio so
+    // the ln argument is bit-identical across engines. Model counts derive
+    // from the per-doc aggregate exactly as the Spark side does.
+    "t13_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |bi AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        |       FROM t, unnest(range(1, len(w))) AS u(i)),
+        |db AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bi GROUP BY doc_id, w1, w2),
+        |cb AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS cb FROM db GROUP BY w1, w2),
+        |ctx AS (SELECT w1, CAST(sum(tf) AS BIGINT) AS ctx FROM db GROUP BY w1),
+        |vq AS (SELECT CAST(count(DISTINCT x) AS BIGINT) AS v
+        |       FROM (SELECT unnest(string_split(text, ' ')) AS x FROM documents)),
+        |sc AS (SELECT db.doc_id, db.tf,
+        |              CAST(floor(db.tf * ln((cb.cb + 1.0) / (ctx.ctx + vq.v))
+        |                   * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS term
+        |       FROM db JOIN cb USING (w1, w2) JOIN ctx USING (w1), vq)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(term) AS DOUBLE) AS sum_logprob,
+        |       floor(CAST(sum(term) AS DOUBLE) * -10000.0 / sum(tf) + 0.5) / 10000.0 AS nll
+        |FROM sc GROUP BY doc_id""".stripMargin,
     // t9: regex run-class tokenization (BPE pre-splitter shape).
     "t9_regex_tokens" ->
       """SELECT doc_id,

@@ -295,4 +295,61 @@ object TextOps {
   }
   def regexTokens(spark: SparkSession, dir: String): DataFrame =
     regexTokens(table(spark, dir, "documents"))
+
+  /** T13 — n-gram language-model scoring, the CCNet/Wikipedia-LM quality
+    * filter (Wenzek et al. 2020): train an add-one-smoothed bigram model on
+    * the corpus itself, then score every document by its average negative
+    * log-likelihood under that model. Low NLL = head-like fluent text, high
+    * NLL = tail-like noise; CCNet buckets the corpus into head/middle/tail
+    * by exactly this score (downstream thresholds stay with the caller —
+    * the score is the operator's contract, like t2).
+    *
+    * `P(w2|w1) = (C(w1,w2) + 1) / (C(w1,·) + V)` — all counts integers, so
+    * each per-(doc,bigram) term is `tf · ln(intRatio)`: the single `ln` is
+    * 4-dp floor-quantized and summed as DECIMAL(18,4) (exact, associative —
+    * double-sum order divergence can't touch the hash), then the per-doc
+    * average is quantized once more. Docs with fewer than two tokens have no
+    * bigrams and are not scored (the model has nothing to say about them).
+    *
+    * Scale notes: ONE corpus-scale shuffle — the (doc_id, w1, w2) partial-
+    * aggregated bigram count. The model tables are derived from THAT
+    * aggregate, not from a second pass (`cb`/`ctx` group the already-
+    * vocabulary-sized rows, so Catalyst reuses the first exchange), and they
+    * join back as broadcasts: a bigram model is vocabulary², megabytes even
+    * for a 100 TB corpus. The vocab size rides in as a one-row broadcast
+    * aggregate, never a driver-side collect.
+    */
+  def lmScore(d: DataFrame): DataFrame = {
+    val toks = d.select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+    val bi = toks.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      // explicit not-null on BOTH keys: the three joins below infer
+      // different null filters (w1+w2 vs w1-only), which de-canonicalizes
+      // the shared bigram subtree and blocks exchange reuse — with the
+      // filter uniform, cb/ctx reuse db's corpus-scale shuffle instead of
+      // re-exploding the corpus twice more
+      .filter(col("w1").isNotNull && col("w2").isNotNull)
+    val db = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+    // model counts from the per-doc aggregate (vocabulary-sized input): the
+    // corpus-scale explode is shuffled exactly once and its exchange reused
+    val cb = db.groupBy("w1", "w2").agg(sum("tf").as("cb"))
+    val ctx = db.groupBy("w1").agg(sum("tf").as("ctx"))
+    val vq = d.select(explode(words(col("text"))).as("x"))
+      .agg(countDistinct(col("x")).as("v"))
+    db.join(broadcast(cb), Seq("w1", "w2"))
+      .join(broadcast(ctx), Seq("w1"))
+      .crossJoin(broadcast(vq))
+      .withColumn("term",
+        (floor(col("tf") * log((col("cb") + 1.0) / (col("ctx") + col("v")))
+          * 10000.0 + 0.5) / 10000.0).cast("decimal(18,4)"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_bigrams"),
+        sum(col("term")).cast("double").as("sum_logprob"))
+      .withColumn("nll",
+        floor(col("sum_logprob") * -10000.0 / col("n_bigrams") + 0.5) / 10000.0)
+  }
+  def lmScore(spark: SparkSession, dir: String): DataFrame =
+    lmScore(table(spark, dir, "documents"))
 }

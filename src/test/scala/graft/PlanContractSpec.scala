@@ -159,4 +159,23 @@ class PlanContractSpec extends SparkSpec {
     // d13's three keyed exchanges + at most the span-array agg on doc_id
     assert(count(p, "Exchange hashpartitioning") <= 5, s"d14 shuffle shape drifted:\n$p")
   }
+
+  test("lm scoring explodes the corpus ONCE: model aggs reuse the bigram exchange (t13)") {
+    // collect() the frame ITSELF (not count() — that executes a different
+    // plan and leaves this one isFinalPlan=false): ReusedExchange nodes only
+    // appear in the FINAL adaptive plan, which is what this contract pins
+    val df = SparkEntry.queries("t13_lm_score")(spark, sf)
+    df.collect()
+    // the finalized adaptive plan prints "== Final Plan ==" followed by the
+    // initial plan — keep only the final section or every node counts twice
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the model sides (cb/ctx) must ride db's corpus-scale shuffle, not
+    // re-explode the corpus: two reused exchanges in the final plan
+    assert(count(p, "ReusedExchange") >= 2, s"t13 bigram exchange not reused:\n$p")
+    // model tables join back as broadcasts (vocab-sized), never SMJ; the
+    // one-row vocab count rides a broadcast cross join
+    assert(count(p, "BroadcastHashJoin") === 2 && count(p, "SortMergeJoin") === 0, p)
+    // the corpus is scanned at most twice: bigram subtree + vocab count
+    assert(count(p, "Scan parquet") <= 2, s"t13 corpus scan count drifted:\n$p")
+  }
 }

@@ -121,4 +121,35 @@ class TextOpsSpec extends SparkSpec {
     assert(r(4L).getLong(r(4L).fieldIndex("bullet_lines")) === 60L)
     assert(r(1L).getLong(r(1L).fieldIndex("n_lines")) === 1L)
   }
+
+  test("t13 lm score matches the hand-computed add-one bigram model") {
+    import spark.implicits._
+    // corpus: d1="a b a b", d2="a b", d3="c" (no bigram → unscored)
+    // model: cb(a,b)=3 cb(b,a)=1; ctx(a)=3 ctx(b)=1; V=|{a,b,c}|=3
+    // P(b|a)=(3+1)/(3+3)=2/3  P(a|b)=(1+1)/(1+3)=1/2
+    val r = TextOps.lmScore(Seq(
+        (1L, "a b a b"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet === Set(1L, 2L), "single-token doc must be unscored")
+    def f(id: Long, c: String) = r(id).getDouble(r(id).fieldIndex(c))
+    assert(r(1L).getLong(r(1L).fieldIndex("n_bigrams")) === 3L)
+    // terms quantized BEFORE the sum: 2·ln(2/3)→-0.8109, 1·ln(1/2)→-0.6931
+    assert(f(1, "sum_logprob") === -1.5040)
+    assert(f(1, "nll") === 0.5013) // floor(1.5040e4/3 + 0.5)/1e4
+    assert(r(2L).getLong(r(2L).fieldIndex("n_bigrams")) === 1L)
+    assert(f(2, "sum_logprob") === -0.4055) // floor(-4054.651+0.5) = -4055
+    assert(f(2, "nll") === 0.4055)
+  }
+
+  test("t13 lm score: repeated common bigrams score more fluent than rare ones") {
+    import spark.implicits._
+    // 'the data' dominates the corpus; d9 is made of one-off bigrams
+    val base = (1L to 8L).map(i => (i, "the data the data the data"))
+    val r = TextOps.lmScore((base :+ (9L, "q w e r t y u i"))
+        .toDF("doc_id", "text"))
+      .select("doc_id", "nll").as[(Long, Double)].collect().toMap
+    assert(r(1L) < r(9L), s"common-bigram doc must score lower nll: $r")
+    // identical docs get identical scores
+    assert((2L to 8L).forall(i => r(i) === r(1L)))
+  }
 }
