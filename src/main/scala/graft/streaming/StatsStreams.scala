@@ -309,6 +309,74 @@ object StatsStreams {
         concat_ws(" ", col("kept")).as("clean_text"))
   }
 
+  /** Streaming LM quality scoring — the streaming face of
+    * [[graft.operators.TextOps.lmScore]] (t13): incoming docs are scored
+    * against a STATIC pre-trained add-one bigram model (trained here from
+    * the indexed `corpus` with the same construction as the batch
+    * operator). The model aggregates to ONE row of two vocabulary-sized
+    * maps (bigram→count, context→count) plus the vocab size, and
+    * cross-broadcasts; each doc's whole score is computed inside the row
+    * projection — a STATELESS streaming projection: no watermark, no state
+    * store, no stream-side shuffle; identical in batch.
+    *
+    * Exact batch parity by construction: the in-row fold walks the SORTED
+    * bigram array, collapses equal runs to (bigram, tf), and accumulates
+    * `floor(tf·ln(P)·10⁴ + 0.5)` as an INTEGER deci-milli count — the very
+    * quantity the batch face sums as DECIMAL(18,4) — so `sum_logprob`/`nll`
+    * match [[graft.operators.TextOps.lmScore]] bit-for-bit (parity-pinned).
+    * Bigrams unseen by the model back off to `P = 1/(ctx+V)` — exactly the
+    * add-one estimate for a zero count, so live drift scores HIGH nll
+    * instead of crashing the query.
+    *
+    * Scale notes: a bigram model is vocabulary-sized — megabytes even for a
+    * 100 TB training corpus — so the broadcast is the right distribution;
+    * re-train and swap the model DataFrame per index build, like
+    * [[stripSpansStream]]'s reference grams.
+    */
+  def lmScoreStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    val toks = corpus.select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+    val bi = toks.select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cbm = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .agg(map_from_arrays(
+        collect_list(concat_ws(" ", col("w1"), col("w2"))),
+        collect_list(col("cb"))).as("cbmap"))
+    val ctxm = bi.groupBy("w1").agg(count(lit(1)).as("ctx"))
+      .agg(map_from_arrays(collect_list(col("w1")), collect_list(col("ctx"))).as("ctxmap"))
+    val vq = corpus.select(explode(split(col("text"), " ")).as("x"))
+      .agg(countDistinct(col("x")).as("v"))
+    val model = cbm.crossJoin(ctxm).crossJoin(vq)
+
+    // integer deci-milli term for one collapsed (bigram, tf) run — the same
+    // double pipeline as the batch operator, floored to BIGINT
+    def term(bg: String, tf: String): String =
+      s"""CAST(FLOOR(CAST($tf AS DOUBLE) * ln(
+         |  (CAST(coalesce(element_at(cbmap, $bg), CAST(0 AS BIGINT)) AS DOUBLE) + 1.0) /
+         |  CAST((coalesce(element_at(ctxmap, split($bg, ' ')[0]), CAST(0 AS BIGINT)) + v) AS DOUBLE)
+         |) * 10000.0 + 0.5) AS BIGINT)""".stripMargin
+    val fold =
+      s"""aggregate(
+         |  array_sort(transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))),
+         |  named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT), 'acc', CAST(0 AS BIGINT)),
+         |  (a, x) -> IF(x <=> a.prev,
+         |    named_struct('prev', a.prev, 'run', a.run + CAST(1 AS BIGINT), 'acc', a.acc),
+         |    named_struct('prev', x, 'run', CAST(1 AS BIGINT),
+         |      'acc', a.acc + IF(a.prev IS NULL, CAST(0 AS BIGINT), ${term("a.prev", "a.run")}))),
+         |  a -> a.acc + IF(a.prev IS NULL, CAST(0 AS BIGINT), ${term("a.prev", "a.run")}))""".stripMargin
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 2)
+      .crossJoin(broadcast(model))
+      .withColumn("acc", expr(fold))
+      .select(col("doc_id"),
+        (size(col("w")) - 1).cast("long").as("n_bigrams"),
+        (col("acc").cast("double") / 10000.0).as("sum_logprob"))
+      .withColumn("nll",
+        floor(col("sum_logprob") * -10000.0 / col("n_bigrams") + 0.5) / 10000.0)
+  }
+
   /** A4/X1 — KeywordStats streaming: tokenize (whitespace UDTF replacement,
     * app/function/SplitFunction.java:12-28) + 10s window count.
     * Input columns: full_word string, ts (millis).

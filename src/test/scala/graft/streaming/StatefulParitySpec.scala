@@ -257,6 +257,49 @@ class StatefulParitySpec extends SparkSpec {
     assert(streamed.exists { case (id, rm, _) => id == 0L && rm == 6L })
   }
 
+  test("lmScoreStream is a STATELESS streaming face; batch face == lmScore bit-for-bit (T13)") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "a b a b"), (2L, "a b"), (3L, "c"),
+      (4L, "the data and the model go to the store"),
+      (5L, "the data the data the data"))
+    val corpusDf = corpus.toDF("doc_id", "text")
+
+    // 1) scored against its own training corpus, the BATCH face must equal
+    //    the batch operator row-for-row INCLUDING the quantized doubles —
+    //    the integer deci-milli fold is the same sum the decimal path takes
+    val viaStream = graft.streaming.StatsStreams.lmScoreStream(corpusDf, corpusDf)
+      .select("doc_id", "n_bigrams", "sum_logprob", "nll")
+    val viaBatch = graft.operators.TextOps.lmScore(corpusDf)
+      .select("doc_id", "n_bigrams", "sum_logprob", "nll")
+    assert(viaStream.exceptAll(viaBatch).count() === 0,
+      s"stream face drifted:\n${viaStream.collect().mkString("\n")}\nvs\n${viaBatch.collect().mkString("\n")}")
+    assert(viaBatch.exceptAll(viaStream).count() === 0)
+
+    // 2) the same call on a real MemoryStream (AvailableNow) agrees with its
+    //    own batch face, and docs with model-unseen bigrams score finite
+    //    HIGH nll (add-one backoff) instead of failing
+    val live = corpus :+ (9L, "zz qq zz qq zz")
+    val input = MemoryStream[(Long, String)]
+    input.addData(live: _*)
+    val q = graft.streaming.StatsStreams.lmScoreStream(
+        input.toDF().toDF("doc_id", "text"), corpusDf)
+      .writeStream.format("memory").queryName("sp_lm")
+      .trigger(Trigger.AvailableNow()).outputMode("append").start()
+    try q.awaitTermination() finally q.stop()
+    val streamed = spark.table("sp_lm")
+      .select("doc_id", "n_bigrams", "sum_logprob", "nll").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val batched = graft.streaming.StatsStreams.lmScoreStream(
+        live.toDF("doc_id", "text"), corpusDf)
+      .select("doc_id", "n_bigrams", "sum_logprob", "nll").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(streamed.size === batched.size && streamed.forall { case (k, v) => batched(k) == v },
+      "lm scoring diverged between stream and batch")
+    // the all-unseen doc is the WORST-scored doc in the stream
+    assert(batched(9L)._3 === batched.values.map(_._3).max)
+  }
+
   test("gopherRules is a STATELESS streaming face: stream == batch per row (T12)") {
     implicit val sqlCtx = spark.sqlContext
     // the rule battery is a pure scan-projection, so the same call runs on
