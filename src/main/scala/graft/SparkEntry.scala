@@ -104,6 +104,8 @@ object SparkEntry {
     "g1_ngram_topk" -> ((s: SparkSession, d: String) => CurationOps.ngramTopK(s, d)),
     "g3_tfidf_topterms" -> ((s: SparkSession, d: String) => CurationOps.tfidfTopTerms(s, d)),
     "g4_vocab_stats" -> ((s: SparkSession, d: String) => CurationOps.vocabStats(s, d)),
+    "g6_zipf_slope" -> ((s: SparkSession, d: String) => CurationOps.zipfSlope(s, d)),
+    "s9_temperature_mix" -> ((s: SparkSession, d: String) => CurationOps.temperatureMix(s, d)),
     // exact=true opts into the reducer-buffered exact percentile the DuckDB
     // oracle states; the operator's 100 TB default is the t-digest path
     "g2_token_quantiles" -> ((s: SparkSession, d: String) => CurationOps.tokenQuantiles(s, d, exact = true)),
@@ -990,6 +992,63 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN ct = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
         |       floor(count(*) / CAST(sum(ct) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS ttr
         |FROM wc GROUP BY lang""".stripMargin,
+    // g6: Zipf rank-frequency slope — every ln 4dp-quantized at the leaf,
+    // per-term products re-quantized, all sums DECIMAL(18,4): enumeration
+    // order can never move a digit. Rank ties break by word ascending.
+    "g6_zipf_slope" ->
+      """WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+        |wc AS (SELECT lang, word, count(*) AS ct FROM w GROUP BY lang, word),
+        |r AS (SELECT lang, ct,
+        |             row_number() OVER (PARTITION BY lang ORDER BY ct DESC, word) AS rnk
+        |      FROM wc),
+        |xy AS (SELECT lang,
+        |              floor(ln(CAST(rnk AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS x,
+        |              floor(ln(CAST(ct AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS y
+        |       FROM r),
+        |m AS (SELECT lang, x, y,
+        |             count(*) OVER (PARTITION BY lang) AS n,
+        |             CAST(sum(CAST(x AS DECIMAL(18,4))) OVER (PARTITION BY lang) AS DOUBLE)
+        |               / count(*) OVER (PARTITION BY lang) AS xbar,
+        |             CAST(sum(CAST(y AS DECIMAL(18,4))) OVER (PARTITION BY lang) AS DOUBLE)
+        |               / count(*) OVER (PARTITION BY lang) AS ybar
+        |      FROM xy),
+        |t AS (SELECT lang, n,
+        |             floor((x - xbar) * (y - ybar) * 10000.0 + 0.5) / 10000.0 AS cov_t,
+        |             floor((x - xbar) * (x - xbar) * 10000.0 + 0.5) / 10000.0 AS var_t,
+        |             floor((y - ybar) * (y - ybar) * 10000.0 + 0.5) / 10000.0 AS syy_t
+        |      FROM m),
+        |a AS (SELECT lang, CAST(max(n) AS BIGINT) AS vocab,
+        |             CAST(sum(CAST(cov_t AS DECIMAL(18,4))) AS DOUBLE) AS sxy,
+        |             CAST(sum(CAST(var_t AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+        |             CAST(sum(CAST(syy_t AS DECIMAL(18,4))) AS DOUBLE) AS syy
+        |      FROM t GROUP BY lang)
+        |SELECT lang, vocab,
+        |       floor(sxy / sxx * 10000.0 + 0.5) / 10000.0 AS slope,
+        |       floor(sxy * sxy / (sxx * syy) * 10000.0 + 0.5) / 10000.0 AS r2
+        |FROM a""".stripMargin,
+    // s9: temperature mixture weights — alpha fixed at 0.5 because sqrt is
+    // IEEE-correctly-rounded everywhere (pow(p,0.7) could ulp-diverge); the
+    // sqrt-share denominator sums 4dp DECIMAL terms, order-proof.
+    "s9_temperature_mix" ->
+      """WITH s AS (SELECT source, count(*) AS n_docs,
+        |                  CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT) AS tokens
+        |           FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens FROM s),
+        |q AS (SELECT s.*, t.total_tokens,
+        |             floor(sqrt(CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE))
+        |               * 10000.0 + 0.5) / 10000.0 AS sq
+        |      FROM s, t),
+        |d AS (SELECT CAST(sum(CAST(sq AS DECIMAL(18,4))) AS DOUBLE) AS denom FROM q),
+        |w AS (SELECT q.*, d.denom,
+        |             floor(sq / denom * 10000.0 + 0.5) / 10000.0 AS temp_w
+        |      FROM q, d)
+        |SELECT source, n_docs, tokens,
+        |       floor(CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+        |         * 10000.0 + 0.5) / 10000.0 AS p,
+        |       temp_w,
+        |       floor(temp_w * CAST(total_tokens AS DOUBLE) / CAST(tokens AS DOUBLE)
+        |         * 10000.0 + 0.5) / 10000.0 AS epochs
+        |FROM w""".stripMargin,
     // g2: per-language token quantiles — Spark exact percentile and DuckDB
     // quantile_cont share the (n-1)p linear-interpolation definition
     // bit-for-bit; floor-quantized anyway per the round()-divergence rule.

@@ -463,6 +463,97 @@ object CurationOps {
   def vocabStats(spark: SparkSession, dir: String): DataFrame =
     vocabStats(table(spark, dir, "documents"))
 
+  /** S9 — temperature-scaled mixture weights per source (the multilingual /
+    * multi-source sampling scheme of mBERT/XLM-R and T5: raise each source's
+    * token share to α < 1 and renormalize, so low-resource sources are
+    * upsampled without letting any source dominate). α is fixed at 0.5 —
+    * `sqrt` is IEEE-correctly-rounded in every engine, so the α-scaling
+    * itself can never hash-diverge (an arbitrary `pow(p, 0.7)` could differ
+    * in the last ulp across libm implementations).
+    *
+    * Emits, per source: doc/token counts, raw token share `p`, temperature
+    * weight `temp_w = √p / Σ√p`, and `epochs = temp_w·T/tokens_s` — the
+    * number of passes over that source an equal-token-budget run would make
+    * (the upsampling factor). The Σ√p denominator is summed as
+    * DECIMAL(18,4) of 4-dp-quantized terms, so source enumeration order
+    * can't move the result.
+    *
+    * Scale notes: one corpus-scale shuffle (the per-source partial-agg
+    * groupBy); everything after operates on source-cardinality rows with
+    * one-row broadcast totals — no second pass over the corpus, no
+    * driver-side collect.
+    */
+  def temperatureMix(docs: DataFrame): DataFrame = {
+    val perSrc = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(ceil(col("n_chars") / 4.0).cast("long")).as("tokens"))
+    val tot = perSrc.agg(sum("tokens").as("total_tokens"))
+    val q = perSrc.crossJoin(broadcast(tot))
+      .withColumn("sq",
+        floor(sqrt(col("tokens").cast("double") / col("total_tokens").cast("double"))
+          * 10000.0 + 0.5) / 10000.0)
+    val denom = q.agg(sum(col("sq").cast("decimal(18,4)")).cast("double").as("denom"))
+    q.crossJoin(broadcast(denom))
+      .withColumn("p",
+        floor(col("tokens").cast("double") / col("total_tokens").cast("double")
+          * 10000.0 + 0.5) / 10000.0)
+      .withColumn("temp_w", floor(col("sq") / col("denom") * 10000.0 + 0.5) / 10000.0)
+      .withColumn("epochs",
+        floor(col("temp_w") * col("total_tokens").cast("double")
+          / col("tokens").cast("double") * 10000.0 + 0.5) / 10000.0)
+      .select("source", "n_docs", "tokens", "p", "temp_w", "epochs")
+  }
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame =
+    temperatureMix(table(spark, dir, "documents"))
+
+  /** G6 — Zipf rank-frequency slope per language (with fit quality), the
+    * standard corpus-health diagnostic g4's vocab counts bootstrap: regress
+    * ln(freq) on ln(rank) over the vocabulary and report the slope (healthy
+    * natural-language corpora sit near −1; machine-generated or template
+    * text bends the curve) and r².
+    *
+    * Every ln is 4-dp floor-quantized at the leaf, per-term products are
+    * quantized again, and ALL sums run over DECIMAL(18,4) — rank order,
+    * partial-aggregation order, and engine enumeration order can never move
+    * a digit, the same discipline as t13's log-likelihoods. Ranks tie-break
+    * by word ascending, fully deterministic cross-engine.
+    *
+    * Scale notes: one corpus-scale shuffle to count (lang, word); the
+    * regression runs entirely on vocabulary-sized rows — the rank window and
+    * the final per-language rollup share the lang partitioning, and the
+    * per-language means ride a window over the same partitioning instead of
+    * a join-back.
+    */
+  def zipfSlope(docs: DataFrame): DataFrame = {
+    val byLang = Window.partitionBy("lang")
+    val rankW = byLang.orderBy(col("ct").desc, col("word"))
+    def q4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+    def dsum(c: Column): Column = sum(c.cast("decimal(18,4)")).over(byLang).cast("double")
+    val wc = graft.Tables.spread(
+        docs.select(col("lang"), split(col("text"), " ").as("words")))
+      .select(col("lang"), explode(col("words")).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("ct"))
+    wc.withColumn("rnk", row_number().over(rankW))
+      .withColumn("x", q4(log(col("rnk").cast("double"))))
+      .withColumn("y", q4(log(col("ct").cast("double"))))
+      .withColumn("n", count(lit(1)).over(byLang))
+      .withColumn("xbar", dsum(col("x")) / col("n"))
+      .withColumn("ybar", dsum(col("y")) / col("n"))
+      .withColumn("cov_t", q4((col("x") - col("xbar")) * (col("y") - col("ybar"))))
+      .withColumn("var_t", q4((col("x") - col("xbar")) * (col("x") - col("xbar"))))
+      .withColumn("syy_t", q4((col("y") - col("ybar")) * (col("y") - col("ybar"))))
+      .groupBy("lang")
+      .agg(max("n").as("vocab"),
+        sum(col("cov_t").cast("decimal(18,4)")).cast("double").as("sxy"),
+        sum(col("var_t").cast("decimal(18,4)")).cast("double").as("sxx"),
+        sum(col("syy_t").cast("decimal(18,4)")).cast("double").as("syy"))
+      .withColumn("slope", q4(col("sxy") / col("sxx")))
+      .withColumn("r2", q4(col("sxy") * col("sxy") / (col("sxx") * col("syy"))))
+      .select("lang", "vocab", "slope", "r2")
+  }
+  def zipfSlope(spark: SparkSession, dir: String): DataFrame =
+    zipfSlope(table(spark, dir, "documents"))
+
   // ---------------------------------------------------------------------
   // T10 — deterministic BPE-style subword tokenization (Sennrich/Haddow/
   // Birch, ACL'16): train a merge table from adjacent-symbol pair

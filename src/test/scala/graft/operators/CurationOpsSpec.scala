@@ -236,6 +236,55 @@ class CurationOpsSpec extends SparkSpec {
     v.unpersist()
   }
 
+  test("temperature mix upsamples small sources, compresses shares, conserves weight (S9)") {
+    import spark.implicits._
+    // big: ~90% of tokens, small: ~10% — alpha=0.5 must pull the weights
+    // toward each other without crossing, and epochs must upsample small
+    val fixture = (
+      (1 to 90).map(i => (i.toLong, "big", 400L)) ++
+      (1 to 10).map(i => (100L + i, "small", 400L))
+    ).toDF("doc_id", "source", "n_chars")
+    val m = CurationOps.temperatureMix(fixture)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val (pBig, wBig, eBig) = m("big")
+    val (pSmall, wSmall, eSmall) = m("small")
+    assert(pBig === 0.9 && pSmall === 0.1)
+    // compression: small's weight rises, big's falls, order preserved
+    assert(wSmall > pSmall && wBig < pBig && wBig > wSmall)
+    assert(math.abs(wBig + wSmall - 1.0) < 2e-4, s"weights must renormalize: $m")
+    // equal-token budget: small is seen ~2.4x, big ~0.8x (sqrt(0.1)/denom/0.1)
+    assert(eSmall > 2.0 && eSmall < 3.0, s"epochs=$eSmall")
+    assert(eBig < 1.0 && eBig > 0.7, s"epochs=$eBig")
+  }
+
+  test("zipf slope recovers ~-1 on a power-law corpus, per language (G6)") {
+    import spark.implicits._
+    // freq(rank) = floor(60/rank) over 12 words: a near-exact power law.
+    // Build the corpus by repeating word k exactly floor(60/k) times.
+    def corpus(lang: String, off: Int) = {
+      val words = (1 to 12).flatMap(k => Seq.fill(60 / k)(s"w${off + k}"))
+      words.grouped(30).zipWithIndex.map { case (ws, i) =>
+        (lang.hashCode.toLong * 1000 + i, ws.mkString(" "), lang)
+      }.toSeq
+    }
+    val z = CurationOps.zipfSlope(
+        (corpus("en", 0) ++ corpus("de", 100)).toDF("doc_id", "text", "lang"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    for (l <- Seq("en", "de")) {
+      val (vocab, slope, r2) = z(l)
+      assert(vocab === 12L)
+      assert(slope < -0.85 && slope > -1.15, s"$l slope=$slope")
+      assert(r2 > 0.97, s"$l r2=$r2")
+    }
+    // and the real (uniform-random) corpus must NOT look Zipfian — the
+    // diagnostic's whole point is telling natural from synthetic text
+    val real = CurationOps.zipfSlope(docs)
+    assert(real.filter(col("slope") < -0.6).count() === 0,
+      "uniform corpus scored as steep power law")
+  }
+
   test("bpeTokenize applies merges in rank order with classic BPE semantics (T10)") {
     import spark.implicits._
     val d = Seq(
