@@ -45,6 +45,8 @@ object SparkEntry {
     "a6_new_visitor_fix" -> (LogOps.newVisitorFix _),
     "a7_ads_sum" -> (RelationalOps.adsSum _),
     "a9_sessionize" -> (StatsOps.sessionize _),
+    "a10_funnel" -> (StatsOps.funnel _),
+    "r3_retention" -> (StatsOps.retention _),
     "w2_sliding_counts" -> (StatsOps.slidingCounts _),
     "w3_session_window" -> (StatsOps.sessionWindowStats _),
     "w6_user_jump" -> (LogOps.userJump _),
@@ -520,6 +522,48 @@ object SparkEntry {
          |SELECT user_id, session_no, count(*) AS event_ct,
          |       min(us) AS session_start_us, max(us) AS session_end_us
          |FROM s GROUP BY 1, 2""".stripMargin,
+    // a10: strict-order 24h-windowed funnel — each stage's min is
+    // conditional on the previous stage's window min (null condition →
+    // null → ignored by min, identical semantics both engines);
+    // integer-µs comparisons throughout.
+    "a10_funnel" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us($EV) AS us FROM events),
+         |s1 AS (SELECT user_id, event_type, us,
+         |              min(CASE WHEN event_type = 'view' THEN us END)
+         |                OVER (PARTITION BY user_id) AS v_us
+         |       FROM e),
+         |s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND us > v_us
+         |                          AND us <= v_us + 86400000000 THEN us END)
+         |                   OVER (PARTITION BY user_id) AS c_us
+         |       FROM s1),
+         |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND us > c_us
+         |                          AND us <= c_us + 86400000000 THEN us END)
+         |                   OVER (PARTITION BY user_id) AS p_us
+         |       FROM s2),
+         |u AS (SELECT user_id, max(v_us) AS v, max(c_us) AS c, max(p_us) AS p
+         |      FROM s3 GROUP BY user_id)
+         |SELECT count(*) AS users, count(v) AS viewed, count(c) AS clicked,
+         |       count(p) AS purchased,
+         |       floor(count(c) * 10000.0 / count(v) + 0.5) / 10000.0 AS view_to_click,
+         |       floor(count(p) * 10000.0 / count(c) + 0.5) / 10000.0 AS click_to_purchase,
+         |       floor(count(p) * 10000.0 / count(v) + 0.5) / 10000.0 AS full_funnel
+         |FROM u""".stripMargin,
+    // r3: day-cohort retention on integer epoch-µs days (no DATE/timezone
+    // semantics to diverge); cohort size = the offset-0 row of the same agg.
+    "r3_retention" ->
+      s"""WITH d AS (SELECT DISTINCT user_id, epoch_us($EV) // 86400000000 AS day
+         |           FROM events),
+         |c AS (SELECT user_id, day,
+         |             min(day) OVER (PARTITION BY user_id) AS cohort_day
+         |      FROM d),
+         |a AS (SELECT cohort_day, day - cohort_day AS day_offset,
+         |             count(*) AS active_users
+         |      FROM c GROUP BY 1, 2),
+         |s AS (SELECT cohort_day, active_users AS cohort_users FROM a
+         |      WHERE day_offset = 0)
+         |SELECT a.cohort_day, a.day_offset, a.active_users, s.cohort_users,
+         |       floor(a.active_users * 10000.0 / s.cohort_users + 0.5) / 10000.0 AS retention
+         |FROM a JOIN s USING (cohort_day)""".stripMargin,
     // x2: the typed distinct-set Aggregator through SQL vs COUNT(DISTINCT).
     "x2_exact_distinct_udaf" ->
       """SELECT event_type, count(DISTINCT user_id) AS uv, count(*) AS ct

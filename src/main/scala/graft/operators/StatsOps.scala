@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables.{table, dsum}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -176,6 +176,73 @@ object StatsOps {
         unix_micros(col("session_window.end")).as("end_us"),
         col("event_ct"))
   }
+
+  /** A10 — strict-order, time-bounded conversion funnel (view → click →
+    * purchase, each step within 24 h), the classic warehouse analytic the
+    * reference's ADS layer exists to serve: a user advances a stage only
+    * with an event STRICTLY AFTER their first qualifying event of the
+    * previous stage and inside the conversion window (min-over-window
+    * chaining, the standard formulation), so out-of-order clicks before the
+    * first view never count and stale conversions age out. Emits stage
+    * user-counts plus 4dp step/overall conversion.
+    *
+    * Scale notes: ONE shuffle — all three stage minima are windows over the
+    * same user_id partitioning (Catalyst stacks them on one exchange+sort),
+    * the per-user rollup reuses that clustering, and the final stage counts
+    * are a one-row global aggregate with map-side partials.
+    */
+  def funnel(events: DataFrame): DataFrame = {
+    val winUs = 24L * 3600 * 1000000 // 24 h conversion window per step
+    val w = Window.partitionBy("user_id")
+    def stepMin(tpe: String, prev: Column): Column =
+      min(when(col("event_type") === tpe && col("us") > prev &&
+        col("us") <= prev + winUs, col("us"))).over(w)
+    val staged = events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("v_us",
+        min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("c_us", stepMin("click", col("v_us")))
+      .withColumn("p_us", stepMin("purchase", col("c_us")))
+    def pct(a: Column, b: Column): Column = floor(a * 10000.0 / b + 0.5) / 10000.0
+    staged.groupBy("user_id")
+      .agg(max("v_us").as("v"), max("c_us").as("c"), max("p_us").as("p"))
+      .agg(count(lit(1)).as("users"), count(col("v")).as("viewed"),
+        count(col("c")).as("clicked"), count(col("p")).as("purchased"))
+      .withColumn("view_to_click", pct(col("clicked"), col("viewed")))
+      .withColumn("click_to_purchase", pct(col("purchased"), col("clicked")))
+      .withColumn("full_funnel", pct(col("purchased"), col("viewed")))
+  }
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    funnel(table(spark, dir, "events"))
+
+  /** R3 — day-cohort retention: users grouped by first-active day, retention
+    * at each day offset as the share of the cohort active that day — the
+    * other staple ADS-layer analytic. Day arithmetic runs on integer
+    * microsecond-epoch days (`us div 86_400_000_000`), so no DATE-type or
+    * timezone semantics can diverge cross-engine.
+    *
+    * Scale notes: the (user, day) distinct is the one corpus-scale shuffle;
+    * the cohort min is a window on user_id over already-distinct rows; the
+    * (cohort, offset) rollup is day²-bounded and the cohort-size join
+    * broadcasts (≤ one row per calendar day).
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val act = days
+      .withColumn("cohort_day", min("day").over(Window.partitionBy("user_id")))
+      .withColumn("day_offset", col("day") - col("cohort_day"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("active_users"))
+    val sizes = act.filter(col("day_offset") === 0)
+      .select(col("cohort_day"), col("active_users").as("cohort_users"))
+    act.join(broadcast(sizes), Seq("cohort_day"))
+      .withColumn("retention",
+        floor(col("active_users") * 10000.0 / col("cohort_users") + 0.5) / 10000.0)
+  }
+  def retention(spark: SparkSession, dir: String): DataFrame =
+    retention(table(spark, dir, "events"))
 
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     val gapUs = 30L * 60 * 1000000

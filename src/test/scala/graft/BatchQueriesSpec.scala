@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.StatsOps
 import org.apache.spark.sql.functions._
 
 /** Smoke + spot checks for every SparkEntry query (the DuckDB hash-match gate
@@ -27,6 +28,45 @@ class BatchQueriesSpec extends SparkSpec {
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("funnel enforces strict order and the 24h step window (A10)") {
+    import spark.implicits._
+    val h = 3600L * 1000000
+    def ev(u: Long, t: String, hrs: Long) = (u * 10 + hrs, u, t, hrs * h)
+    // u1 converts fully in-window; u2's click precedes its view (no stage 2);
+    // u3's click lands 25h after first view (window expired); u4 clicks
+    // in-window but its only purchase PRECEDES the click (no stage 3);
+    // u5 never views (not even stage 1 — but counted in users)
+    val rows = Seq(
+      ev(1, "view", 1), ev(1, "click", 2), ev(1, "purchase", 3),
+      ev(2, "click", 1), ev(2, "view", 2), ev(2, "purchase", 3),
+      ev(3, "view", 1), ev(3, "click", 27), ev(3, "purchase", 28),
+      ev(4, "view", 1), ev(4, "purchase", 2), ev(4, "click", 3),
+      ev(5, "error", 1))
+      .toDF("event_id", "user_id", "event_type", "us")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+    val r = StatsOps.funnel(rows).collect().head
+    assert(r.getLong(r.fieldIndex("users")) === 5L)
+    assert(r.getLong(r.fieldIndex("viewed")) === 4L)
+    assert(r.getLong(r.fieldIndex("clicked")) === 2L, "u1 and u4 click in-window after view")
+    assert(r.getLong(r.fieldIndex("purchased")) === 1L, "only u1 purchases after its click")
+    assert(r.getDouble(r.fieldIndex("view_to_click")) === 0.5)
+  }
+
+  test("retention: offset-0 is the full cohort; counts never exceed it (R3)") {
+    val r = StatsOps.retention(Tables.table(spark, sf, "events")).cache()
+    assert(r.filter(col("day_offset") === 0)
+      .filter(col("active_users") =!= col("cohort_users")).count() === 0)
+    assert(r.filter(col("active_users") > col("cohort_users")).count() === 0)
+    assert(r.filter(col("retention") < 0 || col("retention") > 1).count() === 0)
+    assert(r.filter(col("day_offset") < 0).count() === 0)
+    // cohort sizes sum to the distinct-user count (cohorts partition users)
+    val users = Tables.table(spark, sf, "events").select("user_id").distinct().count()
+    assert(r.filter(col("day_offset") === 0)
+      .agg(sum("cohort_users")).head.getLong(0) === users)
+    r.unpersist()
   }
 
   test("d1 dedup partitions all documents") {
