@@ -71,6 +71,7 @@ object SparkEntry {
         .filter(org.apache.spark.sql.functions.col("doc_id") < 500))),
     "d8_simhash64_pairs" -> ((s: SparkSession, d: String) => DedupOps.simhash64Pairs(s, d)),
     "d9_winnow_fingerprints" -> ((s: SparkSession, d: String) => DedupOps.winnowFingerprints(s, d)),
+    "d15_winnow_pairs" -> ((s: SparkSession, d: String) => DedupOps.winnowPairs(s, d)),
     "d10_neardup_clusters" -> ((s: SparkSession, d: String) => DedupOps.nearDupClusters(s, d)),
     "d11_dedup_by_cluster" -> ((s: SparkSession, d: String) => DedupOps.dedupByCluster(s, d)),
     "d12_segment_dedup" -> ((s: SparkSession, d: String) => DedupOps.segmentDedup(s, d)),
@@ -300,6 +301,23 @@ object SparkEntry {
     def d(i: Int) = s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1)"
     s"(((${d(1)} * 16 + ${d(2)}) * 16 + ${d(3)}) * 16 + ${d(4)})"
   }
+
+  /** Shared CTE chain ending in `fps(doc_id, fp)` — the DuckDB mirror of
+    * DedupOps.winnowFingerprints (ONE definition; d9 and d15 both ride it,
+    * so the winnowing convention cannot drift between their oracles).
+    */
+  private def winnowFpsCte: String =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |g AS (SELECT doc_id, [array_to_string(words[i:i+2], ' ')
+       |                      for i in generate_series(1, len(words) - 2)] AS grams
+       |      FROM w WHERE len(words) >= 3),
+       |h AS (SELECT doc_id, [${hex16("md5(x)")} for x in grams] AS hashes FROM g),
+       |s AS (SELECT doc_id,
+       |             [list_aggregate(hashes[i:i+3], 'min')
+       |              for i in generate_series(1, greatest(1, len(hashes) - 3))] AS sels
+       |      FROM h),
+       |fps AS (SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp
+       |        FROM (SELECT doc_id, unnest(sels) AS fp FROM s))""".stripMargin
 
   /** 0-based md5(text) digest byte as a DuckDB int expression — the oracle
     * mirror of the m1/v1/m3 fake decoder's digest arithmetic (ONE
@@ -856,17 +874,17 @@ object SparkEntry {
     // min of each 4-hash window, distinct per doc; short docs degrade to
     // their global min via the greatest(1, ...) window count.
     "d9_winnow_fingerprints" ->
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-         |g AS (SELECT doc_id, [array_to_string(words[i:i+2], ' ')
-         |                      for i in generate_series(1, len(words) - 2)] AS grams
-         |      FROM w WHERE len(words) >= 3),
-         |h AS (SELECT doc_id, [${hex16("md5(x)")} for x in grams] AS hashes FROM g),
-         |s AS (SELECT doc_id,
-         |             [list_aggregate(hashes[i:i+3], 'min')
-         |              for i in generate_series(1, greatest(1, len(hashes) - 3))] AS sels
-         |      FROM h)
-         |SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp
-         |FROM (SELECT doc_id, unnest(sels) AS fp FROM s)""".stripMargin,
+      s"""WITH $winnowFpsCte
+         |SELECT doc_id, fp FROM fps""".stripMargin,
+    // d15: MOSS pair mining over the d9 fingerprints — common-hash drop
+    // (df <= 50) then posting-list self-join, pairs sharing >= 2 selections.
+    "d15_winnow_pairs" ->
+      s"""WITH $winnowFpsCte,
+         |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+         |k AS (SELECT fps.doc_id, fps.fp FROM fps JOIN rare USING (fp))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+         |FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     // d10: transitive near-dup clusters — Spark's iterative min-label
     // propagation vs DuckDB's recursive transitive closure; both fixpoints
     // are "min doc_id in my connected component", so they hash-match.

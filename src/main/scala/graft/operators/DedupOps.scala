@@ -517,6 +517,36 @@ object DedupOps {
   def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
     winnowFingerprints(table(spark, dir, "documents"))
 
+  /** D15 — MOSS-style near-dup PAIR MINING over [[winnowFingerprints]] (d9
+    * produced the fingerprints; this is the report MOSS actually shows):
+    * document pairs sharing ≥ `minShared` selected fingerprints, with the
+    * shared count as the similarity evidence. Fingerprints appearing in more
+    * than `maxDf` documents are dropped first — MOSS's common-hash ignore:
+    * boilerplate shared by everyone identifies nobody, and the cap is what
+    * keeps the posting-list self-join from going quadratic on a hot
+    * fingerprint.
+    *
+    * Scale notes: the inverted index (fp → docs) shuffles once on the
+    * high-cardinality fingerprint; the df filter caps every posting list at
+    * `maxDf`, so candidate generation is Σ df² ≤ maxDf · Σ df — linear in
+    * selected fingerprints, never corpus-pairwise. Both self-join sides are
+    * the same `kept` subtree (one exchange, reused), and the final pair
+    * count keys on (doc_a, doc_b) with map-side partials.
+    */
+  def winnowPairs(docs: DataFrame, minShared: Long = 2, maxDf: Long = 50): DataFrame = {
+    val fps = winnowFingerprints(docs)
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("fp")
+    val kept = fps.join(rare, Seq("fp"))
+    kept.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame =
+    winnowPairs(table(spark, dir, "documents"))
+
   /** D12 — corpus-level segment (paragraph) dedup, the C4/RefinedWeb recipe:
     * split each document into non-overlapping [[SegmentWords]]-word segments
     * (the fixtures are single-line, so fixed word windows stand in for

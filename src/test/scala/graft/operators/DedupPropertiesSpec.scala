@@ -175,6 +175,28 @@ class DedupPropertiesSpec extends SparkSpec {
     fp.unpersist()
   }
 
+  test("winnow pair mining surfaces run-sharing docs; common-hash cap silences boilerplate (D15)") {
+    // docs 0/1 share an 11-word run (>= 2 winnow selections); doc 2 unrelated
+    val shared = "spark join hash scan merge row data stream window batch agg"
+    val df = docsDf(Seq(
+      s"${sample(docGen, 7L)} $shared",
+      s"$shared ${sample(docGen, 107L)}",
+      sample(docGen, 207L)))
+    val pairs = DedupOps.winnowPairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists { case (a, b, _) => a == 0L && b == 1L },
+      s"run-sharing pair missing: ${pairs.mkString(",")}")
+    assert(pairs.forall { case (a, b, sh) => a < b && sh >= 2 })
+    assert(!pairs.exists { case (a, b, _) => a == 2L || b == 2L },
+      "unrelated doc must not pair")
+    // the MOSS common-hash drop: 60 identical docs exceed maxDf=50, so the
+    // boilerplate identifies nobody — zero pairs; raising the cap brings
+    // back all 60*59/2
+    val many = docsDf(Seq.fill(60)("alpha beta gamma delta epsilon zeta eta theta"))
+    assert(DedupOps.winnowPairs(many).count() === 0L)
+    assert(DedupOps.winnowPairs(many, maxDf = 100).count() === 60L * 59 / 2)
+  }
+
   test("curateCorpus keeps exactly the en/quality keepers (C1)") {
     val good = ("the spark engine joins the stream with a window and " * 3).trim // en, long
     val noStops = "alpha beta gamma delta epsilon zeta eta theta iota kappa"     // not en
