@@ -243,6 +243,60 @@ object StatsStreams {
       .toDF("source", "doc_id", "ts")
   }
 
+  /** Streaming conversion funnel — the streaming face of
+    * [[graft.operators.StatsOps.funnel]] (a10) and the multi-stage
+    * generalization of the reference's CEP family (W6's two-event pattern,
+    * app/dwm/UserJumpDetailApp.java:88-90): a per-user state machine tracks
+    * the first view, the first qualifying click (strictly after the view,
+    * within the 24 h step window), and the first qualifying purchase,
+    * emitting one append-mode transition row `(user_id, stage, us)` the
+    * moment each stage first completes — the live funnel dashboard feed.
+    *
+    * Parity contract: under event-time-ordered arrival (the reference's
+    * monotone 0 s-watermark assumption for its order stream; within a
+    * micro-batch the fold sorts by (us, event order) itself), the first
+    * qualifying event in ts order IS the batch operator's window minimum,
+    * so stage counts aggregated from the transitions equal a10's
+    * viewed/clicked/purchased exactly (parity-pinned). Cross-batch
+    * stragglers older than an already-taken stage are ignored — the same
+    * first-wins semantic as [[domainCapStream]].
+    *
+    * Scale notes: state is three optional longs per user — user-count
+    * bounded, no growth with event volume; the only shuffle is the
+    * groupByKey on user_id. Stage completions stream out in append mode.
+    */
+  def funnelStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val winUs = 24L * 3600 * 1000000
+    val ds = events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[(Long, String, Long)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, recs: Iterator[(Long, String, Long)],
+            state: GroupState[(Long, Long, Long)]) =>
+          // 0L = stage not reached (valid timestamps here are all positive)
+          var (v, c, p) = state.getOption.getOrElse((0L, 0L, 0L))
+          val out = Seq.newBuilder[(Long, String, Long)]
+          recs.toSeq.sortBy(_._3).foreach { case (_, tpe, us) =>
+            if (tpe == "view" && v == 0L) {
+              v = us; out += ((uid, "view", us))
+            } else if (tpe == "click" && v != 0L && c == 0L &&
+                us > v && us <= v + winUs) {
+              c = us; out += ((uid, "click", us))
+            } else if (tpe == "purchase" && c != 0L && p == 0L &&
+                us > c && us <= c + winUs) {
+              p = us; out += ((uid, "purchase", us))
+            }
+          }
+          state.update((v, c, p))
+          out.result().iterator
+      }
+      .toDF("user_id", "stage", "us")
+  }
+
   /** Streaming benchmark decontamination — the streaming face of
     * [[graft.operators.CurationOps.decontaminate]]: incoming docs are flagged
     * against a STATIC held-out benchmark table. The bench shingle set is
