@@ -46,6 +46,8 @@ object SparkEntry {
     "a7_ads_sum" -> (RelationalOps.adsSum _),
     "a9_sessionize" -> (StatsOps.sessionize _),
     "a10_funnel" -> (StatsOps.funnel _),
+    "a11_rfm" -> (StatsOps.rfm _),
+    "a12_event_transitions" -> (StatsOps.eventTransitions _),
     "r3_retention" -> (StatsOps.retention _),
     "w2_sliding_counts" -> (StatsOps.slidingCounts _),
     "w3_session_window" -> (StatsOps.sessionWindowStats _),
@@ -566,6 +568,43 @@ object SparkEntry {
          |       floor(count(p) * 10000.0 / count(c) + 0.5) / 10000.0 AS click_to_purchase,
          |       floor(count(p) * 10000.0 / count(v) + 0.5) / 10000.0 AS full_funnel
          |FROM u""".stripMargin,
+    // a11: RFM quintiles — ntile(5) with (metric, user_id) tie-breaks so
+    // every bucket edge is deterministic; "now" is the corpus-max event
+    // time; monetary is the decimal-cast sum (order-proof).
+    "a11_rfm" ->
+      s"""WITH p AS (SELECT user_id, epoch_us($EV) AS us, value FROM events
+         |           WHERE event_type = 'purchase'),
+         |ref AS (SELECT max(epoch_us($EV)) AS ref_us FROM events),
+         |u AS (SELECT user_id, max(us) AS last_us, count(*) AS frequency,
+         |             ${dsum("value")} AS monetary
+         |      FROM p GROUP BY user_id),
+         |s AS (SELECT u.*, ref.ref_us,
+         |             (ref.ref_us - u.last_us) // 86400000000 AS recency_days
+         |      FROM u, ref)
+         |SELECT user_id, recency_days, frequency, monetary,
+         |       ntile(5) OVER (ORDER BY last_us, user_id) AS r,
+         |       ntile(5) OVER (ORDER BY frequency, user_id) AS f,
+         |       ntile(5) OVER (ORDER BY monetary, user_id) AS m,
+         |       CAST(ntile(5) OVER (ORDER BY last_us, user_id) * 100
+         |            + ntile(5) OVER (ORDER BY frequency, user_id) * 10
+         |            + ntile(5) OVER (ORDER BY monetary, user_id) AS INTEGER) AS rfm_code
+         |FROM s""".stripMargin,
+    // a12: clickstream transition matrix — lag per user on (us, event_id),
+    // sequence starts from '_start', probabilities 4dp row-normalized.
+    "a12_event_transitions" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_us($EV) AS us
+         |           FROM events),
+         |t AS (SELECT coalesce(lag(event_type) OVER (PARTITION BY user_id
+         |                        ORDER BY us, event_id), '_start') AS prev_type,
+         |             event_type AS next_type
+         |      FROM e),
+         |c AS (SELECT prev_type, next_type, count(*) AS ct
+         |      FROM t GROUP BY 1, 2),
+         |r AS (SELECT prev_type, CAST(sum(ct) AS BIGINT) AS row_total
+         |      FROM c GROUP BY prev_type)
+         |SELECT c.prev_type, c.next_type, c.ct, r.row_total,
+         |       floor(c.ct * 10000.0 / r.row_total + 0.5) / 10000.0 AS prob
+         |FROM c JOIN r USING (prev_type)""".stripMargin,
     // r3: day-cohort retention on integer epoch-µs days (no DATE/timezone
     // semantics to diverge); cohort size = the offset-0 row of the same agg.
     "r3_retention" ->

@@ -244,6 +244,75 @@ object StatsOps {
   def retention(spark: SparkSession, dir: String): DataFrame =
     retention(table(spark, dir, "events"))
 
+  /** A11 — RFM segmentation (recency / frequency / monetary), the classic
+    * customer-value analytic an ADS layer serves to marketing: per user,
+    * days since last purchase (relative to the corpus-max event time — a
+    * data-defined "now", so the result is reproducible), purchase count,
+    * and decimal-summed spend, each scored into quintiles (5 = best) with
+    * (metric, user_id) tie-breaks so every ntile edge is deterministic
+    * cross-engine. `rfm_code = 100r + 10f + m` is the segment key.
+    *
+    * Scale notes: one corpus-scale shuffle (the per-user purchase rollup);
+    * the reference "now" is a one-row broadcast aggregate; the three ntile
+    * windows run over user-cardinality rows. A global ntile is inherently
+    * single-ordered — at extreme user counts swap in percent_rank over the
+    * same sort or a sampled quantile cut; the quintile CONTRACT stays.
+    */
+  def rfm(events: DataFrame): DataFrame = {
+    import graft.Tables.dsum
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+    val ref = events.agg(max(unix_micros(col("ts"))).as("ref_us"))
+    val perUser = purchases.groupBy("user_id")
+      .agg(max("us").as("last_us"), count(lit(1)).as("frequency"),
+        dsum(col("value")).as("monetary"))
+      .crossJoin(broadcast(ref))
+      .withColumn("recency_days",
+        expr("(ref_us - last_us) div 86400000000"))
+    perUser
+      // BIGINT scores: DuckDB's ntile returns BIGINT, Spark's INT — pin the
+      // wider type on both sides so the schema gate can't diverge
+      .withColumn("r",
+        ntile(5).over(Window.orderBy(col("last_us"), col("user_id"))).cast("long"))
+      .withColumn("f",
+        ntile(5).over(Window.orderBy(col("frequency"), col("user_id"))).cast("long"))
+      .withColumn("m",
+        ntile(5).over(Window.orderBy(col("monetary"), col("user_id"))).cast("long"))
+      .withColumn("rfm_code", (col("r") * 100 + col("f") * 10 + col("m")).cast("int"))
+      .select("user_id", "recency_days", "frequency", "monetary", "r", "f", "m", "rfm_code")
+  }
+  def rfm(spark: SparkSession, dir: String): DataFrame =
+    rfm(table(spark, dir, "events"))
+
+  /** A12 — clickstream transition matrix: per-user event sequences (ordered
+    * by (ts, event_id)) folded into (prev_type → type) transition counts
+    * with 4dp row-normalized probabilities — the Markov-chain view of user
+    * behavior that powers path analysis and next-action models. Sequence
+    * starts transit from the synthetic `_start` state, so row sums count
+    * every user exactly once there.
+    *
+    * Scale notes: the lag runs on a user_id-keyed window (one corpus-scale
+    * shuffle); the transition rollup and the per-prev totals operate on
+    * event-type² rows — tiny forever — and the normalizing join broadcasts.
+    */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val trans = events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_type",
+        coalesce(lag(col("event_type"), 1).over(w), lit("_start")))
+      .select(col("prev_type"), col("event_type").as("next_type"))
+      .groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("ct"))
+    val totals = trans.groupBy("prev_type").agg(sum("ct").as("row_total"))
+    trans.join(broadcast(totals), Seq("prev_type"))
+      .withColumn("prob",
+        floor(col("ct") * 10000.0 / col("row_total") + 0.5) / 10000.0)
+  }
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame =
+    eventTransitions(table(spark, dir, "events"))
+
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     val gapUs = 30L * 60 * 1000000
     val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))

@@ -55,6 +55,40 @@ class BatchQueriesSpec extends SparkSpec {
     assert(r.getDouble(r.fieldIndex("view_to_click")) === 0.5)
   }
 
+  test("rfm: quintile scores bounded, near-equal buckets, code consistent (A11)") {
+    val r = StatsOps.rfm(Tables.table(spark, sf, "events")).cache()
+    val purchasers = Tables.table(spark, sf, "events")
+      .filter(col("event_type") === "purchase").select("user_id").distinct().count()
+    assert(r.count() === purchasers, "every purchaser scored exactly once")
+    for (c <- Seq("r", "f", "m"))
+      assert(r.filter(col(c) < 1 || col(c) > 5).count() === 0, s"$c out of range")
+    // ntile buckets differ by at most one
+    val sizes = r.groupBy("r").count().select("count")
+      .collect().map(_.getLong(0))
+    assert(sizes.max - sizes.min <= 1, s"uneven quintiles: ${sizes.mkString(",")}")
+    assert(r.filter(col("rfm_code") =!=
+      col("r") * 100 + col("f") * 10 + col("m")).count() === 0)
+    assert(r.filter(col("recency_days") < 0 || col("monetary") <= 0).count() === 0)
+    r.unpersist()
+  }
+
+  test("event transitions: a closed Markov rollup of the whole stream (A12)") {
+    val events = Tables.table(spark, sf, "events")
+    val t = StatsOps.eventTransitions(events).cache()
+    // every event is exactly one transition target
+    assert(t.agg(sum("ct")).head.getLong(0) === events.count())
+    // _start row-total = user count (each sequence starts once)
+    val users = events.select("user_id").distinct().count()
+    assert(t.filter(col("prev_type") === "_start")
+      .agg(sum("ct")).head.getLong(0) === users)
+    // row totals really are the row sums; probabilities bounded
+    val bad = t.groupBy("prev_type", "row_total").agg(sum("ct").as("s"))
+      .filter(col("s") =!= col("row_total"))
+    assert(bad.count() === 0)
+    assert(t.filter(col("prob") <= 0 || col("prob") > 1).count() === 0)
+    t.unpersist()
+  }
+
   test("retention: offset-0 is the full cohort; counts never exceed it (R3)") {
     val r = StatsOps.retention(Tables.table(spark, sf, "events")).cache()
     assert(r.filter(col("day_offset") === 0)
