@@ -113,6 +113,14 @@ object AnnOps {
     * corpus, exactly like d3's LSH band buckets; the top-1 reduction uses the
     * two-phase partial top-k, so no per-vector single-reducer window. Drop
     * rows where `is_dup && vec_id > nn_id` for greedy keep-first removal.
+    *
+    * Ordering note for a 100 TB pipeline: run EXACT dedup (d1) before this
+    * stage. Heavy verbatim duplication inflates cells (identical vectors
+    * co-assign), and the within-cell pair join grows with cell-population² —
+    * the 3x-replica scaling check measures exactly that square (9x shuffle
+    * at 3x data). With exact dups removed first, cell sizes track the
+    * k-means balance and the join stays linear-ish, which is how c2 orders
+    * its stages.
     */
   def embeddingNearDups(e: DataFrame, threshold: Double = 0.95): DataFrame = {
     val left = e.select(col("label"), col("vec_id"), col("embedding").as("ea"),
