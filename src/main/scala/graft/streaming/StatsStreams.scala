@@ -277,16 +277,19 @@ object StatsStreams {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, recs: Iterator[(Long, String, Long)],
             state: GroupState[(Long, Long, Long)]) =>
-          // 0L = stage not reached (valid timestamps here are all positive)
-          var (v, c, p) = state.getOption.getOrElse((0L, 0L, 0L))
+          // -1L = stage not reached: a real µs timestamp is never negative,
+          // but it CAN be 0 (epoch) — a 0L sentinel would re-admit a stage
+          // whose first event lands exactly at epoch (caught by the
+          // random-split parity property)
+          var (v, c, p) = state.getOption.getOrElse((-1L, -1L, -1L))
           val out = Seq.newBuilder[(Long, String, Long)]
           recs.toSeq.sortBy(_._3).foreach { case (_, tpe, us) =>
-            if (tpe == "view" && v == 0L) {
+            if (tpe == "view" && v == -1L) {
               v = us; out += ((uid, "view", us))
-            } else if (tpe == "click" && v != 0L && c == 0L &&
+            } else if (tpe == "click" && v != -1L && c == -1L &&
                 us > v && us <= v + winUs) {
               c = us; out += ((uid, "click", us))
-            } else if (tpe == "purchase" && c != 0L && p == 0L &&
+            } else if (tpe == "purchase" && c != -1L && p == -1L &&
                 us > c && us <= c + winUs) {
               p = us; out += ((uid, "purchase", us))
             }

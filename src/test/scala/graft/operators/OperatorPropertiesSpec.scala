@@ -59,4 +59,83 @@ class OperatorPropertiesSpec extends SparkSpec {
       .select("jaccard").collect()
     assert(j.length === 1 && j.head.getDouble(0) === 1.0)
   }
+
+  test("lmScore equals an independent in-memory model on random corpora (T13)") {
+    // reference implementation: same add-one bigram model, same integer
+    // deci-milli quantization, sums exact — any Spark-side plan change that
+    // perturbs count/join/sum semantics breaks equality bit-for-bit
+    def reference(texts: Seq[String]): Map[Long, (Long, Double, Double)] = {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t.split(" ").toSeq) }
+      val scored = docs.filter(_._2.length >= 2)
+      val bigrams = scored.flatMap { case (_, w) => w.sliding(2).map(p => (p(0), p(1))) }
+      val cb = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val ctx = bigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val v = docs.flatMap(_._2).distinct.size.toLong
+      scored.map { case (id, w) =>
+        val tfs = w.sliding(2).map(p => (p(0), p(1))).toSeq
+          .groupBy(identity).view.mapValues(_.size.toLong)
+        val acc = tfs.map { case (bg, tf) =>
+          math.floor(tf.toDouble * math.log((cb(bg) + 1.0) / (ctx(bg._1) + v).toDouble)
+            * 10000.0 + 0.5).toLong
+        }.sum
+        val n = (w.length - 1).toLong
+        val sumLp = (BigDecimal(acc) / 10000).toDouble
+        val nll = math.floor(sumLp * -10000.0 / n + 0.5) / 10000.0
+        id -> (n, sumLp, nll)
+      }.toMap
+    }
+    val wordGen = Gen.oneOf("a", "b", "c", "dd", "eee", "ffff")
+    val docGen = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val corpusGen = Gen.chooseNum(3, 10).flatMap(n => Gen.listOfN(n, docGen))
+    (1L to 5L).foreach { s =>
+      val texts = sample(corpusGen, s)
+      val got = TextOps.lmScore(texts.zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .toMap
+      val want = reference(texts)
+      assert(got === want, s"seed $s diverged\n got=$got\nwant=$want")
+    }
+  }
+
+  test("funnelStream == batch funnel under random ts-ordered batch splits (A10)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val evGen = Gen.listOfN(40, for {
+      u <- Gen.chooseNum(1L, 6L)
+      t <- Gen.oneOf("view", "click", "purchase", "error")
+      hrs <- Gen.chooseNum(0L, 60L)
+    } yield (u, t, hrs * 3600L * 1000000))
+    (1L to 3L).foreach { s =>
+      // arrival must respect event time (the parity contract): sort, then
+      // cut at a random prefix point into two micro-batches
+      val evs = sample(evGen, s).sortBy(_._3)
+      val cut = sample(Gen.chooseNum(1, evs.length - 1), s + 50)
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, String, Long)]
+      input.addData(evs.take(cut): _*); input.addData(evs.drop(cut): _*)
+      val qn = s"prop_funnel_$s"
+      val q = graft.streaming.StatsStreams.funnelStream(spark,
+          input.toDF().toDF("user_id", "event_type", "us")
+            .select(col("user_id"), col("event_type"),
+              timestamp_micros(col("us")).as("ts")))
+        .writeStream.format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow()).outputMode("append").start()
+      try q.awaitTermination() finally q.stop()
+      val counts = spark.table(qn).groupBy("stage").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val b = StatsOps.funnel(evs.toDF("user_id", "event_type", "us")
+          .select(col("user_id"), col("event_type"),
+            timestamp_micros(col("us")).as("ts")))
+        .collect().head
+      assert(counts.getOrElse("view", 0L) === b.getLong(b.fieldIndex("viewed")),
+        s"seed $s cut=$cut viewed")
+      assert(counts.getOrElse("click", 0L) === b.getLong(b.fieldIndex("clicked")),
+        s"seed $s cut=$cut clicked")
+      assert(counts.getOrElse("purchase", 0L) === b.getLong(b.fieldIndex("purchased")),
+        s"seed $s cut=$cut purchased")
+    }
+  }
 }
