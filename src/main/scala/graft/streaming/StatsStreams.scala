@@ -300,6 +300,77 @@ object StatsStreams {
       .toDF("user_id", "stage", "us")
   }
 
+  /** Streaming clickstream transitions — the streaming face of
+    * [[graft.operators.StatsOps.eventTransitions]] (a12): one string of
+    * state per user (the last event type) turns the live event stream into
+    * a stream of `(prev_type, next_type, us)` transition rows; the Markov
+    * rollup is then any downstream count. Under event-time-ordered arrival
+    * the emitted multiset equals the batch operator's lag() derivation
+    * exactly (parity-pinned); within a micro-batch the fold sorts by
+    * (us, event order) itself.
+    *
+    * Scale notes: state is one (type, us) pair per user; the only shuffle
+    * is the user_id groupByKey. Transition rows stream out append-mode.
+    */
+  def transitionsStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val ds = events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[(Long, String, Long)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(String, Long), (String, String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, recs: Iterator[(Long, String, Long)],
+            state: GroupState[(String, Long)]) =>
+          var (prev, _) = state.getOption.getOrElse(("_start", -1L))
+          var lastUs = -1L
+          val out = Seq.newBuilder[(String, String, Long)]
+          recs.toSeq.sortBy(_._3).foreach { case (_, tpe, us) =>
+            out += ((prev, tpe, us))
+            prev = tpe; lastUs = us
+          }
+          state.update((prev, lastUs))
+          out.result().iterator
+      }
+      .toDF("prev_type", "next_type", "us")
+  }
+
+  /** Streaming cohort retention — the streaming face of
+    * [[graft.operators.StatsOps.retention]] (r3): per user, two longs of
+    * state (cohort day = first-active day, last emitted day) turn the live
+    * stream into append-mode `(user_id, cohort_day, day_offset)` first-
+    * activity-of-day rows; `count` per (cohort_day, day_offset) is r3's
+    * `active_users`. Under event-time-ordered arrival days arrive
+    * non-decreasing, so the `day > last` guard is exactly the per-(user,
+    * day) distinct of the batch operator (parity-pinned).
+    *
+    * Scale notes: state never grows with activity — two longs per user —
+    * and the only shuffle is the user_id groupByKey.
+    */
+  def retentionStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val ds = events
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .as[(Long, Long)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, recs: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
+          // -1L sentinels: epoch day 0 is a legal cohort/activity day
+          var (cohort, last) = state.getOption.getOrElse((-1L, -1L))
+          val out = Seq.newBuilder[(Long, Long, Long)]
+          recs.toSeq.sortBy(_._2).foreach { case (_, day) =>
+            if (cohort == -1L) cohort = day
+            if (day > last) { out += ((uid, cohort, day - cohort)); last = day }
+          }
+          state.update((cohort, last))
+          out.result().iterator
+      }
+      .toDF("user_id", "cohort_day", "day_offset")
+  }
+
   /** Streaming benchmark decontamination — the streaming face of
     * [[graft.operators.CurationOps.decontaminate]]: incoming docs are flagged
     * against a STATIC held-out benchmark table. The bench shingle set is

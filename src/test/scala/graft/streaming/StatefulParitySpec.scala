@@ -307,6 +307,68 @@ class StatefulParitySpec extends SparkSpec {
     }
   }
 
+  test("transitionsStream multiset == batch lag() transitions across batches (A12)") {
+    implicit val sqlCtx = spark.sqlContext
+    val h = 3600L * 1000000
+    val evs = Seq(
+      (1L, "view", 1L * h), (1L, "click", 2L * h), (1L, "view", 3L * h),
+      (2L, "signup", 1L * h), (2L, "view", 5L * h),
+      (3L, "error", 2L * h)).sortBy(_._3)
+    val input = MemoryStream[(Long, String, Long)]
+    // split mid-user: u1's third event arrives a batch later
+    input.addData(evs.take(4): _*); input.addData(evs.drop(4): _*)
+    val q = StatsStreams.transitionsStream(spark,
+        input.toDF().toDF("user_id", "event_type", "us")
+          .select(col("user_id"), col("event_type"),
+            timestamp_micros(col("us")).as("ts")))
+      .writeStream.format("memory").queryName("sp_trans")
+      .trigger(Trigger.AvailableNow()).outputMode("append").start()
+    try q.awaitTermination() finally q.stop()
+    val streamed = spark.table("sp_trans")
+      .groupBy("prev_type", "next_type").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batched = graft.operators.StatsOps.eventTransitions(
+        evs.zipWithIndex.map { case ((u, t, us), i) => (i.toLong, u, t, us) }
+          .toDF("event_id", "user_id", "event_type", "us")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            timestamp_micros(col("us")).as("ts")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getLong(r.fieldIndex("ct"))).toMap
+    assert(streamed === batched, s"stream=$streamed batch=$batched")
+    // the cross-batch edge: u1's view->view transition spans the split
+    assert(streamed(("click", "view")) === 1L)
+  }
+
+  test("retentionStream counts == batch retention active_users across batches (R3)") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = 86400000000L
+    // u1 active days 0,1,1,3 (dup same-day); u2 joins day 1, active 1,2
+    val evs = Seq(
+      (1L, 0L * d), (1L, 1L * d + 7), (1L, 1L * d + 9), (2L, 1L * d),
+      (2L, 2L * d), (1L, 3L * d)).sortBy(_._2)
+    val input = MemoryStream[(Long, Long)]
+    input.addData(evs.take(3): _*); input.addData(evs.drop(3): _*)
+    val q = StatsStreams.retentionStream(spark,
+        input.toDF().toDF("user_id", "us")
+          .select(col("user_id"), timestamp_micros(col("us")).as("ts")))
+      .writeStream.format("memory").queryName("sp_ret")
+      .trigger(Trigger.AvailableNow()).outputMode("append").start()
+    try q.awaitTermination() finally q.stop()
+    val streamed = spark.table("sp_ret")
+      .groupBy("cohort_day", "day_offset").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batched = graft.operators.StatsOps.retention(
+        evs.toDF("user_id", "us")
+          .select(col("user_id"), timestamp_micros(col("us")).as("ts")))
+      .collect().map(r => (r.getLong(r.fieldIndex("cohort_day")),
+        r.getLong(r.fieldIndex("day_offset"))) ->
+        r.getLong(r.fieldIndex("active_users"))).toMap
+    assert(streamed === batched, s"stream=$streamed batch=$batched")
+    // same-day duplicate activity emitted once; epoch-day-0 cohort legal
+    assert(streamed((0L, 1L)) === 1L)
+    assert(streamed((0L, 0L)) === 1L)
+  }
+
   test("lmScoreStream is a STATELESS streaming face; batch face == lmScore bit-for-bit (T13)") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq(
