@@ -138,4 +138,62 @@ class OperatorPropertiesSpec extends SparkSpec {
         s"seed $s cut=$cut purchased")
     }
   }
+
+  test("transitionsStream/retentionStream == batch rollups under random ordered splits (A12/R3)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val evGen = Gen.listOfN(40, for {
+      u <- Gen.chooseNum(1L, 5L)
+      t <- Gen.oneOf("view", "click", "signup", "error")
+      hrs <- Gen.chooseNum(0L, 90L) // spans 4 epoch days incl. day 0
+    } yield (u, t, hrs * 3600L * 1000000))
+    (1L to 3L).foreach { s =>
+      val raw = sample(evGen, s).sortBy(_._3)
+      // event_id disambiguates equal-us events so batch lag() and the
+      // stream fold walk the SAME total order
+      val evs = raw.zipWithIndex.map { case ((u, t, us), i) =>
+        (i.toLong, u, t, us + i) }
+      val cut = sample(Gen.chooseNum(1, evs.length - 1), s + 77)
+      implicit val sqlCtx = spark.sqlContext
+      def ts(c: org.apache.spark.sql.Column) = timestamp_micros(c)
+
+      val ti = MemoryStream[(Long, Long, String, Long)]
+      ti.addData(evs.take(cut): _*); ti.addData(evs.drop(cut): _*)
+      val tq = graft.streaming.StatsStreams.transitionsStream(spark,
+          ti.toDF().toDF("event_id", "user_id", "event_type", "us")
+            .select(col("user_id"), col("event_type"), ts(col("us")).as("ts")))
+        .writeStream.format("memory").queryName(s"prop_trans_$s")
+        .trigger(Trigger.AvailableNow()).outputMode("append").start()
+      try tq.awaitTermination() finally tq.stop()
+      val gotT = spark.table(s"prop_trans_$s")
+        .groupBy("prev_type", "next_type").count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val wantT = StatsOps.eventTransitions(
+          evs.toDF("event_id", "user_id", "event_type", "us")
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              ts(col("us")).as("ts")))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          r.getLong(r.fieldIndex("ct"))).toMap
+      assert(gotT === wantT, s"seed $s cut=$cut transitions diverged")
+
+      val ri = MemoryStream[(Long, Long, String, Long)]
+      ri.addData(evs.take(cut): _*); ri.addData(evs.drop(cut): _*)
+      val rq = graft.streaming.StatsStreams.retentionStream(spark,
+          ri.toDF().toDF("event_id", "user_id", "event_type", "us")
+            .select(col("user_id"), ts(col("us")).as("ts")))
+        .writeStream.format("memory").queryName(s"prop_ret_$s")
+        .trigger(Trigger.AvailableNow()).outputMode("append").start()
+      try rq.awaitTermination() finally rq.stop()
+      val gotR = spark.table(s"prop_ret_$s")
+        .groupBy("cohort_day", "day_offset").count().collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val wantR = StatsOps.retention(
+          evs.toDF("event_id", "user_id", "event_type", "us")
+            .select(col("user_id"), ts(col("us")).as("ts")))
+        .collect().map(r => (r.getLong(r.fieldIndex("cohort_day")),
+          r.getLong(r.fieldIndex("day_offset"))) ->
+          r.getLong(r.fieldIndex("active_users"))).toMap
+      assert(gotR === wantR, s"seed $s cut=$cut retention diverged")
+    }
+  }
 }
