@@ -47,6 +47,7 @@ object SparkEntry {
     "a9_sessionize" -> (StatsOps.sessionize _),
     "a10_funnel" -> (StatsOps.funnel _),
     "a11_rfm" -> (StatsOps.rfm _),
+    "a13_rolling_active" -> (StatsOps.rollingActive _),
     "a12_event_transitions" -> (StatsOps.eventTransitions _),
     "r3_retention" -> (StatsOps.retention _),
     "w2_sliding_counts" -> (StatsOps.slidingCounts _),
@@ -589,6 +590,19 @@ object SparkEntry {
          |            + ntile(5) OVER (ORDER BY frequency, user_id) * 10
          |            + ntile(5) OVER (ORDER BY monetary, user_id) AS INTEGER) AS rfm_code
          |FROM s""".stripMargin,
+    // a13: DAU / trailing-7-day WAU / stickiness — the trailing window is a
+    // 7-way offset explode of distinct (user, day), so the range distinct
+    // is two plain distincts; integer epoch-days, 4dp ratio.
+    "a13_rolling_active" ->
+      s"""WITH d AS (SELECT DISTINCT user_id, epoch_us($EV) // 86400000000 AS day
+         |           FROM events),
+         |dau AS (SELECT day, count(*) AS dau FROM d GROUP BY day),
+         |vis AS (SELECT DISTINCT user_id, day + o AS vday
+         |        FROM d, unnest(range(0, 7)) AS u(o)),
+         |wau AS (SELECT vday AS day, count(*) AS wau FROM vis GROUP BY vday)
+         |SELECT day, dau, wau,
+         |       floor(dau * 10000.0 / wau + 0.5) / 10000.0 AS stickiness
+         |FROM dau JOIN wau USING (day)""".stripMargin,
     // a12: clickstream transition matrix — lag per user on (us, event_id),
     // sequence starts from '_start', probabilities 4dp row-normalized.
     "a12_event_transitions" ->

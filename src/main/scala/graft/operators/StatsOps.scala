@@ -244,6 +244,36 @@ object StatsOps {
   def retention(spark: SparkSession, dir: String): DataFrame =
     retention(table(spark, dir, "events"))
 
+  /** A13 — rolling active users: DAU, trailing-7-day WAU, and the DAU/WAU
+    * stickiness ratio per epoch day — the engagement dashboard staple next
+    * to r3's cohort view. The trailing window is materialized as a 7-way
+    * offset explode of the distinct (user, day) activity (each active day
+    * makes the user visible on days d..d+6), so "distinct users in a
+    * trailing range" becomes two plain distinct-counts — no range self-join,
+    * no per-day re-scan.
+    *
+    * Scale notes: the (user, day) distinct is the one corpus-scale shuffle;
+    * the explode multiplies ONLY those distinct rows by 7 (user·day
+    * cardinality, far below event cardinality), and the final rollups are
+    * day-keyed. Only days with direct activity are emitted (dau ≥ 1), which
+    * also clips the explode's overhang past the data's last day.
+    */
+  def rollingActive(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val dau = days.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = days
+      .select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("vday"))
+      .distinct()
+      .groupBy(col("vday").as("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .withColumn("stickiness",
+        floor(col("dau") * 10000.0 / col("wau") + 0.5) / 10000.0)
+  }
+  def rollingActive(spark: SparkSession, dir: String): DataFrame =
+    rollingActive(table(spark, dir, "events"))
+
   /** A11 — RFM segmentation (recency / frequency / monetary), the classic
     * customer-value analytic an ADS layer serves to marketing: per user,
     * days since last purchase (relative to the corpus-max event time — a

@@ -89,6 +89,20 @@ class BatchQueriesSpec extends SparkSpec {
     t.unpersist()
   }
 
+  test("rolling active: WAU bounds DAU, stickiness bounded, first day degenerate (A13)") {
+    val events = Tables.table(spark, sf, "events")
+    val r = StatsOps.rollingActive(events).cache()
+    assert(r.filter(col("wau") < col("dau")).count() === 0)
+    assert(r.filter(col("stickiness") <= 0 || col("stickiness") > 1).count() === 0)
+    val users = events.select("user_id").distinct().count()
+    assert(r.filter(col("wau") > users).count() === 0)
+    // the first day has no trailing history: WAU == DAU there
+    val first = r.orderBy("day").limit(1).collect().head
+    assert(first.getLong(first.fieldIndex("dau")) ===
+      first.getLong(first.fieldIndex("wau")))
+    r.unpersist()
+  }
+
   test("retention: offset-0 is the full cohort; counts never exceed it (R3)") {
     val r = StatsOps.retention(Tables.table(spark, sf, "events")).cache()
     assert(r.filter(col("day_offset") === 0)
