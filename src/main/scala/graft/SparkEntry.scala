@@ -65,6 +65,7 @@ object SparkEntry {
     "d4_simhash" -> ((s: SparkSession, d: String) => DedupOps.simhash(s, d)),
     "d5_ngram_jaccard" -> ((s: SparkSession, d: String) => DedupOps.ngramJaccard(s, d)),
     "d6_embedding_neardup" -> ((s: SparkSession, d: String) => AnnOps.embeddingNearDups(s, d)),
+    "d16_semdedup" -> ((s: SparkSession, d: String) => AnnOps.semDedup(s, d)),
     // d7 runs on a FIXED 500-doc demo slice (deterministic doc_id bound,
     // not the whole table): the 16-bit demo fingerprint is contract-gated
     // to <= 1k docs — the slice keeps the query oracle-green at every SF
@@ -890,6 +891,39 @@ object SparkEntry {
         |                                   ORDER BY sim DESC, nn_id) AS rnk
         |      FROM s)
         |WHERE rnk = 1""".stripMargin,
+    // d16: SemDeDup — integer-exact 6-dp centroid means, 4-dp cosines,
+    // within-cluster prune keeping the lowest-centroid-sim member (ties by
+    // vec_id). Mirrors AnnOps.semDedup's arithmetic step for step. Every
+    // embedding rides through CAST(... AS DOUBLE[]): DuckDB accumulates
+    // FLOAT-list dot products in FLOAT, but the double-list path is the
+    // same sequential double fold Spark's dot_f runs — without the casts
+    // a sim landing on a 4-dp boundary flips (observed: sf0.01 vec 185).
+    "d16_semdedup" ->
+      """WITH cd AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+        |         unnest(embedding) AS v
+        |  FROM embeddings),
+        |cm AS (SELECT label, dim,
+        |              floor(CAST(sum(CAST(floor(CAST(v AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |                    / count(*) + 0.5) / 1000000.0 AS m
+        |       FROM cd GROUP BY label, dim),
+        |cent AS (SELECT label, list(m ORDER BY dim) AS centroid FROM cm GROUP BY label),
+        |sc AS (SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS ed,
+        |              floor(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid) /
+        |                    (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |                     sqrt(list_dot_product(c.centroid, c.centroid)))
+        |                    * 10000.0 + 0.5) / 10000.0 AS cent_sim
+        |       FROM embeddings e JOIN cent c USING (label)),
+        |dr AS (SELECT DISTINCT a.vec_id
+        |       FROM sc a JOIN sc b ON a.label = b.label AND a.vec_id <> b.vec_id
+        |       WHERE floor(list_dot_product(a.ed, b.ed) /
+        |                   (sqrt(list_dot_product(a.ed, a.ed)) *
+        |                    sqrt(list_dot_product(b.ed, b.ed)))
+        |                   * 10000.0 + 0.5) / 10000.0 >= 0.35
+        |         AND (b.cent_sim < a.cent_sim OR
+        |              (b.cent_sim = a.cent_sim AND b.vec_id < a.vec_id)))
+        |SELECT sc.vec_id, sc.label, sc.cent_sim, dr.vec_id IS NULL AS keep
+        |FROM sc LEFT JOIN dr ON sc.vec_id = dr.vec_id""".stripMargin,
     "n1_ann_cosine_topk" ->
       s"""WITH ${cosineCommon.replace("%QLIM%", "10")},
          |sims AS (SELECT query_id, vec_id AS neighbor_id,

@@ -507,6 +507,82 @@ object AnnOps {
   def ivfTrainedTopK(spark: SparkSession, dir: String): DataFrame =
     ivfTrainedTopK(table(spark, dir, "embeddings"), spill = 2)
 
+  /** D16 — SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering then within-cluster cosine pruning — the
+    * published recipe behind LAION/web-scale curation runs. The corpus is
+    * k-means-clustered (here the fixture's `label` coarse assignment, the
+    * same convention as n2/d6 — a trained quantizer plugs in via
+    * [[kmeansTrain]] + [[assignCellsLit]]); within each cluster, any pair
+    * with cosine ≥ `threshold` is a semantic-duplicate edge, and the member
+    * KEPT is the one with the LOWEST cosine to its cluster centroid — the
+    * paper's "keep cluster outliers" rule (§4.3: low-centroid-similarity
+    * examples preserved diversity best in their CLIP/LM ablations).
+    *
+    * Determinism contract (oracle-hash-exact): the centroid is an
+    * integer-arithmetic mean — each float scaled to a 6-dp BIGINT
+    * (`floor(v·1e6 + 0.5)`), summed exactly, divided by the cluster count
+    * with one deterministic double division, re-floored — so no
+    * engine-specific decimal rounding mode or float summation order can
+    * touch it; cosines are 4-dp floor-quantized like every vector op here,
+    * and the drop rule tie-breaks (cent_sim, vec_id) lexicographically.
+    *
+    * Scale notes (100 TB): centroid training is ONE (label, dim)-keyed
+    * aggregation of the corpus with map-side partials (k·64 output rows,
+    * broadcast back); the pair join is within-cluster only — candidate
+    * volume is bounded by cell population like d6/d3, never n² — and the
+    * drop set reduces per vec_id with partial agg. Run exact dedup (d1)
+    * first on duplication-heavy corpora for the same cell-inflation reason
+    * documented on [[embeddingNearDups]].
+    */
+  def semDedup(e: DataFrame, threshold: Double = 0.95): DataFrame = {
+    // 6-dp integer-exact per-dim centroid mean (see determinism contract)
+    val cents = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("vq", floor(col("v").cast("double") * 1e6 + 0.5).cast("long"))
+      .groupBy("label", "dim")
+      .agg(sum("vq").as("s"), count(lit(1)).as("n"))
+      .withColumn("m", floor(col("s").cast("double") / col("n") + 0.5) / 1e6)
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("label"), transform(col("dm"), x => x.getField("m")).as("centroid"))
+    // double-array dot/norm for the (float vector) · (double centroid) case:
+    // sequential left-to-right double fold, the exact shape DuckDB's
+    // list_dot_product computes for mixed float/double lists
+    def dotd(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y), lit(0.0), (acc, x) => acc + x)
+    def normd(a: Column): Column =
+      sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val scored = e.join(broadcast(cents), Seq("label"))
+      .select(col("label"), col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nv"),
+        (floor(dotd(col("embedding"), col("centroid")) /
+          (norm(col("embedding")) * normd(col("centroid"))) * 10000.0 + 0.5) / 10000.0)
+          .as("cent_sim"))
+    val a = scored.select(col("label"), col("vec_id"), col("embedding").as("ea"),
+      col("nv").as("na"), col("cent_sim").as("ca"))
+    val b = scored.select(col("label"), col("vec_id").as("other_id"),
+      col("embedding").as("eb"), col("nv").as("nb"), col("cent_sim").as("cb"))
+    val dropped = a.join(b, Seq("label"))
+      .filter(col("other_id") =!= col("vec_id"))
+      .filter(cosinePre(col("ea"), col("eb"), col("na"), col("nb")) >= threshold)
+      .filter(col("cb") < col("ca") ||
+        (col("cb") === col("ca") && col("other_id") < col("vec_id")))
+      .select(col("vec_id")).distinct()
+      .withColumn("_drop", lit(true))
+    scored.select(col("vec_id"), col("label"), col("cent_sim"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("cent_sim"),
+        col("_drop").isNull.as("keep"))
+  }
+  /** The gated query face runs τ=0.35: the synthetic corpus's random-ish
+    * embeddings compress within-cell cosines under ~0.47 (max observed),
+    * so the production 0.95 would never exercise the drop rule — 0.35
+    * sits at the ~99.9th within-cell percentile and prunes a real handful
+    * each SF, keeping the keep/drop logic on the oracle's hash path.
+    */
+  def semDedup(spark: SparkSession, dir: String): DataFrame =
+    semDedup(table(spark, dir, "embeddings"), threshold = 0.35)
+
   /** B2 — semantic benchmark decontamination: the embedding-space complement
     * of t5's n-gram recipe. Every 97th vector stands in for the held-out
     * benchmark embedding set (mirroring t5's convention); a corpus vector is

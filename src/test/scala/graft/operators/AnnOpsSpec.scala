@@ -326,4 +326,40 @@ class AnnOpsSpec extends SparkSpec {
     assert(bad.count() === 0)
     d.unpersist()
   }
+
+  test("semDedup keeps the cluster outlier of a dup pair, ties to min id (D16)") {
+    import spark.implicits._
+    val e = Seq(
+      // cell 0: v1/v2 near-identical direction (cos ≈ 0.994); the centroid
+      // leans toward their shared direction PLUS v3, so v2 (closer to the
+      // centroid) is the one SemDeDup drops and v1 (the outlier) survives
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.0f), 0), // orthogonal — never a dup edge
+      // cell 1: singleton — no candidate pair, always kept
+      (4L, Array(0.5f, 0.5f, 0.5f), 1),
+      // cell 2: exact tie in cent_sim — lower vec_id wins
+      (5L, Array(0.0f, 0.0f, 1.0f), 2),
+      (6L, Array(0.0f, 0.0f, 1.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = AnnOps.semDedup(e, threshold = 0.9)
+    assert(out.count() === 6)
+    val keep = out.collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(keep === Map(1L -> true, 2L -> false, 3L -> true,
+      4L -> true, 5L -> true, 6L -> false), keep.toString)
+    // the kept member of the (1, 2) pair really is the centroid outlier
+    val cs = out.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(cs(1L) < cs(2L), s"outlier rule violated: ${cs(1L)} vs ${cs(2L)}")
+  }
+
+  test("semDedup at the production threshold is drop-free on the fixture corpus") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val out = AnnOps.semDedup(e) // τ = 0.95; within-cell sims top out ≈ 0.47
+    assert(out.count() === e.count())
+    assert(out.filter(!col("keep")).count() === 0)
+    // the gated face (τ = 0.35) must actually exercise the drop rule
+    val gated = AnnOps.semDedup(e, threshold = 0.35)
+    assert(gated.filter(!col("keep")).count() > 0,
+      "τ=0.35 face found no drops — the oracle would pass vacuously")
+  }
 }
