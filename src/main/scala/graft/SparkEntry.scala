@@ -113,6 +113,7 @@ object SparkEntry {
     "g4_vocab_stats" -> ((s: SparkSession, d: String) => CurationOps.vocabStats(s, d)),
     "g6_zipf_slope" -> ((s: SparkSession, d: String) => CurationOps.zipfSlope(s, d)),
     "s9_temperature_mix" -> ((s: SparkSession, d: String) => CurationOps.temperatureMix(s, d)),
+    "s10_dsir_weights" -> ((s: SparkSession, d: String) => CurationOps.dsirWeights(s, d)),
     // exact=true opts into the reducer-buffered exact percentile the DuckDB
     // oracle states; the operator's 100 TB default is the t-digest path
     "g2_token_quantiles" -> ((s: SparkSession, d: String) => CurationOps.tokenQuantiles(s, d, exact = true)),
@@ -1198,6 +1199,41 @@ object SparkEntry {
         |       floor(temp_w * CAST(total_tokens AS DOUBLE) / CAST(tokens AS DOUBLE)
         |         * 10000.0 + 0.5) / 10000.0 AS epochs
         |FROM w""".stripMargin,
+    // s10: DSIR importance weights — hashed-bigram bag models, target =
+    // t2's quality gate, weight = Σ tf·(ln p̂_t − ln p̂_r) with every ln
+    // 4-dp leaf-quantized and summed as DECIMAL (t13 convention); gumbel
+    // derives from the doc-id hash so Gumbel-top-k sampling is seedless-
+    // deterministic like s1/s2.
+    "s10_dsir_weights" ->
+      s"""WITH tq AS (SELECT doc_id, string_split(text, ' ') AS w,
+         |                   (CASE WHEN len(string_split(text, ' ')) >= 20 THEN 1 ELSE 0 END +
+         |                    CASE WHEN len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) > 0 THEN 1 ELSE 0 END +
+         |                    CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) >= 2 AS is_target
+         |            FROM documents
+         |            WHERE len(string_split(text, ' ')) >= 2),
+         |bi AS (SELECT doc_id, is_target,
+         |              ${hex16("md5('dsir:' || w[i] || ' ' || w[i+1])")} % 1024 AS bucket
+         |       FROM tq, unnest(range(1, len(w))) AS u(i)),
+         |db AS (SELECT doc_id, bucket, count(*) AS tf, max(is_target) AS is_target
+         |       FROM bi GROUP BY doc_id, bucket),
+         |r AS (SELECT bucket, CAST(sum(tf) AS BIGINT) AS cr FROM db GROUP BY bucket),
+         |g AS (SELECT bucket, CAST(sum(tf) AS BIGINT) AS ct FROM db WHERE is_target GROUP BY bucket),
+         |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS nr,
+         |               CAST(sum(CASE WHEN is_target THEN tf ELSE 0 END) AS BIGINT) AS nt
+         |        FROM db),
+         |tm AS (SELECT doc_id, tf,
+         |              CAST(floor(tf * ln((coalesce(ct, 0) + 1.0) / (nt + 1024.0)) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS term_t,
+         |              CAST(floor(tf * ln((cr + 1.0) / (nr + 1024.0)) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS term_r
+         |       FROM db JOIN r USING (bucket) LEFT JOIN g USING (bucket) CROSS JOIN tot),
+         |wt AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_feats,
+         |              CAST(sum(term_t) - sum(term_r) AS DOUBLE) AS weight
+         |       FROM tm GROUP BY doc_id),
+         |gm AS (SELECT doc_id, n_feats, weight,
+         |              floor(-ln(-ln((${hex16("md5('gum:' || CAST(doc_id AS VARCHAR))")} + 0.5) / 65536.0))
+         |                    * 10000.0 + 0.5) / 10000.0 AS gumbel
+         |       FROM wt)
+         |SELECT doc_id, n_feats, weight, gumbel, weight + gumbel AS gscore
+         |FROM gm""".stripMargin,
     // g2: per-language token quantiles — Spark exact percentile and DuckDB
     // quantile_cont share the (n-1)p linear-interpolation definition
     // bit-for-bit; floor-quantized anyway per the round()-divergence rule.

@@ -720,4 +720,69 @@ object CurationOps {
       exact)
   def bpeTokenStats(spark: SparkSession, dir: String, exact: Boolean): DataFrame =
     bpeTokenStats(table(spark, dir, "documents"), DemoBpeMerges, exact)
+
+  /** S10 — DSIR data selection (Xie et al. 2023, arXiv:2302.03169):
+    * importance weights from hashed-n-gram bag-of-words models. Each doc's
+    * word bigrams hash into 1024 buckets; two add-one-smoothed unigram-
+    * over-buckets models are fit — `target` (docs passing t2's quality
+    * gate, the stand-in for the paper's formal-text target corpus) and
+    * `raw` (the whole corpus) — and the doc's weight is its log importance
+    * ratio Σ_b tf_b·(ln p̂_t(b) − ln p̂_r(b)). The paper then resamples
+    * ∝ weight with Gumbel-top-k; `gscore` adds a DETERMINISTIC Gumbel
+    * perturbation (−ln(−ln u), u from the doc-id hash — reproducible
+    * across engines and runs, the same seedless-hash discipline as s1/s2),
+    * so a downstream `ORDER BY gscore LIMIT k` IS Gumbel-top-k sampling.
+    *
+    * Determinism: every ln is 4-dp floor-quantized at the leaf and the
+    * per-doc sums ride DECIMAL(18,4) (exact, associative) — the t13
+    * convention, so shuffle merge order can never move the hash.
+    *
+    * Scale notes (100 TB): ONE corpus-scale shuffle — the (doc_id, bucket)
+    * tf aggregation; `is_target` is computed in the same scan and rides
+    * the explode, so no join back to the corpus. Both models group the
+    * ALREADY doc-aggregated rows (bucket-sized output, exchange reused, cf.
+    * t13's cb/ctx) and come back as 1024-row broadcasts; the Gumbel term
+    * is a map-side projection. Nothing quadratic, nothing driver-side.
+    */
+  def dsirWeights(docs: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    val nW = size(w).cast("long")
+    val stop = size(filter(w, x => x === "the" || x === "a")).cast("long")
+    val isTarget = (when(nW >= 20, 1).otherwise(0) +
+      when(stop > 0, 1).otherwise(0) +
+      when(col("n_chars") >= 100, 1).otherwise(0)) >= 2
+    val toks = docs.select(col("doc_id"), isTarget.as("is_target"), w.as("w"))
+      .filter(size(col("w")) >= 2)
+    val bi = toks.select(col("doc_id"), col("is_target"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("b"))
+      .select(col("doc_id"), col("is_target"),
+        (conv(substring(md5(concat(lit("dsir:"), col("b.w1"), lit(" "), col("b.w2"))), 1, 4), 16, 10)
+          .cast("long") % 1024).as("bucket"))
+    val db = bi.groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("tf"), max(col("is_target")).as("is_target"))
+    // model counts from the per-doc aggregate — bucket-sized, exchange reused
+    val raw = db.groupBy("bucket").agg(sum("tf").as("cr"))
+    val tgt = db.filter(col("is_target")).groupBy("bucket").agg(sum("tf").as("ct"))
+    val totals = db.agg(sum("tf").as("nr"),
+      sum(when(col("is_target"), col("tf")).otherwise(0L)).as("nt"))
+    def lnTerm(num: Column, den: Column): Column =
+      (floor(col("tf") * log(num / den) * 10000.0 + 0.5) / 10000.0)
+        .cast("decimal(18,4)")
+    val weights = db.join(broadcast(raw), Seq("bucket"))
+      .join(broadcast(tgt), Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("term_t",
+        lnTerm(coalesce(col("ct"), lit(0L)) + 1.0, col("nt") + 1024.0))
+      .withColumn("term_r", lnTerm(col("cr") + 1.0, col("nr") + 1024.0))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_feats"),
+        (sum(col("term_t")) - sum(col("term_r"))).cast("double").as("weight"))
+    val u = (conv(substring(md5(concat(lit("gum:"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+      .cast("double") + 0.5) / 65536.0
+    weights
+      .withColumn("gumbel", floor(-log(-log(u)) * 10000.0 + 0.5) / 10000.0)
+      .withColumn("gscore", col("weight") + col("gumbel"))
+  }
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirWeights(table(spark, dir, "documents"))
 }

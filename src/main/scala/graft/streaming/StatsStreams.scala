@@ -505,6 +505,74 @@ object StatsStreams {
         floor(col("sum_logprob") * -10000.0 / col("n_bigrams") + 0.5) / 10000.0)
   }
 
+  /** Streaming DSIR scoring — the streaming face of
+    * [[graft.operators.CurationOps.dsirWeights]] (s10): incoming docs get
+    * importance weights against a STATIC hashed-bigram model pair trained
+    * from the indexed `corpus` (target = t2's quality gate, raw = all).
+    * The model is 1024 buckets — it aggregates to ONE row of two
+    * bucket→count maps plus the two totals and cross-broadcasts, and each
+    * doc's weight is an in-row fold: STATELESS — no watermark, no state
+    * store, no stream-side shuffle; identical in batch.
+    *
+    * Exact batch parity by construction (the [[lmScoreStream]] discipline):
+    * the fold walks the SORTED bucket array, collapses equal runs to
+    * (bucket, tf), and accumulates
+    * `floor(tf·ln p̂_t·10⁴ + 0.5) − floor(tf·ln p̂_r·10⁴ + 0.5)` as an
+    * INTEGER deci-milli count — exactly the two DECIMAL(18,4) leaf terms
+    * the batch face sums — so weight/gscore match bit-for-bit
+    * (parity-pinned). Buckets the model never saw back off to the add-one
+    * zero-count estimate on both models, so live drift scores low instead
+    * of crashing the query.
+    */
+  def dsirScoreStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    val w0 = split(col("text"), " ")
+    val isTarget = (when(size(w0).cast("long") >= 20, 1).otherwise(0) +
+      when(size(filter(w0, x => x === "the" || x === "a")) > 0, 1).otherwise(0) +
+      when(col("n_chars") >= 100, 1).otherwise(0)) >= 2
+    val bi = corpus.select(w0.as("w"), isTarget.as("is_target"))
+      .filter(size(col("w")) >= 2)
+      .select(col("is_target"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))")).as("bg"))
+      .select(col("is_target"),
+        (conv(substring(md5(concat(lit("dsir:"), col("bg"))), 1, 4), 16, 10)
+          .cast("long") % 1024).as("bucket"))
+    val perBucket = bi.groupBy("bucket").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"))
+    val model = perBucket.agg(
+      map_from_arrays(collect_list(col("bucket")), collect_list(col("ct"))).as("ctmap"),
+      map_from_arrays(collect_list(col("bucket")), collect_list(col("cr"))).as("crmap"),
+      sum("cr").as("nr"), sum("ct").as("nt"))
+    def term(b: String, tf: String, cmap: String, tot: String): String =
+      s"""CAST(FLOOR(CAST($tf AS DOUBLE) * ln(
+         |  (CAST(coalesce(element_at($cmap, $b), CAST(0 AS BIGINT)) AS DOUBLE) + 1.0) /
+         |  (CAST($tot AS DOUBLE) + 1024.0)) * 10000.0 + 0.5) AS BIGINT)""".stripMargin
+    def terms(b: String, tf: String): String =
+      s"""(${term(b, tf, "ctmap", "nt")} - ${term(b, tf, "crmap", "nr")})"""
+    val fold =
+      s"""aggregate(
+         |  array_sort(transform(sequence(1, size(w) - 1),
+         |    i -> CAST(conv(substring(md5(concat('dsir:', w[i-1], ' ', w[i])), 1, 4), 16, 10) AS BIGINT) % 1024)),
+         |  named_struct('prev', CAST(NULL AS BIGINT), 'run', CAST(0 AS BIGINT), 'acc', CAST(0 AS BIGINT)),
+         |  (a, x) -> IF(x <=> a.prev,
+         |    named_struct('prev', a.prev, 'run', a.run + CAST(1 AS BIGINT), 'acc', a.acc),
+         |    named_struct('prev', x, 'run', CAST(1 AS BIGINT),
+         |      'acc', a.acc + IF(a.prev IS NULL, CAST(0 AS BIGINT), ${terms("a.prev", "a.run")}))),
+         |  a -> a.acc + IF(a.prev IS NULL, CAST(0 AS BIGINT), ${terms("a.prev", "a.run")}))""".stripMargin
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 2)
+      .crossJoin(broadcast(model))
+      .withColumn("acc", expr(fold))
+      .select(col("doc_id"),
+        (size(col("w")) - 1).cast("long").as("n_feats"),
+        (col("acc").cast("double") / 10000.0).as("weight"))
+      .withColumn("gumbel",
+        floor(-log(-log((conv(substring(md5(concat(lit("gum:"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+          .cast("double") + 0.5) / 65536.0)) * 10000.0 + 0.5) / 10000.0)
+      .withColumn("gscore", col("weight") + col("gumbel"))
+  }
+
   /** A4/X1 — KeywordStats streaming: tokenize (whitespace UDTF replacement,
     * app/function/SplitFunction.java:12-28) + 10s window count.
     * Input columns: full_word string, ts (millis).

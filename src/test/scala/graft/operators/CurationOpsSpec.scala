@@ -335,4 +335,31 @@ class CurationOpsSpec extends SparkSpec {
     assert(bad.count() === 0)
     s.unpersist()
   }
+
+  test("dsirWeights: target-like docs outrank bucket-disjoint noise; feats exact (S10)") {
+    import spark.implicits._
+    // three target docs (pass the t2 gate: ≥20 words, stopwords, ≥100 chars)
+    // share the "the data ..." bigram mass; the noise doc's bigrams live in
+    // other buckets, so its target-model mass is add-one-only and its
+    // importance weight must come out BELOW every target doc's
+    val targetText = ("the data and the model go to the store and that works fine today " * 2).trim
+    val docs = Seq(
+      (1L, targetText), (2L, targetText), (3L, targetText),
+      (4L, "qq zz qq zz qq zz"),
+      (5L, "x")) // single word — no bigrams, not scored
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = CurationOps.dsirWeights(docs).cache()
+    assert(out.count() === 4) // doc 5 has no bigram features
+    val rows = out.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows(1L)._1 === targetText.split(" ").length - 1) // n_feats = bigrams
+    assert(rows(1L)._2 === rows(2L)._2, "identical docs must score identically")
+    assert(Seq(1L, 2L, 3L).map(rows(_)._2).min > rows(4L)._2,
+      s"noise doc outranked a target doc: $rows")
+    // deterministic: a fresh computation reproduces every value bit-for-bit
+    val again = CurationOps.dsirWeights(docs)
+    assert(out.exceptAll(again).count() === 0 && again.exceptAll(out).count() === 0)
+    out.unpersist()
+  }
 }

@@ -412,6 +412,48 @@ class StatefulParitySpec extends SparkSpec {
     assert(batched(9L)._3 === batched.values.map(_._3).max)
   }
 
+  test("dsirScoreStream is a STATELESS streaming face; batch face == dsirWeights bit-for-bit (S10)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{length => slen, col => c}
+    // long docs with stopwords pass the t2 target gate; short ones don't
+    val corpus = Seq(
+      (1L, ("the data and the model go to the store and that works fine " * 3).trim),
+      (2L, "a b a b a b"), (3L, "c d"), (4L, "short noise tokens qq"),
+      (5L, ("the quick brown fox jumps over the lazy dog again and again today " * 2).trim))
+    val corpusDf = corpus.toDF("doc_id", "text").withColumn("n_chars", slen(c("text")).cast("long"))
+
+    // 1) scored against its own training corpus, the BATCH face must equal
+    //    the batch operator row-for-row including the quantized doubles
+    val viaStream = graft.streaming.StatsStreams.dsirScoreStream(corpusDf, corpusDf)
+      .select("doc_id", "n_feats", "weight", "gumbel", "gscore")
+    val viaBatch = graft.operators.CurationOps.dsirWeights(corpusDf)
+      .select("doc_id", "n_feats", "weight", "gumbel", "gscore")
+    assert(viaStream.exceptAll(viaBatch).count() === 0,
+      s"stream face drifted:\n${viaStream.collect().mkString("\n")}\nvs\n${viaBatch.collect().mkString("\n")}")
+    assert(viaBatch.exceptAll(viaStream).count() === 0)
+
+    // 2) the same call on a real MemoryStream (AvailableNow) agrees with its
+    //    own batch face; a doc of model-unseen bigrams still scores finite
+    val live = corpus :+ (9L, "zz qq zz qq zz")
+    val input = MemoryStream[(Long, String)]
+    input.addData(live: _*)
+    val q = graft.streaming.StatsStreams.dsirScoreStream(
+        input.toDF().toDF("doc_id", "text"), corpusDf)
+      .writeStream.format("memory").queryName("sp_dsir")
+      .trigger(Trigger.AvailableNow()).outputMode("append").start()
+    try q.awaitTermination() finally q.stop()
+    val streamed = spark.table("sp_dsir")
+      .select("doc_id", "n_feats", "weight", "gscore").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val batched = graft.streaming.StatsStreams.dsirScoreStream(
+        live.toDF("doc_id", "text"), corpusDf)
+      .select("doc_id", "n_feats", "weight", "gscore").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(streamed.size === batched.size && streamed.forall { case (k, v) => batched(k) == v },
+      "dsir scoring diverged between stream and batch")
+    assert(java.lang.Double.isFinite(batched(9L)._2))
+  }
+
   test("gopherRules is a STATELESS streaming face: stream == batch per row (T12)") {
     implicit val sqlCtx = spark.sqlContext
     // the rule battery is a pure scan-projection, so the same call runs on
