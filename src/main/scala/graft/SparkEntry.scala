@@ -91,6 +91,7 @@ object SparkEntry {
     // bound vs n1's brute-force truth is spec-pinned at sf0.1 (AnnOpsSpec)
     "n2b_ann_ivf_trained" -> ((s: SparkSession, d: String) => AnnOps.ivfTrainedTopK(s, d)),
     "n3_ann_lsh_topk" -> ((s: SparkSession, d: String) => AnnOps.lshTopK(s, d)),
+    "n6_pq_adc" -> ((s: SparkSession, d: String) => AnnOps.pqAdcTopK(s, d)),
     "n4_embed_quantize" -> ((s: SparkSession, d: String) => AnnOps.quantizeStats(s, d)),
     "n5_cosine_sim_fn" -> (cosineSimFn _),
     // LLM-data-pipeline: corpus curation (decontamination, sampling,
@@ -948,6 +949,40 @@ object SparkEntry {
          |  SELECT query_id, cell, neighbor_id, sim,
          |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
          |  FROM sims) WHERE rnk <= 3""".stripMargin,
+    // n6: PQ/ADC — seed-mean codebooks (6-dp integer means), 4-dp-quantized
+    // sq-L2 everywhere, 8-term ADC sums as DECIMAL(18,4); subvector math
+    // rides DOUBLE[] lists (sequential double folds = Spark's exact shape).
+    "n6_pq_adc" ->
+      """WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |                   unnest(embedding) AS v
+        |            FROM embeddings),
+        |sd AS (SELECT vec_id, (dim-1)//8 AS s, (dim-1)%8 AS p, v FROM ex),
+        |cm AS (SELECT vec_id % 16 AS j, s, p,
+        |              floor(CAST(sum(CAST(floor(CAST(v AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |                    / count(*) + 0.5) / 1000000.0 AS m
+        |       FROM sd GROUP BY vec_id % 16, s, p),
+        |cb AS (SELECT j, s, list(m ORDER BY p) AS c FROM cm GROUP BY j, s),
+        |cbn AS (SELECT j, s, c, list_dot_product(c, c) AS sc FROM cb),
+        |sub AS (SELECT vec_id, s, CAST(list(v ORDER BY p) AS DOUBLE[]) AS xs
+        |        FROM sd GROUP BY vec_id, s),
+        |subn AS (SELECT vec_id, s, xs, list_dot_product(xs, xs) AS sx FROM sub),
+        |dists AS (SELECT n.vec_id, n.s, b.j,
+        |                 floor((n.sx - 2*list_dot_product(n.xs, b.c) + b.sc)
+        |                       * 10000.0 + 0.5) / 10000.0 AS dq
+        |          FROM subn n JOIN cbn b ON n.s = b.s),
+        |codes AS (SELECT vec_id, s, j AS code FROM (
+        |            SELECT vec_id, s, j,
+        |                   row_number() OVER (PARTITION BY vec_id, s ORDER BY dq, j) AS rn
+        |            FROM dists) WHERE rn = 1),
+        |adc AS (SELECT d.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |               CAST(sum(CAST(d.dq AS DECIMAL(18,4))) AS DOUBLE) AS adist
+        |        FROM codes c JOIN dists d ON d.s = c.s AND d.j = c.code
+        |        WHERE d.vec_id < 10 AND c.vec_id <> d.vec_id
+        |        GROUP BY d.vec_id, c.vec_id)
+        |SELECT query_id, neighbor_id, rnk, adist FROM (
+        |  SELECT query_id, neighbor_id, adist,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk
+        |  FROM adc) WHERE rnk <= 5""".stripMargin,
     // t5: benchmark decontamination — contaminated iff any 3-shingle is
     // shared with the held-out set (every 97th doc stands in for it).
     "t5_decontaminate" ->

@@ -507,6 +507,126 @@ object AnnOps {
   def ivfTrainedTopK(spark: SparkSession, dir: String): DataFrame =
     ivfTrainedTopK(table(spark, dir, "embeddings"), spill = 2)
 
+  // ---- Product quantization (PQ/ADC) ---------------------------------------
+
+  /** PQ geometry: 64-dim vectors split into `PqM` subspaces of `PqDims`
+    * dims, `PqK` codes per subspace — 8 bytes/vector, the classic
+    * IVFADC-compatible layout (Jégou, Douze, Schmid, TPAMI 2011).
+    */
+  private val PqM = 8
+  private val PqK = 16
+  private val PqDims = 8
+
+  /** PQ codebook from SEED-PARTITION MEANS: code (s, j) = the 6-dp
+    * integer-exact mean (d16's centroid recipe) of subvector s over vectors
+    * with `vec_id % PqK == j` — Lloyd's SEEDING step stated as one
+    * aggregation, which keeps the whole PQ pipeline oracle-stateable in a
+    * single SQL query (a full per-subspace Lloyd's refinement drops in via
+    * [[kmeansTrain]] on the sliced subvectors — same map, same consumers —
+    * but is iterative float averaging, n2b's sanctioned no-oracle
+    * territory, so the gated face stays with seed means).
+    *
+    * Returns ((s, j) → (centroid, ‖centroid‖²)); `PqM·PqK` entries — tiny,
+    * driver-held by construction like [[assignCellsLit]]'s centroids.
+    * Scale: ONE (j, s, p)-keyed aggregation of the corpus with map-side
+    * partials.
+    */
+  def pqCodebook(e: DataFrame): Map[(Int, Int), (Array[Double], Double)] = {
+    val cb = e.select((col("vec_id") % PqK).cast("int").as("j"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("s", expr(s"dim div $PqDims").cast("int"))
+      .withColumn("p", expr(s"dim % $PqDims").cast("int"))
+      .withColumn("vq", floor(col("v").cast("double") * 1e6 + 0.5).cast("long"))
+      .groupBy("j", "s", "p")
+      .agg(sum("vq").as("sm"), count(lit(1)).as("n"))
+      .withColumn("m", floor(col("sm").cast("double") / col("n") + 0.5) / 1e6)
+      .groupBy("j", "s")
+      .agg(array_sort(collect_list(struct(col("p"), col("m")))).as("pm"))
+      .select(col("s"), col("j"), transform(col("pm"), x => x.getField("m")).as("c"))
+    cb.collect().map { r =>
+      val c = r.getSeq[Double](2).toArray
+      ((r.getInt(0), r.getInt(1)), (c, c.foldLeft(0.0)((a, x) => a + x * x)))
+    }.toMap
+  }
+
+  /** 4-dp-quantized squared L2 between subvector `xs` (floats, cast double
+    * element-wise) and literal code `c`: ‖x‖² − 2·x·c + ‖c‖² with every
+    * fold sequential left-to-right double — the exact arithmetic DuckDB's
+    * double-list `list_dot_product` runs, so encode/ADC hash-match.
+    */
+  private def pqDistQ(xs: Column, c: Array[Double], sc: Double): Column = {
+    def dotd(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y), lit(0.0), (acc, x) => acc + x)
+    val sx = aggregate(xs, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+    floor((sx - lit(2.0) * dotd(xs, typedlit(c)) + lit(sc)) * 10000.0 + 0.5) / 10000.0
+  }
+
+  /** PQ ENCODE: per vector, per subspace, the nearest code by quantized
+    * squared L2 (ties to the lower code id) — adds a `codes` byte-array
+    * column (`PqM` ints). Map-only against the driver-held codebook: the
+    * [[assignCellsLit]] contract — no join, no shuffle, streaming-capable,
+    * and at 100 TB the corpus is encoded in one scan and stored as 8
+    * ints/vector (the 64× compression that makes exhaustive ADC scans
+    * feasible at all).
+    */
+  def pqEncode(vectors: DataFrame,
+      cb: Map[(Int, Int), (Array[Double], Double)]): DataFrame = {
+    val codes = (0 until PqM).map { s =>
+      val xs = slice(col("embedding"), s * PqDims + 1, PqDims)
+      val scored = (0 until PqK).map { j =>
+        val (c, sc) = cb((s, j))
+        struct(pqDistQ(xs, c, sc).as("dq"), lit(j).as("j"))
+      }
+      array_min(array(scored: _*)).getField("j")
+    }
+    vectors.withColumn("codes", array(codes: _*))
+  }
+
+  /** N6 — PQ/ADC search: queries (vec_id < 10) build a per-subspace
+    * distance table against the codebook; every corpus vector's
+    * approximate distance is the sum of `PqM` table lookups at its stored
+    * codes (asymmetric distance computation — the query stays exact, only
+    * the corpus is quantized). Top-5 per query, ascending distance, ties
+    * to the lower neighbor id.
+    *
+    * Determinism: each dtable entry is the same 4-dp-quantized sq-L2 the
+    * encoder minimizes, and the 8-term ADC sum rides DECIMAL(18,4) — so
+    * shuffle merge order cannot move the hash and the DuckDB oracle
+    * replays the whole pipeline (codebook → codes → dtable → sum) exactly.
+    *
+    * Scale notes (100 TB): encode is map-only (see [[pqEncode]]); the
+    * query side broadcasts dtables (queries × 8×16 doubles), so the scan
+    * side streams through a broadcast nested loop with NO corpus shuffle —
+    * per candidate the work is 8 array lookups + 8 decimal adds, no
+    * float vector math at all (the ADC win) — and the top-k reduction is
+    * the two-phase partial [[topKPerQuery]], never a single reducer.
+    */
+  def pqAdcTopK(e: DataFrame, k: Int = 5): DataFrame = {
+    val cb = pqCodebook(e)
+    val enc = pqEncode(e, cb).select(col("vec_id").as("neighbor_id"), col("codes"))
+    val dt = (0 until PqM).map { s =>
+      val xs = slice(col("embedding"), s * PqDims + 1, PqDims)
+      array((0 until PqK).map { j =>
+        val (c, sc) = cb((s, j))
+        pqDistQ(xs, c, sc)
+      }: _*)
+    }
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), array(dt: _*).as("dt"))
+    val sims = enc.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adist", (0 until PqM).map(s =>
+          element_at(element_at(col("dt"), s + 1), col("codes")(s) + 1)
+            .cast("decimal(18,4)"))
+        .reduce(_ + _).cast("double"))
+      .select(col("query_id"), col("neighbor_id"), (-col("adist")).as("sim"))
+    topKPerQuery(sims, k, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        (-col("sim")).as("adist"))
+  }
+  def pqAdcTopK(spark: SparkSession, dir: String): DataFrame =
+    pqAdcTopK(table(spark, dir, "embeddings"))
+
   /** D16 — SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication by clustering then within-cluster cosine pruning — the
     * published recipe behind LAION/web-scale curation runs. The corpus is

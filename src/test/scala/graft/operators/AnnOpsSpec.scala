@@ -327,6 +327,39 @@ class AnnOpsSpec extends SparkSpec {
     d.unpersist()
   }
 
+  test("pqEncode recovers planted codes map-only; pqAdcTopK is well-formed (N6)") {
+    import spark.implicits._
+    // hand-built codebook: subspace s, code j → a one-hot-ish vector far from
+    // every other code, so a vector assembled FROM codebook entries must
+    // encode back to exactly those codes (distance 0 to its own code)
+    val cb = (for (s <- 0 until 8; j <- 0 until 16) yield {
+      val c = Array.tabulate(8)(p => if (p == j % 8) (j + 1).toDouble else 0.0)
+      ((s, j), (c, c.foldLeft(0.0)((a, x) => a + x * x)))
+    }).toMap
+    val planted = Seq(3, 7, 0, 15, 9, 1, 12, 5)
+    val v = planted.zipWithIndex.flatMap { case (j, _) =>
+      (0 until 8).map(p => if (p == j % 8) (j + 1).toFloat else 0.0f)
+    }.toArray
+    val enc = AnnOps.pqEncode(Seq((1L, v)).toDF("vec_id", "embedding"), cb)
+    assert(enc.select("codes").head.getSeq[Int](0) === planted)
+    // stateless per-row projection — no exchange anywhere (assignCellsLit contract)
+    assert(!enc.queryExecution.executedPlan.toString.contains("Exchange"))
+
+    // the fixture-corpus face: 10 queries × top-5, ranks dense, distances
+    // non-negative and non-decreasing in rank
+    val e = Tables.table(spark, sf, "embeddings")
+    val out = AnnOps.pqAdcTopK(e).cache()
+    assert(out.count() === 50)
+    assert(out.filter(col("adist") < 0).count() === 0)
+    assert(out.groupBy("query_id").count().filter(col("count") =!= 5).count() === 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy("rnk")
+    val mono = out.withColumn("prev", lag(col("adist"), 1).over(w))
+      .filter(col("prev").isNotNull && col("adist") < col("prev"))
+    assert(mono.count() === 0, "ADC distance must be non-decreasing in rank")
+    out.unpersist()
+  }
+
   test("semDedup keeps the cluster outlier of a dup pair, ties to min id (D16)") {
     import spark.implicits._
     val e = Seq(
