@@ -49,6 +49,8 @@ object SparkEntry {
     "a11_rfm" -> (StatsOps.rfm _),
     "a13_rolling_active" -> (StatsOps.rollingActive _),
     "a12_event_transitions" -> (StatsOps.eventTransitions _),
+    "g7_pagerank" -> (StatsOps.pageRank _),
+    "l1_zorder_key" -> ((s: SparkSession, d: String) => Bucketing.zorderEvents(s, d)),
     "r3_retention" -> (StatsOps.retention _),
     "w2_sliding_counts" -> (StatsOps.slidingCounts _),
     "w3_session_window" -> (StatsOps.sessionWindowStats _),
@@ -265,6 +267,48 @@ object SparkEntry {
 
   /** events.ts is TIMESTAMP_NS in parquet; both engines truncate to µs. */
   private val EV = "CAST(ts AS TIMESTAMP)"
+
+  /** g7's oracle: the five PageRank rounds unrolled as chained CTEs, ONE
+    * generator shared with nothing so iteration arithmetic lives in a
+    * single place — ranks are BIGINT 1e-8 units, every floor expression
+    * textually mirrors StatsOps.pageRank's pinned association.
+    */
+  private def pagerankSql(iters: Int): String = {
+    val head =
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us($EV) AS us,
+         |                  TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS node
+         |           FROM events
+         |           WHERE TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) IS NOT NULL),
+         |t AS (SELECT lag(node) OVER (PARTITION BY user_id ORDER BY us, event_id) AS src,
+         |             node AS dst
+         |      FROM e),
+         |ed AS (SELECT src, dst, count(*) AS w FROM t WHERE src IS NOT NULL GROUP BY src, dst),
+         |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM ed GROUP BY src),
+         |nd AS (SELECT DISTINCT node FROM (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
+         |nn AS (SELECT count(*) AS n FROM nd),
+         |it0 AS (SELECT node, CAST(floor(100000000.0 / n + 0.5) AS BIGINT) AS r
+         |        FROM nd CROSS JOIN nn)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      val p = s"it${i - 1}"
+      s"""dg$i AS (SELECT CAST(coalesce(sum(p.r), 0) AS BIGINT) AS dm
+         |        FROM $p p LEFT JOIN ow ON ow.src = p.node WHERE ow.src IS NULL),
+         |ct$i AS (SELECT ed.dst AS node,
+         |                CAST(sum(CAST(floor(0.85 * CAST(p.r AS DOUBLE) * ed.w / ow.outw + 0.5) AS BIGINT)) AS BIGINT) AS s
+         |         FROM $p p JOIN ow ON ow.src = p.node JOIN ed ON ed.src = p.node
+         |         GROUP BY ed.dst),
+         |it$i AS (SELECT nd.node,
+         |                CAST(floor(15000000.0 / nn.n + 0.5) AS BIGINT) +
+         |                CAST(floor(0.85 * CAST(dg$i.dm AS DOUBLE) / nn.n + 0.5) AS BIGINT) +
+         |                CAST(coalesce(ct$i.s, 0) AS BIGINT) AS r
+         |         FROM nd CROSS JOIN nn CROSS JOIN dg$i
+         |         LEFT JOIN ct$i ON ct$i.node = nd.node)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    head + rounds +
+      s"""
+         |SELECT f.node, CAST(coalesce(ow.outw, 0) AS BIGINT) AS out_weight,
+         |       CAST(f.r AS DOUBLE) / 100000000.0 AS pr
+         |FROM it$iters f LEFT JOIN ow ON ow.src = f.node""".stripMargin
+  }
   /** Exact decimal sum surfaced as double — mirror of Tables.dsum. */
   private def dsum(c: String) = s"CAST(sum(CAST($c AS DECIMAL(18,4))) AS DOUBLE)"
 
@@ -622,6 +666,26 @@ object SparkEntry {
          |SELECT c.prev_type, c.next_type, c.ct, r.row_total,
          |       floor(c.ct * 10000.0 / r.row_total + 0.5) / 10000.0 AS prob
          |FROM c JOIN r USING (prev_type)""".stripMargin,
+    // g7: PageRank — five unrolled rounds of integer-unit rank flow over
+    // the props.k transition graph (see pagerankSql).
+    "g7_pagerank" -> pagerankSql(5),
+    // l1: Morton/z-order layout key — 32 shift-mask-shift integer terms,
+    // bit-identical in any engine; zbucket = the 1024-way range split.
+    "l1_zorder_key" -> {
+      val terms = (0 until 16).map { i =>
+        s"(((x >> $i) & 1) << ${2 * i + 1}) + (((y >> $i) & 1) << ${2 * i})"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT event_id, user_id,
+         |                  TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |           FROM events
+         |           WHERE TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) IS NOT NULL),
+         |c AS (SELECT event_id, user_id, k,
+         |             least(greatest(user_id, 0), 65535) AS x,
+         |             least(greatest(k, 0), 65535) AS y
+         |      FROM e),
+         |z AS (SELECT event_id, user_id, k, $terms AS zkey FROM c)
+         |SELECT event_id, user_id, k, zkey, zkey >> 22 AS zbucket FROM z""".stripMargin
+    },
     // r3: day-cohort retention on integer epoch-µs days (no DATE/timezone
     // semantics to diverge); cohort size = the offset-0 row of the same agg.
     "r3_retention" ->

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Bucketed-table layout helpers — the co-located join path (SURVEY §4 /
   * the 100 TB playbook's "pre-partition what you join repeatedly").
@@ -33,4 +34,60 @@ object Bucketing {
   def bucketedJoin(spark: org.apache.spark.sql.SparkSession,
       leftTable: String, rightTable: String, key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Z-ORDER key: bit-interleave two non-negative integer columns
+    * (clamped to `bits` bits each) into one Morton code — the
+    * multi-dimensional clustering key behind data-skipping layouts
+    * (Morton 1966; the technique Delta's OPTIMIZE ZORDER and Iceberg's
+    * sort orders apply). Rows range-sorted by the z-key keep BOTH columns
+    * locally clustered, so per-file min/max statistics prune scans
+    * filtered on EITHER dimension — unlike a lexicographic sort, which
+    * clusters only its leading column.
+    *
+    * Pure integer bit arithmetic (32 shift-mask-shift terms), identical
+    * in any engine — no hashing, no floats. Clamping (not masking) keeps
+    * out-of-domain values order-preserving at the boundary instead of
+    * wrapping them into the middle of the curve.
+    */
+  def zorderKey(x: Column, y: Column, bits: Int = 16): Column = {
+    val xc = least(greatest(x, lit(0L)), lit((1L << bits) - 1))
+    val yc = least(greatest(y, lit(0L)), lit((1L << bits) - 1))
+    (0 until bits).map { i =>
+      shiftleft(shiftright(xc, i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(yc, i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _)
+  }
+
+  /** L1 — z-order layout keys for the event stream: (user_id, props.k)
+    * interleaved, plus the 1024-way range bucket (`zkey >> 22`) a
+    * repartitionByRange layout would split files on. The query face is
+    * the key computation (oracle-exact); [[zorderWrite]] applies it.
+    *
+    * Scale notes (100 TB): the key is a map-side projection — layout cost
+    * is the one range-exchange of the WRITE, paid once, after which every
+    * query filtering on user ranges OR property ranges skips files by
+    * footer stats; `BucketingSpec` pins the locality win (z-bucket
+    * bounding boxes are strictly tighter than arrival-order buckets).
+    */
+  def zorderEvents(events: DataFrame): DataFrame =
+    events.select(col("event_id"), col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k").isNotNull)
+      .withColumn("zkey", zorderKey(col("user_id"), col("k")))
+      .withColumn("zbucket", shiftright(col("zkey"), 22))
+  def zorderEvents(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    zorderEvents(graft.Tables.table(spark, dir, "events"))
+
+  /** Write `df` z-order-clustered on (x, y): range-partition then sort by
+    * the Morton key so file k holds one compact curve segment — both
+    * dimensions' min/max footers stay tight.
+    */
+  def zorderWrite(df: DataFrame, x: String, y: String, path: String,
+      files: Int = 32): Unit = {
+    val keyed = df.withColumn("_z", zorderKey(col(x), col(y)))
+    keyed.repartitionByRange(files, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -343,6 +343,75 @@ object StatsOps {
   def eventTransitions(spark: SparkSession, dir: String): DataFrame =
     eventTransitions(table(spark, dir, "events"))
 
+  /** G7 — PageRank over the property-transition graph: nodes are the
+    * `props.k` values, edges the per-user consecutive transitions (a12's
+    * lag construction), edge weight = transition count. Weighted PageRank
+    * with damping 0.85 and a FIXED iteration count, dangling mass
+    * redistributed uniformly each round (Page et al. 1999) — the
+    * link-analysis quality diagnostic of the corpus-health family (g5's
+    * duplication rates, g6's Zipf slope): sources/pages that the
+    * navigation graph concentrates on surface with high rank.
+    *
+    * Determinism contract: ranks live as BIGINT in 1e-8 units — every
+    * per-edge contribution is `floor(0.85·r·w/outw + 0.5)` (one double
+    * expression with pinned association, then an exact integer sum), the
+    * base and dangling terms are floored the same way, so five rounds of
+    * shuffle-merge arithmetic cannot diverge between engines: the DuckDB
+    * oracle unrolls the identical five iterations.
+    *
+    * Scale notes (100 TB): the corpus-scale work is the ONE user-keyed
+    * window building transitions; after the (src, dst) rollup everything
+    * operates on edge-catalog-sized frames — each iteration is one
+    * ranks⋈edges join on src (both sides edge/node-sized, NOT
+    * corpus-sized) and one dst-keyed aggregation with map-side partials,
+    * the standard distributed PR round; n and the dangling mass ride as
+    * one-row broadcasts. Iterations are unrolled into a single plan
+    * (fixed count), so Catalyst reuses the edge exchange across rounds
+    * instead of rescanning the corpus.
+    */
+  def pageRank(events: DataFrame, iters: Int = 5): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val seq0 = events.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        get_json_object(col("props"), "$.k").cast("long").as("node"))
+      .filter(col("node").isNotNull)
+    val edges = seq0
+      .withColumn("src", lag(col("node"), 1).over(w))
+      .filter(col("src").isNotNull)
+      .select(col("src"), col("node").as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val outw = edges.groupBy("src").agg(sum("w").as("outw"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst"))).distinct()
+    val nN = nodes.agg(count(lit(1)).as("n"))
+    var ranks = nodes.crossJoin(broadcast(nN))
+      .select(col("node"), floor(lit(1e8) / col("n") + 0.5).cast("long").as("r"))
+    for (_ <- 1 to iters) {
+      val contribs = ranks
+        .join(outw.withColumnRenamed("src", "node"), Seq("node"))
+        .join(edges, col("node") === col("src"))
+        .select(col("dst"),
+          floor(lit(0.85) * col("r").cast("double") * col("w") / col("outw") + 0.5)
+            .cast("long").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+      val dang = ranks
+        .join(outw.withColumnRenamed("src", "node"), Seq("node"), "left")
+        .filter(col("outw").isNull)
+        .agg(coalesce(sum("r"), lit(0L)).as("dm"))
+      ranks = nodes.crossJoin(broadcast(nN)).crossJoin(broadcast(dang))
+        .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (floor(lit(1.5e7) / col("n") + 0.5).cast("long") +
+           floor(lit(0.85) * col("dm").cast("double") / col("n") + 0.5).cast("long") +
+           coalesce(col("s"), lit(0L))).as("r"))
+    }
+    ranks.join(outw.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("outw"), lit(0L)).as("out_weight"),
+        (col("r").cast("double") / 1e8).as("pr"))
+  }
+  def pageRank(spark: SparkSession, dir: String): DataFrame =
+    pageRank(table(spark, dir, "events"))
+
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     val gapUs = 30L * 60 * 1000000
     val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))

@@ -174,4 +174,31 @@ class BatchQueriesSpec extends SparkSpec {
     assert(bad.count() === 0)
     assert(m.filter(col("width") < 64 || col("width") >= 2048).count() === 0)
   }
+
+  test("pageRank: mass conserved, a pure hub dominates, dangling handled (G7)") {
+    import spark.implicits._
+    val r = StatsOps.pageRank(Tables.table(spark, sf, "events")).cache()
+    val n = r.count()
+    assert(n > 0 && r.filter(col("pr") <= 0).count() === 0)
+    // integer-unit flow conserves total mass up to n rounding units per round
+    val mass = r.agg(sum("pr")).head.getDouble(0)
+    assert(math.abs(mass - 1.0) < n * 5 * 1e-8 + 1e-9, s"mass drifted: $mass")
+
+    // constructed star graph: every spoke points only at the hub, the hub
+    // only back to spoke 1 — the hub must out-rank every spoke; spokes
+    // 2..4 (rank-fed only by the base term) tie exactly
+    val hub = 99L
+    val ev = (1 to 4).flatMap { u => // user u walks spoke-u → hub
+      Seq((u.toLong * 10 + 1, u.toLong, s"""{"k": $u}"""),
+        (u.toLong * 10 + 2, u.toLong, s"""{"k": $hub}"""))
+    } :+ ((90L, 9L, s"""{"k": $hub}""")) :+ ((91L, 9L, """{"k": 1}"""))
+    val df = ev.toDF("event_id", "user_id", "props")
+      .withColumn("ts", timestamp_micros(col("event_id") * 1000000L))
+    val pr = StatsOps.pageRank(df).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(pr(hub) === pr.values.max, s"hub not top-ranked: $pr")
+    assert(pr(2L) === pr(3L) && pr(3L) === pr(4L), s"leaf spokes must tie: $pr")
+    assert(pr(1L) > pr(2L), "the hub's sole out-link target must beat idle spokes")
+    r.unpersist()
+  }
 }

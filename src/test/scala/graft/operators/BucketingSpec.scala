@@ -64,4 +64,35 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bkt_orders_prune")
     }
   }
+
+  test("zorderKey is injective on the domain; z-layout tightens both-dim bounding boxes (L1)") {
+    import org.apache.spark.sql.functions._
+    val z = Bucketing.zorderEvents(graft.Tables.table(spark, sf, "events")).cache()
+    // Morton interleave is a bijection: distinct pairs == distinct keys
+    val pairs = z.select("user_id", "k").distinct().count()
+    assert(z.select("zkey").distinct().count() === pairs)
+    // de-interleave spot check: odd bits rebuild x, even bits rebuild y
+    val back = z.limit(50).collect().forall { r =>
+      val (x, y, zk) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val rx = (0 until 16).map(i => ((zk >> (2 * i + 1)) & 1L) << i).sum
+      val ry = (0 until 16).map(i => ((zk >> (2 * i)) & 1L) << i).sum
+      rx == math.min(math.max(x, 0L), 65535L) && ry == math.min(math.max(y, 0L), 65535L)
+    }
+    assert(back, "de-interleave failed")
+
+    // locality: 16 equal-count z-range partitions must have a SMALLER mean
+    // (user_id × k) bounding-box area than 16 arrival-order partitions —
+    // that area is exactly what per-file min/max stats can prune against
+    def meanArea(keyed: org.apache.spark.sql.DataFrame): Double =
+      keyed.withColumn("p", spark_partition_id())
+        .groupBy("p")
+        .agg(((max("user_id") - min("user_id") + 1) *
+          (max("k") - min("k") + 1)).as("area"))
+        .agg(avg("area")).head.getDouble(0)
+    val zArea = meanArea(z.repartitionByRange(16, col("zkey")))
+    val naiveArea = meanArea(z.repartitionByRange(16, col("event_id")))
+    assert(zArea < naiveArea * 0.5,
+      s"z-order layout not tighter: z=$zArea vs naive=$naiveArea")
+    z.unpersist()
+  }
 }
