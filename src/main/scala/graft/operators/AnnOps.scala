@@ -549,17 +549,35 @@ object AnnOps {
     }.toMap
   }
 
-  /** 4-dp-quantized squared L2 between subvector `xs` (floats, cast double
-    * element-wise) and literal code `c`: ‖x‖² − 2·x·c + ‖c‖² with every
-    * fold sequential left-to-right double — the exact arithmetic DuckDB's
-    * double-list `list_dot_product` runs, so encode/ADC hash-match.
+  /** Per-subspace scored codes: array<struct(dq, j)> of the 4-dp-quantized
+    * squared L2 between subvector `xs` and EVERY code of one subspace's
+    * codebook — ‖x‖² − 2·x·c + ‖c‖², every fold sequential left-to-right
+    * double (the exact arithmetic DuckDB's double-list `list_dot_product`
+    * runs, so encode/ADC hash-match).
+    *
+    * The codebook rides as ONE array-of-structs literal and the scoring is
+    * one `transform` loop over it — data, not unrolled expressions. The
+    * first cut unrolled 8×16 separate zip_with folds and spent its wall
+    * time in janino compiling the megabyte of generated code (the SrpSig
+    * lesson); this shape keeps codegen at one inner loop.
     */
-  private def pqDistQ(xs: Column, c: Array[Double], sc: Double): Column = {
-    def dotd(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y), lit(0.0), (acc, x) => acc + x)
+  private def pqScoredCodes(xs: Column,
+      entries: Seq[(Int, Seq[Double], Double)]): Column = {
     val sx = aggregate(xs, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
-    floor((sx - lit(2.0) * dotd(xs, typedlit(c)) + lit(sc)) * 10000.0 + 0.5) / 10000.0
+    transform(typedlit(entries), e =>
+      struct(
+        (floor((sx - lit(2.0) * aggregate(zip_with(xs, e.getField("_2"),
+          (x, y) => x.cast("double") * y), lit(0.0), (a, b) => a + b) +
+          e.getField("_3")) * 10000.0 + 0.5) / 10000.0).as("dq"),
+        e.getField("_1").as("j")))
   }
+
+  /** The (j, centroid, ‖c‖²) entries of subspace `s`, ascending code id —
+    * the literal [[pqScoredCodes]] consumes.
+    */
+  private def pqEntries(cb: Map[(Int, Int), (Array[Double], Double)],
+      s: Int): Seq[(Int, Seq[Double], Double)] =
+    (0 until PqK).map { j => val (c, sc) = cb((s, j)); (j, c.toSeq, sc) }
 
   /** PQ ENCODE: per vector, per subspace, the nearest code by quantized
     * squared L2 (ties to the lower code id) — adds a `codes` byte-array
@@ -573,11 +591,7 @@ object AnnOps {
       cb: Map[(Int, Int), (Array[Double], Double)]): DataFrame = {
     val codes = (0 until PqM).map { s =>
       val xs = slice(col("embedding"), s * PqDims + 1, PqDims)
-      val scored = (0 until PqK).map { j =>
-        val (c, sc) = cb((s, j))
-        struct(pqDistQ(xs, c, sc).as("dq"), lit(j).as("j"))
-      }
-      array_min(array(scored: _*)).getField("j")
+      array_min(pqScoredCodes(xs, pqEntries(cb, s))).getField("j")
     }
     vectors.withColumn("codes", array(codes: _*))
   }
@@ -606,10 +620,7 @@ object AnnOps {
     val enc = pqEncode(e, cb).select(col("vec_id").as("neighbor_id"), col("codes"))
     val dt = (0 until PqM).map { s =>
       val xs = slice(col("embedding"), s * PqDims + 1, PqDims)
-      array((0 until PqK).map { j =>
-        val (c, sc) = cb((s, j))
-        pqDistQ(xs, c, sc)
-      }: _*)
+      transform(pqScoredCodes(xs, pqEntries(cb, s)), e => e.getField("dq"))
     }
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), array(dt: _*).as("dt"))

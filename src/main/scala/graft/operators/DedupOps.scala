@@ -315,7 +315,7 @@ object DedupOps {
     * blocks are its only substance (lineage is truncated), so a later action
     * on the same frame would throw.
     */
-  private def unpersistCheckpoint(df: DataFrame): Unit =
+  private[graft] def unpersistCheckpoint(df: DataFrame): Unit =
     // the checkpoint'd frame may carry a projection on top (labels after
     // .drop), so walk to the leaves; LogicalRDD is itself a LeafNode
     df.queryExecution.analyzed.collectLeaves().foreach {

@@ -380,12 +380,21 @@ object StatsOps {
       .filter(col("src").isNotNull)
       .select(col("src"), col("node").as("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      // the ONE corpus-scale pass materializes here: every unrolled round
+      // (and outw/nodes) then reads the flat edge-catalog blocks instead of
+      // replaying the user-keyed window 5x — the DedupOps.connectedComponents
+      // discipline; the catalog is node²-bounded, tiny at any corpus scale
+      .localCheckpoint(true)
     val outw = edges.groupBy("src").agg(sum("w").as("outw"))
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst"))).distinct()
     val nN = nodes.agg(count(lit(1)).as("n"))
     var ranks = nodes.crossJoin(broadcast(nN))
       .select(col("node"), floor(lit(1e8) / col("n") + 0.5).cast("long").as("r"))
+    // only frames THIS loop checkpointed may be released: round 0's plain
+    // plan bottoms out at the edges checkpoint, and a leaf-walking release
+    // there would destroy the edge blocks every later round still reads
+    var prevOwned: Option[DataFrame] = None
     for (_ <- 1 to iters) {
       val contribs = ranks
         .join(outw.withColumnRenamed("src", "node"), Seq("node"))
@@ -398,13 +407,24 @@ object StatsOps {
         .join(outw.withColumnRenamed("src", "node"), Seq("node"), "left")
         .filter(col("outw").isNull)
         .agg(coalesce(sum("r"), lit(0L)).as("dm"))
-      ranks = nodes.crossJoin(broadcast(nN)).crossJoin(broadcast(dang))
+      // each round materializes (node-catalog-sized blocks) and the
+      // superseded snapshot is released — WITHOUT this, the dangling-mass
+      // broadcast re-executes the whole previous-round lineage separately
+      // from the main plan, doubling the tree per round (2^iters stages)
+      val next = nodes.crossJoin(broadcast(nN)).crossJoin(broadcast(dang))
         .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"),
           (floor(lit(1.5e7) / col("n") + 0.5).cast("long") +
            floor(lit(0.85) * col("dm").cast("double") / col("n") + 0.5).cast("long") +
            coalesce(col("s"), lit(0L))).as("r"))
+        .localCheckpoint(true)
+      prevOwned.foreach(DedupOps.unpersistCheckpoint)
+      prevOwned = Some(next)
+      ranks = next
     }
+    // edges' checkpoint blocks stay: the returned (lazy) frame still reads
+    // outw from them — the final-checkpoint-ownership convention of
+    // DedupOps.connectedComponents; callers/Bench sweep between queries
     ranks.join(outw.withColumnRenamed("src", "node"), Seq("node"), "left")
       .select(col("node"), coalesce(col("outw"), lit(0L)).as("out_weight"),
         (col("r").cast("double") / 1e8).as("pr"))
