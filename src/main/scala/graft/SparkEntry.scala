@@ -1313,17 +1313,16 @@ object SparkEntry {
          |bi AS (SELECT doc_id, is_target,
          |              ${hex16("md5('dsir:' || w[i] || ' ' || w[i+1])")} % 1024 AS bucket
          |       FROM tq, unnest(range(1, len(w))) AS u(i)),
-         |db AS (SELECT doc_id, bucket, count(*) AS tf, max(is_target) AS is_target
-         |       FROM bi GROUP BY doc_id, bucket),
-         |r AS (SELECT bucket, CAST(sum(tf) AS BIGINT) AS cr FROM db GROUP BY bucket),
-         |g AS (SELECT bucket, CAST(sum(tf) AS BIGINT) AS ct FROM db WHERE is_target GROUP BY bucket),
-         |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS nr,
-         |               CAST(sum(CASE WHEN is_target THEN tf ELSE 0 END) AS BIGINT) AS nt
-         |        FROM db),
+         |db AS (SELECT doc_id, bucket, is_target, count(*) AS tf
+         |       FROM bi GROUP BY doc_id, bucket, is_target),
+         |bm AS (SELECT bucket, CAST(sum(tf) AS BIGINT) AS cr,
+         |               CAST(sum(CASE WHEN is_target THEN tf ELSE 0 END) AS BIGINT) AS ct
+         |        FROM db GROUP BY bucket),
+         |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt FROM bm),
          |tm AS (SELECT doc_id, tf,
-         |              CAST(floor(tf * ln((coalesce(ct, 0) + 1.0) / (nt + 1024.0)) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS term_t,
+         |              CAST(floor(tf * ln((ct + 1.0) / (nt + 1024.0)) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS term_t,
          |              CAST(floor(tf * ln((cr + 1.0) / (nr + 1024.0)) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS term_r
-         |       FROM db JOIN r USING (bucket) LEFT JOIN g USING (bucket) CROSS JOIN tot),
+         |       FROM db JOIN bm USING (bucket) CROSS JOIN tot),
          |wt AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_feats,
          |              CAST(sum(term_t) - sum(term_r) AS DOUBLE) AS weight
          |       FROM tm GROUP BY doc_id),

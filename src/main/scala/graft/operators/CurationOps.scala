@@ -758,21 +758,36 @@ object CurationOps {
       .select(col("doc_id"), col("is_target"),
         (conv(substring(md5(concat(lit("dsir:"), col("b.w1"), lit(" "), col("b.w2"))), 1, 4), 16, 10)
           .cast("long") % 1024).as("bucket"))
-    val db = bi.groupBy("doc_id", "bucket")
-      .agg(count(lit(1)).as("tf"), max(col("is_target")).as("is_target"))
-    // model counts from the per-doc aggregate — bucket-sized, exchange reused
-    val raw = db.groupBy("bucket").agg(sum("tf").as("cr"))
-    val tgt = db.filter(col("is_target")).groupBy("bucket").agg(sum("tf").as("ct"))
-    val totals = db.agg(sum("tf").as("nr"),
-      sum(when(col("is_target"), col("tf")).otherwise(0L)).as("nt"))
+    // is_target rides the GROUPING KEY (it is constant per doc, so the rows
+    // are identical) — as an aggregated column each model consumer would
+    // prune it differently, de-canonicalizing the shared subtree and
+    // re-exploding the corpus once per model (the t13 uniform-filter lesson)
+    val db = bi.groupBy("doc_id", "bucket", "is_target")
+      .agg(count(lit(1)).as("tf"))
+    // BOTH models from one bucket-keyed aggregation of the per-doc rows
+    // (conditional sum for the target counts): a separate filtered `tgt`
+    // frame would push its predicate below the shared exchange and
+    // de-canonicalize it, re-exploding the corpus per model — this way the
+    // (doc, bucket) exchange is built once and reused, and the totals
+    // derive from the 1024-row model table, never the corpus
+    val bm = db.groupBy("bucket").agg(sum("tf").as("cr"),
+      sum(when(col("is_target"), col("tf")).otherwise(0L)).as("ct"))
+    // totals from a SEPARATE LIGHT corpus pass (Σ tf ≡ Σ (n_words − 1), a
+    // projection + one-row agg with no explode and no keyed shuffle) — the
+    // t13 vq recipe. Deriving them from bm would put two broadcast branches
+    // over the same corpus subtree, and AQE stage reuse does not reliably
+    // dedupe exchanges BETWEEN concurrent broadcast branches (observed:
+    // the totals branch re-exploded the corpus); main↔broadcast reuse for
+    // bm itself is the pair that does hold, and the plan contract pins it.
+    val totals = docs.select(isTarget.as("it"), (size(w) - 1).cast("long").as("nb"))
+      .filter(col("nb") >= 1)
+      .agg(sum("nb").as("nr"), sum(when(col("it"), col("nb")).otherwise(0L)).as("nt"))
     def lnTerm(num: Column, den: Column): Column =
       (floor(col("tf") * log(num / den) * 10000.0 + 0.5) / 10000.0)
         .cast("decimal(18,4)")
-    val weights = db.join(broadcast(raw), Seq("bucket"))
-      .join(broadcast(tgt), Seq("bucket"), "left")
+    val weights = db.join(broadcast(bm), Seq("bucket"))
       .crossJoin(broadcast(totals))
-      .withColumn("term_t",
-        lnTerm(coalesce(col("ct"), lit(0L)) + 1.0, col("nt") + 1024.0))
+      .withColumn("term_t", lnTerm(col("ct") + 1.0, col("nt") + 1024.0))
       .withColumn("term_r", lnTerm(col("cr") + 1.0, col("nr") + 1024.0))
       .groupBy("doc_id")
       .agg(sum("tf").as("n_feats"),

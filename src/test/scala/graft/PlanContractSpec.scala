@@ -178,4 +178,46 @@ class PlanContractSpec extends SparkSpec {
     // the corpus is scanned at most twice: bigram subtree + vocab count
     assert(count(p, "Scan parquet") <= 2, s"t13 corpus scan count drifted:\n$p")
   }
+
+  test("dsir weights shuffle the corpus once; models come back as broadcasts (s10)") {
+    val df = SparkEntry.queries("s10_dsir_weights")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the corpus is exploded into bigrams EXACTLY once: the model table
+    // groups the already doc-aggregated rows through a ReusedExchange and
+    // the totals derive from the 1024-row model, never the corpus
+    assert(count(p, "Generate explode") === 1, s"s10 re-explodes the corpus:\n$p")
+    assert(count(p, "ReusedExchange") >= 1, s"s10 tf exchange not reused:\n$p")
+    // bigram subtree + the light totals projection — never a third pass
+    assert(count(p, "Scan parquet") <= 2, s"s10 corpus scan count drifted:\n$p")
+    // 1024-row model + one-row totals join back broadcast, never SMJ
+    assert(count(p, "SortMergeJoin") === 0, p)
+    assert(count(p, "BroadcastHashJoin") >= 1, p)
+  }
+
+  test("semdedup stays within-cluster: broadcast centroids, no cartesian corpus pair (d16)") {
+    val p = planOf("d16_semdedup")
+    assert(count(p, "CartesianProduct") === 0, p)
+    // centroid table is k-row — every centroid join is broadcast; the pair
+    // join is label-keyed (shuffle or broadcast, never nested-loop)
+    assert(count(p, "BroadcastNestedLoopJoin") === 0, p)
+  }
+
+  test("z-order keys are a pure scan-projection: zero exchanges (l1)") {
+    val p = planOf("l1_zorder_key")
+    assert(count(p, "Exchange") === 0, s"l1 must not shuffle:\n$p")
+    assert(count(p, "Scan parquet") === 1, p)
+  }
+
+  test("pagerank rounds read the materialized edge catalog, not the corpus (g7)") {
+    val df = SparkEntry.queries("g7_pagerank")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the returned frame is (final ranks checkpoint) ⋈ outw(edge checkpoint):
+    // the corpus-scale window ran ONCE inside the edge materialization —
+    // no parquet scan and no window may appear in the final consumer plan
+    assert(count(p, "Scan parquet") === 0, s"g7 re-reads the corpus:\n$p")
+    assert(!p.contains("RunningWindowFunction") && count(p, "WindowExec") === 0,
+      s"g7 replays the transition window:\n$p")
+  }
 }
