@@ -714,6 +714,20 @@ object AnnOps {
   def semDedup(spark: SparkSession, dir: String): DataFrame =
     semDedup(table(spark, dir, "embeddings"), threshold = 0.35)
 
+  /** [[semDedup]] end-to-end with a TRAINED coarse clustering — the form a
+    * corpus with no precomputed cluster column runs: [[kmeansTrain]] learns
+    * k centroids, [[assignCellsLit]] labels every vector map-side (no
+    * corpus shuffle), and the SemDeDup prune runs within the learned
+    * cells. Not oracle-stateable (Lloyd's loop — the n2b precedent);
+    * behavior is spec-pinned instead.
+    */
+  def semDedupTrained(e: DataFrame, k: Int = 8,
+      threshold: Double = 0.95): DataFrame = {
+    val clustered = assignCellsLit(e.drop("label"), kmeansTrain(e, k))
+      .withColumnRenamed("assigned_cell", "label")
+    semDedup(clustered, threshold)
+  }
+
   /** B2 — semantic benchmark decontamination: the embedding-space complement
     * of t5's n-gram recipe. Every 97th vector stands in for the held-out
     * benchmark embedding set (mirroring t5's convention); a corpus vector is

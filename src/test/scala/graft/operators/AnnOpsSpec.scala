@@ -385,6 +385,17 @@ class AnnOpsSpec extends SparkSpec {
     assert(cs(1L) < cs(2L), s"outlier rule violated: ${cs(1L)} vs ${cs(2L)}")
   }
 
+  test("semDedupTrained runs the full learned-quantizer pipeline (D16 production face)") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val out = AnnOps.semDedupTrained(e, k = 8, threshold = 0.35).cache()
+    assert(out.count() === e.count(), "every vector scored exactly once")
+    // learned cells are k-bounded and every vector landed in one
+    val cells = out.select("label").distinct().count()
+    assert(cells >= 1 && cells <= 8, s"unexpected cell count $cells")
+    assert(out.filter(col("cent_sim") < -1.0001 || col("cent_sim") > 1.0001).count() === 0)
+    out.unpersist()
+  }
+
   test("semDedup at the production threshold is drop-free on the fixture corpus") {
     val e = Tables.table(spark, sf, "embeddings")
     val out = AnnOps.semDedup(e) // τ = 0.95; within-cell sims top out ≈ 0.47
