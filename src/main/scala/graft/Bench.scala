@@ -211,7 +211,14 @@ object Bench {
     // state can't leak into timings
     val freshSession = sys.env.get("SPARK_GRAFT_FRESH_SESSION").contains("1")
 
-    val passes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_QUERIES=d8_simhash64_pairs,g7_pagerank: restrict the run to
+    // a comma-separated subset for in-round isolation profiling (unset for
+    // the driver's full-roster contract runs)
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val roster = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val passes = roster.map { case (name, fn) =>
       val perPass = (1 to 2).map { pass =>
         val s = if (freshSession) spark.newSession() else spark
         s.sparkContext.setJobGroup(s"$name#p$pass", name, interruptOnCancel = false)
@@ -302,7 +309,7 @@ object Bench {
     // driver's own BENCH_r{N}.json artifacts (this run belongs to max+1);
     // a rerun within the round overwrites its own archive — the intended
     // per-round semantic. tools/bench_diff.py consumes these.
-    try {
+    try if (only.isEmpty) { // a subset run must not clobber the round archive
       val re = "BENCH_r(\\d+)\\.json".r
       val here = java.nio.file.Paths.get(".")
       val round = {

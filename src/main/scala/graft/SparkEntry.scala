@@ -83,6 +83,7 @@ object SparkEntry {
     "d12_segment_dedup" -> ((s: SparkSession, d: String) => DedupOps.segmentDedup(s, d)),
     "d13_substring_spans" -> ((s: SparkSession, d: String) => DedupOps.exactSubstringSpans(s, d)),
     "d14_strip_spans" -> ((s: SparkSession, d: String) => DedupOps.stripDuplicatedSpans(s, d)),
+    "d17_boilerplate_strip" -> ((s: SparkSession, d: String) => DedupOps.boilerplateStrip(s, d)),
     "g5_dup_rate_by_source" -> ((s: SparkSession, d: String) => DedupOps.dupRateBySource(s, d)),
     // LLM-data-pipeline: similarity search
     "n1_ann_cosine_topk" -> ((s: SparkSession, d: String) => AnnOps.cosineTopK(s, d)),
@@ -1101,6 +1102,28 @@ object SparkEntry {
         |SELECT doc_id, max(n_segs) AS n_segs, count(*) AS kept_segs,
         |       string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
         |FROM k GROUP BY doc_id""".stripMargin,
+    // d17: corpus-frequency boilerplate removal — segments present in >= 3
+    // DISTINCT documents are excised from every doc (d12's complement:
+    // keep-first vs strip-everywhere); fully-boilerplate docs surface with
+    // clean_text = '' via the base LEFT JOIN (the d14 accounting contract).
+    "d17_boilerplate_strip" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |n AS (SELECT doc_id, words, CAST(ceil(len(words) / 10.0) AS BIGINT) AS n_segs
+        |      FROM w WHERE len(words) > 0),
+        |c AS (SELECT doc_id, n_segs, words,
+        |             unnest(generate_series(0, n_segs - 1)) AS i FROM n),
+        |seg AS (SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+        |               array_to_string(list_slice(words, i*10 + 1, i*10 + 10), ' ') AS seg
+        |        FROM c),
+        |b AS (SELECT seg FROM seg GROUP BY seg HAVING count(DISTINCT doc_id) >= 3),
+        |k AS (SELECT s.doc_id, s.seg_idx, s.seg FROM seg s
+        |      LEFT JOIN b ON s.seg = b.seg WHERE b.seg IS NULL),
+        |base AS (SELECT doc_id, n_segs FROM n)
+        |SELECT base.doc_id, base.n_segs,
+        |       count(k.seg) AS kept_segs,
+        |       coalesce(string_agg(k.seg, ' ' ORDER BY k.seg_idx), '') AS clean_text
+        |FROM base LEFT JOIN k ON base.doc_id = k.doc_id
+        |GROUP BY base.doc_id, base.n_segs""".stripMargin,
     // d13: exact duplicated-substring spans (Lee et al. seed-and-extend) —
     // positions covered by any corpus-duplicated 8-gram, merged into maximal
     // islands via the pos − row_number() gaps-and-islands identity. Grams

@@ -592,9 +592,14 @@ object DedupOps {
         Window.partitionBy(segKey).orderBy(col("doc_id"), col("seg_idx"))))
       .filter(col("_occ") === 1).drop("_occ")
 
-  def segmentDedup(docs: DataFrame): DataFrame = {
+  /** Positional segment explode shared by d12 ([[segmentDedup]]) and d17
+    * ([[boilerplateStrip]]): one row per (doc, segment) with the doc's total
+    * segment count riding along — ONE definition of the segmentation, so the
+    * keep-first and the strip-frequent faces cannot drift on boundaries.
+    */
+  private def segmentRows(docs: DataFrame): DataFrame = {
     val sw = SegmentWords
-    val segs = graft.Tables.spread(
+    graft.Tables.spread(
         docs.select(col("doc_id"), split(col("text"), " ").as("words")))
       .filter(size(col("words")) > 0) // guards sequence(0, -1)'s descending default
       .withColumn("n_segs",
@@ -605,6 +610,10 @@ object DedupOps {
           i => array_join(slice(col("words"), (i * sw + 1).cast("int"), lit(sw)), " ")))
           .as(Seq("seg_idx", "seg")))
       .withColumn("seg_idx", col("seg_idx").cast("long"))
+  }
+
+  def segmentDedup(docs: DataFrame): DataFrame = {
+    val segs = segmentRows(docs)
     val kept = electFirstSegment(segs, md5(col("seg")))
     kept.groupBy(col("doc_id"))
       .agg(
@@ -769,4 +778,65 @@ object DedupOps {
 
   def segmentDedup(spark: SparkSession, dir: String): DataFrame =
     segmentDedup(table(spark, dir, "documents"))
+
+  /** Default d17 document-frequency threshold: a segment present in three or
+    * more DISTINCT documents is boilerplate. Published line-dedup rules put
+    * the cut in single digits (RefinedWeb removes lines duplicated across
+    * its shard at small absolute counts); 3 keeps legitimate two-doc
+    * near-dup overlap (d3's territory) out of the boilerplate set.
+    */
+  val BoilerplateMinDf = 3
+
+  /** D17 — corpus-frequency boilerplate removal, the RefinedWeb/Dolma
+    * line-dedup rule: a segment whose text occurs in ≥ `minDf` DISTINCT
+    * documents (nav bars, cookie banners, license headers) is excised from
+    * EVERY document — the complement of d12, which keeps the first
+    * occurrence of every duplicated segment. Documents reassemble from the
+    * surviving segments in original order; a document whose every segment is
+    * boilerplate stays in the output with `clean_text = ''` (the d14
+    * contract: removal is accounting, not row loss).
+    *
+    * Scale notes (100 TB): the df count is ONE segment-keyed corpus-scale
+    * shuffle (count_distinct(doc_id) partial-aggregates map-side);
+    * `boiler` — its ≥ minDf survivors — is small BY CONSTRUCTION (only text
+    * repeated across ≥ 3 documents) and broadcasts back as an anti-join
+    * probe set, so the corpus is never shuffled for the join. Reassembly is
+    * one doc_id-keyed groupBy whose state is bounded by the doc's own
+    * segment list. The segment explode is evaluated for the df agg and for
+    * the probe side (two scan-projections — the d13/d14 shape); nothing is
+    * quadratic.
+    */
+  def boilerplateStrip(docs: DataFrame, minDf: Int = BoilerplateMinDf): DataFrame = {
+    val segs = segmentRows(docs)
+    val boiler = boilerplateSegments(docs, minDf)
+    val kept = segs.join(broadcast(boiler), Seq("seg"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_ct"),
+        sort_array(collect_list(struct(col("seg_idx"), col("seg")))).as("lst"))
+    // base = every segmented doc, computed map-side from the corpus (no
+    // explode): fully-boilerplate docs must surface with '' not vanish
+    docs.select(col("doc_id"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) > 0)
+      .select(col("doc_id"),
+        ceil(size(col("words")) / lit(SegmentWords.toDouble)).cast("long").as("n_segs"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("kept_ct"), lit(0L)).as("kept_segs"),
+        coalesce(
+          array_join(transform(col("lst"), s => s.getField("seg")), " "),
+          lit("")).as("clean_text"))
+  }
+  def boilerplateStrip(spark: SparkSession, dir: String): DataFrame =
+    boilerplateStrip(table(spark, dir, "documents"))
+
+  /** The corpus's boilerplate segment set (d17's stage-1 output as a
+    * standalone frame — the reference set the streaming face broadcasts,
+    * like [[duplicatedGrams]] for the span family). One segment-keyed
+    * count-distinct shuffle; output small by construction.
+    */
+  def boilerplateSegments(docs: DataFrame,
+      minDf: Int = BoilerplateMinDf): DataFrame =
+    segmentRows(docs)
+      .groupBy(col("seg")).agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf).select("seg")
 }

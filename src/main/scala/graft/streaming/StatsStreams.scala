@@ -213,6 +213,39 @@ object StatsStreams {
     else graft.operators.DedupOps.electFirstSegment(segs, col("seg_key"))
   }
 
+  /** Streaming boilerplate removal — the streaming face of
+    * [[graft.operators.DedupOps.boilerplateStrip]] (d17): incoming docs are
+    * cleaned against a STATIC boilerplate segment set (the indexed corpus's
+    * ≥ minDf cross-document segments from
+    * [[graft.operators.DedupOps.boilerplateSegments]], or any curated
+    * blocklist). The set aggregates to one row and cross-broadcasts; the
+    * per-row work is segment + filter inside the row projection — a
+    * STATELESS streaming projection: no watermark, no state store, no
+    * stream-side shuffle; identical in batch.
+    *
+    * A stream cannot know the future, so (like [[stripSpansStream]]) the
+    * contract is vs-reference: a FRESH boilerplate pattern flooding the
+    * stream dedups against the next index build. With
+    * `ref = boilerplateSegments(corpus)` the batch face of this call equals
+    * [[graft.operators.DedupOps.boilerplateStrip]] row-for-row on segmented
+    * docs (parity-spec-pinned). The probe is `array_contains` over the
+    * broadcast set — linear per segment in the set size, which is small BY
+    * CONSTRUCTION (only text repeated across ≥ minDf documents survives
+    * stage 1).
+    */
+  def boilerplateStripStream(docs: DataFrame, boilerSegs: DataFrame): DataFrame = {
+    val refSet = boilerSegs.agg(collect_set("seg").as("boiler_set"))
+    docs
+      .withColumn("segs", graft.operators.DedupOps.segmentArray(col("text")))
+      .crossJoin(broadcast(refSet))
+      .withColumn("kept",
+        filter(col("segs"), s => !array_contains(col("boiler_set"), s)))
+      .select(col("doc_id"),
+        size(col("segs")).cast("long").as("n_segs"),
+        size(col("kept")).cast("long").as("kept_segs"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
+
   /** Streaming per-domain quota cap — the streaming face of
     * [[graft.operators.CurationOps.domainCap]]'s COUNT bound: admit at most
     * `cap` documents per source, first arrivals win (within a micro-batch,

@@ -138,6 +138,18 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("Scan parquet"), p)
   }
 
+  test("boilerplate strip anti-joins a BROADCAST set; the corpus is never join-shuffled (d17)") {
+    val p = planOf("d17_boilerplate_strip")
+    // the >=minDf set is small by construction: its anti-join and the base
+    // left-join must both ride broadcasts — a SortMergeJoin here would
+    // shuffle the exploded corpus to meet a kilobyte-sized probe set
+    assert(count(p, "BroadcastHashJoin") >= 2, s"d17 lost a broadcast join:\n$p")
+    assert(count(p, "SortMergeJoin") === 0 && count(p, "CartesianProduct") === 0, p)
+    // keyed exchanges: the seg-df count + the reassembly groupBy (partials
+    // for both ride map-side); anything beyond ~4 means a join de-broadcast
+    assert(count(p, "Exchange hashpartitioning") <= 4, s"d17 shuffle shape drifted:\n$p")
+  }
+
   test("substring-span dedup is linear: no cartesian, bounded keyed exchanges (d13)") {
     val p = planOf("d13_substring_spans")
     // seed-and-extend must never pair documents: any nested-loop/cartesian

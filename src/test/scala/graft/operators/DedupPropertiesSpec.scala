@@ -261,6 +261,41 @@ class DedupPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("boilerplate strip (D17): >=3-doc segments excised everywhere, 2-doc segments kept, full-boilerplate doc surfaces empty") {
+    // exact 10-word blocks so segment boundaries align with intent
+    val B = "this site uses cookies accept terms to continue reading now"
+    val U0 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val U1 = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val U2 = "uniform victor whiskey xray yankee zulu one two three four"
+    val C = "shared pair segment words five six seven eight nine ten"
+    val U4 = "extra tail for doc four aa bb cc dd ee"
+    val U5 = "extra tail for doc five ff gg hh ii jj"
+    val df = docsDf(Seq(
+      s"$B $U0",   // 0: boilerplate head
+      s"$B $U1",   // 1: boilerplate head
+      s"$U2 $B",   // 2: boilerplate TAIL — position must not matter
+      B,           // 3: doc IS the boilerplate → must surface as ''
+      s"$C $U4",   // 4: C shared by only TWO docs → below df threshold, kept
+      s"$C $U5",   // 5
+      "tiny words here", // 6: short unique doc, single sub-10-word segment
+      s"$B $B"))   // 7: within-doc repeat — BOTH occurrences excised,
+                   //    but df counts doc 7 once (distinct docs: 0,1,2,3,7)
+    // stage 1: exactly the one >=3-doc segment is boilerplate
+    val boiler = DedupOps.boilerplateSegments(df).collect().map(_.getString(0)).toSet
+    assert(boiler === Set(B), s"boilerplate set: $boiler")
+    val out = DedupOps.boilerplateStrip(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out.size === 8, "every segmented doc surfaces exactly once")
+    assert(out(0L) === ((2L, 1L, U0)))
+    assert(out(1L) === ((2L, 1L, U1)))
+    assert(out(2L) === ((2L, 1L, U2))) // tail-position boilerplate removed too
+    assert(out(3L) === ((1L, 0L, "")))  // fully-boilerplate doc: '' not row loss
+    assert(out(4L) === ((2L, 2L, s"$C $U4"))) // two-doc overlap is d3's territory, kept
+    assert(out(5L) === ((2L, 2L, s"$C $U5")))
+    assert(out(6L) === ((1L, 1L, "tiny words here")))
+    assert(out(7L) === ((2L, 0L, ""))) // both within-doc occurrences excised
+  }
+
   test("exact substring spans (D13): cross/within-doc repeats found, overlaps merge, unique text silent") {
     // hand fixture with every structural case, k = 4 for readability
     val boiler = "all rights reserved by the owner" // 6 words, shared verbatim

@@ -412,6 +412,54 @@ class StatefulParitySpec extends SparkSpec {
     assert(batched(9L)._3 === batched.values.map(_._3).max)
   }
 
+  test("boilerplateStripStream is a STATELESS streaming face; batch face == boilerplateStrip row-for-row (D17)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{length => slen, col => c}
+    val B = "this site uses cookies accept terms to continue reading now"
+    val U0 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val U1 = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val U2 = "uniform victor whiskey xray yankee zulu one two three four"
+    val corpus = Seq(
+      (0L, s"$B $U0"), (1L, s"$B $U1"), (2L, s"$U2 $B"), (3L, B),
+      (4L, "tiny words here"))
+    val corpusDf = corpus.toDF("doc_id", "text")
+      .withColumn("n_chars", slen(c("text")).cast("long"))
+    val ref = graft.operators.DedupOps.boilerplateSegments(corpusDf)
+
+    // 1) cleaned against its own corpus's boilerplate set, the BATCH face
+    //    must equal the batch operator row-for-row (all docs here segment)
+    val viaStream = graft.streaming.StatsStreams
+      .boilerplateStripStream(corpusDf, ref)
+      .select("doc_id", "n_segs", "kept_segs", "clean_text")
+    val viaBatch = graft.operators.DedupOps.boilerplateStrip(corpusDf)
+      .select("doc_id", "n_segs", "kept_segs", "clean_text")
+    assert(viaStream.exceptAll(viaBatch).count() === 0,
+      s"stream face drifted:\n${viaStream.collect().mkString("\n")}\nvs\n${viaBatch.collect().mkString("\n")}")
+    assert(viaBatch.exceptAll(viaStream).count() === 0)
+
+    // 2) the same call on a real MemoryStream (AvailableNow) agrees with its
+    //    own batch face; a live doc whose text is entirely indexed
+    //    boilerplate is cleaned to '' without any state store
+    val live = corpus :+ (9L, s"$B $B")
+    val input = MemoryStream[(Long, String)]
+    input.addData(live: _*)
+    val q = graft.streaming.StatsStreams.boilerplateStripStream(
+        input.toDF().toDF("doc_id", "text"), ref)
+      .writeStream.format("memory").queryName("sp_boiler")
+      .trigger(Trigger.AvailableNow()).outputMode("append").start()
+    try q.awaitTermination() finally q.stop()
+    val streamed = spark.table("sp_boiler")
+      .select("doc_id", "n_segs", "kept_segs", "clean_text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val batched = graft.streaming.StatsStreams.boilerplateStripStream(
+        live.toDF("doc_id", "text"), ref)
+      .select("doc_id", "n_segs", "kept_segs", "clean_text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(streamed.size === batched.size && streamed.forall { case (k, v) => batched(k) == v },
+      "boilerplate strip diverged between stream and batch")
+    assert(streamed(9L) === ((2L, 0L, "")))
+  }
+
   test("dsirScoreStream is a STATELESS streaming face; batch face == dsirWeights bit-for-bit (S10)") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{length => slen, col => c}
