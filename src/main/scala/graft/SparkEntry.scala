@@ -134,6 +134,7 @@ object SparkEntry {
     "t9_regex_tokens" -> ((s: SparkSession, d: String) => TextOps.regexTokens(s, d)),
     "t12_gopher_rules" -> ((s: SparkSession, d: String) => TextOps.gopherRules(s, d)),
     "t13_lm_score" -> ((s: SparkSession, d: String) => TextOps.lmScore(s, d)),
+    "t14_ppl_buckets" -> ((s: SparkSession, d: String) => TextOps.pplBuckets(s, d)),
     // t10: BPE subword tokenization through the fixed demo merge table
     // (training determinism is spec-pinned; the oracle replays the same
     // merge ranks as string replacements)
@@ -1432,6 +1433,40 @@ object SparkEntry {
         |       CAST(sum(term) AS DOUBLE) AS sum_logprob,
         |       floor(CAST(sum(term) AS DOUBLE) * -10000.0 / sum(tf) + 0.5) / 10000.0 AS nll
         |FROM sc GROUP BY doc_id""".stripMargin,
+    // t14: CCNet head/middle/tail perplexity bucketing over t13's nll —
+    // tertile thresholds BY VALUE from the 4dp-quantized nll histogram
+    // (equal scores can never straddle a bucket), head = lowest-nll third.
+    "t14_ppl_buckets" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |bi AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        |       FROM t, unnest(range(1, len(w))) AS u(i)),
+        |db AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bi GROUP BY doc_id, w1, w2),
+        |cb AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS cb FROM db GROUP BY w1, w2),
+        |ctx AS (SELECT w1, CAST(sum(tf) AS BIGINT) AS ctx FROM db GROUP BY w1),
+        |vq AS (SELECT CAST(count(DISTINCT x) AS BIGINT) AS v
+        |       FROM (SELECT unnest(string_split(text, ' ')) AS x FROM documents)),
+        |sc AS (SELECT db.doc_id, db.tf,
+        |              CAST(floor(db.tf * ln((cb.cb + 1.0) / (ctx.ctx + vq.v))
+        |                   * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS term
+        |       FROM db JOIN cb USING (w1, w2) JOIN ctx USING (w1), vq),
+        |scored AS (SELECT doc_id,
+        |                  floor(CAST(sum(term) AS DOUBLE) * -10000.0 / sum(tf) + 0.5)
+        |                    / 10000.0 AS nll
+        |           FROM sc GROUP BY doc_id),
+        |hist AS (SELECT nll, count(*) AS ct FROM scored GROUP BY nll),
+        |cum AS (SELECT nll,
+        |               sum(ct) OVER (ORDER BY nll
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |               sum(ct) OVER () AS n
+        |        FROM hist),
+        |th AS (SELECT min(CASE WHEN cum * 3 >= n THEN nll END) AS t1,
+        |              min(CASE WHEN cum * 3 >= n * 2 THEN nll END) AS t2
+        |       FROM cum)
+        |SELECT doc_id, nll,
+        |       CASE WHEN nll <= t1 THEN 'head'
+        |            WHEN nll <= t2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM scored, th""".stripMargin,
     // t9: regex run-class tokenization (BPE pre-splitter shape).
     "t9_regex_tokens" ->
       """SELECT doc_id,

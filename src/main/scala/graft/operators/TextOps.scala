@@ -352,4 +352,51 @@ object TextOps {
   }
   def lmScore(spark: SparkSession, dir: String): DataFrame =
     lmScore(table(spark, dir, "documents"))
+
+  /** T14 — CCNet perplexity bucketing (Wenzek et al. 2020 §4.3): split the
+    * t13-scored corpus into head/middle/tail THIRDS by nll — head = the
+    * most fluent (lowest-nll) third, the slice CCNet keeps for LM training,
+    * tail = the noisiest. The cut is BY VALUE: tertile thresholds t1/t2 are
+    * the smallest nll values whose cumulative count reaches 1/3 and 2/3 of
+    * scored docs, and every doc with `nll <= t1` is head — equal values
+    * can never straddle a bucket boundary (an ntile split would break ties
+    * by doc_id and make membership depend on a neighbor's id).
+    *
+    * Scale notes (100 TB): a global exact tertile normally needs a global
+    * sort, but t13's nll is ALREADY 4-dp floor-quantized, so its value
+    * histogram is bounded (≤ a few 10⁵ distinct values regardless of corpus
+    * size): the thresholds come from a cumulative sum over that tiny
+    * histogram (the single-partition window is histogram-sized, not
+    * corpus-sized) and broadcast back; assignment is map-side. The t13
+    * scored frame — ONE (doc_id, nll) row per document, ~1/10⁵ of corpus
+    * bytes — is cached so the corpus-scale LM work runs ONCE for the two
+    * consumers (histogram + assignment); pruning-divergent branches
+    * de-canonicalize the t13 subtree, so AQE exchange reuse does NOT cover
+    * this split (measured: 8 scans / 15 exchanges uncached vs 2 scans
+    * cached — the d8 bands.cache() precedent; the bench clears caches
+    * between queries, pipelines own the release). All threshold
+    * comparisons are integer (3·cum vs n); the only doubles are the
+    * already-quantized nll leaves.
+    */
+  def pplBuckets(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = lmScore(d).select(col("doc_id"), col("nll")).cache()
+    val hist = scored.groupBy(col("nll")).agg(count(lit(1)).as("ct"))
+    val all = Window.orderBy(col("nll"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = hist
+      .withColumn("cum", sum(col("ct")).over(Window.orderBy(col("nll"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("ct")).over(all))
+    val th = cum.agg(
+      min(when(col("cum") * 3 >= col("n"), col("nll"))).as("t1"),
+      min(when(col("cum") * 3 >= col("n") * 2, col("nll"))).as("t2"))
+    scored.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("nll"),
+        when(col("nll") <= col("t1"), "head")
+          .when(col("nll") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame =
+    pplBuckets(table(spark, dir, "documents"))
 }

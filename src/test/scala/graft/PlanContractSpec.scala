@@ -150,6 +150,16 @@ class PlanContractSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") <= 4, s"d17 shuffle shape drifted:\n$p")
   }
 
+  test("ppl bucketing runs the LM subtree once via the cached scored frame (t14)") {
+    val p = planOf("t14_ppl_buckets")
+    // both consumers (value histogram + bucket assignment) must read the
+    // doc-level cache, not re-run the corpus-scale t13 subtree (pruning-
+    // divergent branches de-canonicalize it, so AQE reuse can't help here)
+    assert(count(p, "InMemoryTableScan") >= 2, s"t14 lost its scored cache:\n$p")
+    // the threshold row comes back as a broadcast, never a corpus shuffle
+    assert(count(p, "SortMergeJoin") === 0, p)
+  }
+
   test("substring-span dedup is linear: no cartesian, bounded keyed exchanges (d13)") {
     val p = planOf("d13_substring_spans")
     // seed-and-extend must never pair documents: any nested-loop/cartesian

@@ -152,4 +152,28 @@ class TextOpsSpec extends SparkSpec {
     // identical docs get identical scores
     assert((2L to 8L).forall(i => r(i) === r(1L)))
   }
+
+  test("t14 ppl buckets: head is the most fluent third; equal scores never straddle a boundary") {
+    import spark.implicits._
+    // three fluency tiers: 4 docs saturated in the corpus-dominant bigram,
+    // 4 docs mixing it with rarer ones, 4 docs of one-off noise bigrams
+    val fluent = (1L to 4L).map(i => (i, "the data the data the data"))
+    val mid = (5L to 8L).map(i => (i, s"the data mixes level$i tokens"))
+    val noisy = (9L to 12L).map(i => (i, s"q$i w$i e$i r$i t$i"))
+    val df = (fluent ++ mid ++ noisy).toDF("doc_id", "text")
+    val out = TextOps.pplBuckets(df).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+    assert(out.size === 12)
+    // identical texts have identical nll → identical bucket (the by-value
+    // contract: ties cannot be split to equalize counts)
+    assert((1L to 4L).map(out(_)._2).toSet.size === 1)
+    assert((1L to 4L).forall(out(_)._2 == "head"),
+      s"saturated-bigram docs must be head: $out")
+    assert((9L to 12L).forall(out(_)._2 == "tail"),
+      s"one-off-bigram docs must be tail: $out")
+    // buckets are ordered by value: max(head nll) <= min(middle) <= ...
+    def nlls(b: String) = out.values.collect { case (v, `b`) => v }
+    assert(nlls("head").max <= nlls("middle").min)
+    assert(nlls("middle").max <= nlls("tail").min)
+  }
 }
