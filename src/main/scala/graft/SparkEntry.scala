@@ -118,6 +118,7 @@ object SparkEntry {
     "g6_zipf_slope" -> ((s: SparkSession, d: String) => CurationOps.zipfSlope(s, d)),
     "s9_temperature_mix" -> ((s: SparkSession, d: String) => CurationOps.temperatureMix(s, d)),
     "s10_dsir_weights" -> ((s: SparkSession, d: String) => CurationOps.dsirWeights(s, d)),
+    "s11_leakage_split" -> ((s: SparkSession, d: String) => CurationOps.leakageSafeSplit(s, d)),
     // exact=true opts into the reducer-buffered exact percentile the DuckDB
     // oracle states; the operator's 100 TB default is the t-digest path
     "g2_token_quantiles" -> ((s: SparkSession, d: String) => CurationOps.tokenQuantiles(s, d, exact = true)),
@@ -1085,6 +1086,23 @@ object SparkEntry {
         """SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
           |FROM documents d JOIN cl ON d.doc_id = cl.doc_id
           |WHERE cl.doc_id = cl.cluster_id""".stripMargin),
+    // s11: leakage-safe split — every doc inherits the 80/10/10 draw of its
+    // d10 cluster_id (hex16 of a salted md5, exact integer thresholds), so
+    // near-dup pairs can never straddle a split; rides the SAME recursive
+    // closure CTE as d10/d11 (one definition of the cluster contract).
+    "s11_leakage_split" -> {
+      def sp(key: String) = {
+        val h = hex16(s"md5('split:' || CAST($key AS VARCHAR))")
+        s"CASE WHEN $h * 10 < 524288 THEN 'train' " +
+          s"WHEN $h * 10 < 589824 THEN 'val' ELSE 'test' END"
+      }
+      clusterSql(
+        s"""SELECT cl.doc_id, cl.cluster_id,
+           |       ${sp("cl.doc_id")} AS naive_split,
+           |       ${sp("cl.cluster_id")} AS split,
+           |       ${sp("cl.doc_id")} <> ${sp("cl.cluster_id")} AS moved
+           |FROM cl""".stripMargin)
+    },
     // d12: segment (paragraph) dedup — same 10-word segmentation, first
     // corpus occurrence by (doc_id, seg_idx), docs reassembled in seg order.
     "d12_segment_dedup" ->

@@ -74,6 +74,48 @@ object CurationOps {
   def hashSample(spark: SparkSession, dir: String): DataFrame =
     hashSample(table(spark, dir, "documents"))
 
+  /** S11 — leakage-safe train/val/test split: the evaluation-hygiene
+    * counterpart of s1's plain hash split. A naive per-document 80/10/10
+    * hash assignment leaks whenever two NEAR-DUPLICATE documents land in
+    * different splits (the test set then contains soft copies of training
+    * data — the published train/test-overlap failure the GPT-3 and
+    * Deduplicating-Training-Data papers measure). Here the UNIT of
+    * assignment is the d10 near-dup CLUSTER: every member inherits the
+    * split drawn from the salted hash of its cluster_id, so no near-dup
+    * pair — even a transitively-connected one — can ever straddle a split
+    * boundary, by construction. `naive_split` (the per-doc draw) and
+    * `moved` surface the repair for accounting.
+    *
+    * Split fractions are exact integer comparisons on a 16-bit hash
+    * (u·10 < 65536·8 ⇔ u < 80% of the key space) — the s1/s2 seedless
+    * determinism discipline, reproducible across engines and runs.
+    *
+    * Scale notes (100 TB): cluster formation is d10's candidate-bounded
+    * LSH + pointer-jumping closure (never pairwise); the split draw itself
+    * is a map-side projection over the (doc_id, cluster_id) frame. Nothing
+    * new shuffles beyond what d10 already pays, and pipelines that already
+    * ran `nearDupClusters` reuse it via the (docs, clusters) overload —
+    * the d11 cluster-reuse pattern.
+    */
+  def leakageSafeSplit(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    def u(key: Column, salt: String): Column =
+      conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 4), 16, 10)
+        .cast("long")
+    def splitOf(uu: Column): Column =
+      when(uu * 10 < 65536L * 8, "train")
+        .when(uu * 10 < 65536L * 9, "val")
+        .otherwise("test")
+    clusters.select(col("doc_id"), col("cluster_id"),
+        splitOf(u(col("doc_id"), "split:")).as("naive_split"),
+        splitOf(u(col("cluster_id"), "split:")).as("split"))
+      .withColumn("moved", col("naive_split") =!= col("split"))
+  }
+  def leakageSafeSplit(docs: DataFrame, threshold: Double): DataFrame =
+    leakageSafeSplit(docs,
+      graft.operators.DedupOps.nearDupClusters(docs, threshold))
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame =
+    leakageSafeSplit(table(spark, dir, "documents"), 0.7)
+
   /** S2 — deterministic training-shard shuffle: shard by a salted hash, order
     * within each shard by a second hash — the standard "global shuffle" for
     * training export, done WITHOUT a global sort. Each shard's row_number runs

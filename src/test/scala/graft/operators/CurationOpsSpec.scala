@@ -32,6 +32,33 @@ class CurationOpsSpec extends SparkSpec {
     assert(a.join(docs.select("doc_id"), Seq("doc_id"), "left_anti").count() === 0)
   }
 
+  test("leakage-safe split: no near-dup pair straddles a split; repairs are accounted (S11)") {
+    val split = CurationOps.leakageSafeSplit(spark, sf).cache()
+    // covers every clustered doc exactly once
+    val clusters = graft.operators.DedupOps.nearDupClusters(docs, 0.7)
+    assert(split.count() === clusters.count())
+    // THE invariant: every near-dup pair (even transitively connected ones
+    // share a cluster_id) gets ONE split — zero cross-split pairs remain
+    val bySplit = split.groupBy("cluster_id")
+      .agg(countDistinct("split").as("n_splits"))
+    assert(bySplit.filter(col("n_splits") > 1).count() === 0,
+      "a cluster straddles a split boundary")
+    // a doc moved iff its own draw differs from its cluster's draw; docs
+    // that ARE their cluster representative can never move
+    assert(split.filter(col("doc_id") === col("cluster_id") && col("moved"))
+      .count() === 0)
+    assert(split.filter((col("naive_split") =!= col("split")) =!= col("moved"))
+      .count() === 0)
+    // the hash draw lands near 80/10/10 on the corpus (loose bounds — the
+    // repair and a 16-bit draw both perturb the exact fractions)
+    val n = split.count().toDouble
+    val frac = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1) / n).toMap
+    assert(frac("train") > 0.7 && frac("train") < 0.9, s"fractions: $frac")
+    assert(frac.getOrElse("val", 0.0) < 0.2 && frac.getOrElse("test", 0.0) < 0.2)
+    split.unpersist()
+  }
+
   test("train shuffle partitions the corpus into dense per-shard sequences") {
     val s = CurationOps.trainShuffle(docs).cache()
     assert(s.count() === docs.count())
