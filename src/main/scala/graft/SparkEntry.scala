@@ -136,6 +136,7 @@ object SparkEntry {
     "t12_gopher_rules" -> ((s: SparkSession, d: String) => TextOps.gopherRules(s, d)),
     "t13_lm_score" -> ((s: SparkSession, d: String) => TextOps.lmScore(s, d)),
     "t14_ppl_buckets" -> ((s: SparkSession, d: String) => TextOps.pplBuckets(s, d)),
+    "t15_nb_quality" -> ((s: SparkSession, d: String) => TextOps.nbQualityScore(s, d)),
     // t10: BPE subword tokenization through the fixed demo merge table
     // (training determinism is spec-pinned; the oracle replays the same
     // merge ranks as string replacements)
@@ -1485,6 +1486,44 @@ object SparkEntry {
         |       CASE WHEN nll <= t1 THEN 'head'
         |            WHEN nll <= t2 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM scored, th""".stripMargin,
+    // t15: Naive-Bayes quality classifier — add-one multinomial NB over word
+    // unigrams, positive class = t2's quality gate, log-odds WITH the class
+    // prior (the classifier complement of s10's prior-free importance
+    // ratio); every ln leaf-quantized, sums DECIMAL (the t13 convention).
+    "t15_nb_quality" ->
+      """WITH l AS (SELECT doc_id, string_split(text, ' ') AS w, n_chars FROM documents),
+        |lab AS (SELECT doc_id, w,
+        |          (CASE WHEN len(w) >= 20 THEN 1 ELSE 0 END +
+        |           CASE WHEN len(list_filter(w, x -> x = 'the' OR x = 'a')) > 0 THEN 1 ELSE 0 END +
+        |           CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) >= 2 AS is_pos
+        |        FROM l),
+        |tk AS (SELECT doc_id, is_pos, unnest(w) AS word FROM lab),
+        |dw AS (SELECT doc_id, word, is_pos, count(*) AS tf
+        |       FROM tk GROUP BY doc_id, word, is_pos),
+        |model AS (SELECT word,
+        |            CAST(sum(CASE WHEN is_pos THEN tf ELSE 0 END) AS BIGINT) AS cp,
+        |            CAST(sum(CASE WHEN NOT is_pos THEN tf ELSE 0 END) AS BIGINT) AS cn
+        |          FROM dw GROUP BY word),
+        |tot AS (SELECT CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |               CAST(sum(CASE WHEN NOT is_pos THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+        |               CAST(sum(CASE WHEN is_pos THEN len(w) ELSE 0 END) AS BIGINT) AS tp,
+        |               CAST(sum(CASE WHEN NOT is_pos THEN len(w) ELSE 0 END) AS BIGINT) AS tn
+        |        FROM lab),
+        |vq AS (SELECT CAST(count(DISTINCT x) AS BIGINT) AS v
+        |       FROM (SELECT unnest(string_split(text, ' ')) AS x FROM documents)),
+        |sc AS (SELECT dw.doc_id, dw.tf,
+        |              CAST(floor(dw.tf * ln((m.cp + 1.0) / (t.tp + vq.v))
+        |                   * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS term_p,
+        |              CAST(floor(dw.tf * ln((m.cn + 1.0) / (t.tn + vq.v))
+        |                   * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS term_n,
+        |              CAST(floor(ln(t.np / CAST(t.nn AS DOUBLE))
+        |                   * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS prior
+        |       FROM dw JOIN model m USING (word), tot t, vq)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |       CAST(max(prior) + sum(term_p) - sum(term_n) AS DOUBLE) AS log_odds,
+        |       CASE WHEN CAST(max(prior) + sum(term_p) - sum(term_n) AS DOUBLE) > 0
+        |            THEN 'keep' ELSE 'drop' END AS predicted
+        |FROM sc GROUP BY doc_id""".stripMargin,
     // t9: regex run-class tokenization (BPE pre-splitter shape).
     "t9_regex_tokens" ->
       """SELECT doc_id,

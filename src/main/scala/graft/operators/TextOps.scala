@@ -399,4 +399,77 @@ object TextOps {
   }
   def pplBuckets(spark: SparkSession, dir: String): DataFrame =
     pplBuckets(table(spark, dir, "documents"))
+
+  /** T15 — Naive-Bayes quality classifier, the classifier-filter stage of
+    * the published curation recipes (GPT-3 §A trained a classifier on
+    * known-good text and kept documents it scored positive; CCNet ships the
+    * same shape with fastText). Self-supervised bootstrap like s10: the
+    * positive class is t2's quality gate. A multinomial NB model over word
+    * unigrams is fit in one pass — add-one-smoothed per-class likelihoods
+    * plus the CLASS PRIOR (what separates a classifier decision from s10's
+    * prior-free importance ratio) — and every document scores
+    * `log_odds = ln(Np/Nn) + Σ_w tf_w·(ln P(w|pos) − ln P(w|neg))`,
+    * `predicted = keep iff log_odds > 0`.
+    *
+    * Determinism: the prior and every per-(doc,word) ln term are 4-dp
+    * floor-quantized at the leaf and summed as DECIMAL(18,4) — the t13
+    * convention, so shuffle merge order can never move the hash.
+    *
+    * Scale notes (100 TB): ONE corpus-scale shuffle — the (doc_id, word)
+    * tf aggregation with `is_pos` riding the grouping key (constant per
+    * doc; the s10 lesson — a joined-back label would re-explode the
+    * corpus). The model groups those already doc-aggregated rows
+    * (vocabulary-sized output, exchange reused) and broadcasts back;
+    * doc/token totals ride a SEPARATE LIGHT scan (projection + one-row
+    * agg — deriving them from the model table would put two broadcast
+    * branches over one subtree, which AQE reuse does not reliably dedupe).
+    * Scoring is a map-side projection. Nothing quadratic, nothing
+    * driver-side.
+    */
+  def nbQualityScore(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val isPos = (when(nWords(w) >= 20, 1).otherwise(0) +
+      when(stopCt(w) > 0, 1).otherwise(0) +
+      when(col("n_chars") >= 100, 1).otherwise(0)) >= 2
+    // spread BEFORE the explode: a compacted corpus arriving as one parquet
+    // split would otherwise explode its whole token stream inside 1-2 tasks
+    // (measured 11 tasks / 3.7s at sf0.1 without it)
+    val toks = graft.Tables.spread(
+        docs.select(col("doc_id"), isPos.as("is_pos"), col("text")))
+      .select(col("doc_id"), col("is_pos"), explode(words(col("text"))).as("word"))
+      .filter(col("word").isNotNull)
+    val dw = toks.groupBy("doc_id", "word", "is_pos")
+      .agg(count(lit(1)).as("tf"))
+    // per-class word counts from the per-doc aggregate (vocab-sized):
+    // conditional sums keep ONE shared exchange (the s10 bm recipe)
+    val model = dw.groupBy("word").agg(
+      sum(when(col("is_pos"), col("tf")).otherwise(0L)).as("cp"),
+      sum(when(!col("is_pos"), col("tf")).otherwise(0L)).as("cn"))
+    // doc counts, per-class token totals, vocab size: light scans, no explode
+    val totals = docs.select(isPos.as("ip"), nWords(w).as("nw"))
+      .agg(sum(when(col("ip"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("ip"), 1L).otherwise(0L)).as("nn"),
+        sum(when(col("ip"), col("nw")).otherwise(0L)).as("tp"),
+        sum(when(!col("ip"), col("nw")).otherwise(0L)).as("tn"))
+    val vq = graft.Tables.spread(docs.select(col("text")))
+      .select(explode(words(col("text"))).as("x"))
+      .agg(countDistinct(col("x")).as("v"))
+    def q4(c: Column): Column =
+      (floor(c * 10000.0 + 0.5) / 10000.0).cast("decimal(18,4)")
+    val scored = dw.join(broadcast(model), Seq("word"))
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(vq))
+      .withColumn("term_p", q4(col("tf") * log((col("cp") + 1.0) / (col("tp") + col("v")))))
+      .withColumn("term_n", q4(col("tf") * log((col("cn") + 1.0) / (col("tn") + col("v")))))
+      .withColumn("prior", q4(log(col("np") / cast2d(col("nn")))))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"),
+        (max(col("prior")) + sum(col("term_p")) - sum(col("term_n")))
+          .cast("double").as("log_odds"))
+      .withColumn("predicted",
+        when(col("log_odds") > 0, "keep").otherwise("drop"))
+    scored
+  }
+  private def cast2d(c: Column): Column = c.cast("double")
+  def nbQualityScore(spark: SparkSession, dir: String): DataFrame =
+    nbQualityScore(table(spark, dir, "documents"))
 }

@@ -606,6 +606,75 @@ object StatsStreams {
       .withColumn("gscore", col("weight") + col("gumbel"))
   }
 
+  /** Streaming NB quality classification — the streaming face of
+    * [[graft.operators.TextOps.nbQualityScore]] (t15): incoming docs are
+    * scored against a STATIC pre-trained Naive-Bayes model (trained here
+    * from the indexed `corpus` with the same construction as the batch
+    * operator). The model aggregates to one row of two vocabulary-sized
+    * maps (word→pos count, word→neg count) plus token totals and vocab
+    * size; class doc-counts ride a second one-row broadcast; each doc's
+    * whole log-odds is computed inside the row projection — a STATELESS
+    * streaming projection, the [[lmScoreStream]] recipe.
+    *
+    * Exact batch parity by construction: the in-row fold walks the SORTED
+    * word array, collapses equal runs to (word, tf), and accumulates
+    * `floor(tf·ln(P)·10⁴ + 0.5)` per class as INTEGER deci-milli counts —
+    * the very quantities the batch face sums as DECIMAL(18,4) — plus the
+    * identically-quantized prior, so `log_odds`/`predicted` match
+    * bit-for-bit (parity-pinned). Model-unseen words back off to the
+    * add-one zero-count estimate for BOTH classes, so live vocabulary
+    * drift shifts scores smoothly instead of crashing the query.
+    *
+    * Scale notes: an NB unigram model is vocabulary-sized — megabytes for
+    * any corpus — so the broadcast is the right distribution; re-train and
+    * swap the model per index build, like [[stripSpansStream]]'s grams.
+    */
+  def nbScoreStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    val w0 = split(col("text"), " ")
+    val isPos = (when(size(w0).cast("long") >= 20, 1).otherwise(0) +
+      when(size(filter(w0, x => x === "the" || x === "a")) > 0, 1).otherwise(0) +
+      when(col("n_chars") >= 100, 1).otherwise(0)) >= 2
+    val tf = corpus.select(isPos.as("is_pos"), explode(w0).as("word"))
+      .filter(col("word").isNotNull)
+    val perWord = tf.groupBy("word").agg(
+      sum(when(col("is_pos"), 1L).otherwise(0L)).as("cp"),
+      sum(when(!col("is_pos"), 1L).otherwise(0L)).as("cn"))
+    val maps = perWord.agg(
+      map_from_arrays(collect_list(col("word")), collect_list(col("cp"))).as("cpmap"),
+      map_from_arrays(collect_list(col("word")), collect_list(col("cn"))).as("cnmap"),
+      sum("cp").as("tp"), sum("cn").as("tn"), count(lit(1)).as("v"))
+    val docsCt = corpus.agg(
+      sum(when(isPos, 1L).otherwise(0L)).as("np"),
+      sum(when(!isPos, 1L).otherwise(0L)).as("nn"))
+    def term(wrd: String, tfE: String, cmap: String, tot: String): String =
+      s"""CAST(FLOOR(CAST($tfE AS DOUBLE) * ln(
+         |  (CAST(coalesce(element_at($cmap, $wrd), CAST(0 AS BIGINT)) AS DOUBLE) + 1.0) /
+         |  (CAST($tot AS DOUBLE) + CAST(v AS DOUBLE))) * 10000.0 + 0.5) AS BIGINT)""".stripMargin
+    def terms(wrd: String, tfE: String): String =
+      s"""(${term(wrd, tfE, "cpmap", "tp")} - ${term(wrd, tfE, "cnmap", "tn")})"""
+    val fold =
+      s"""aggregate(
+         |  array_sort(w),
+         |  named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT), 'acc', CAST(0 AS BIGINT)),
+         |  (a, x) -> IF(x <=> a.prev,
+         |    named_struct('prev', a.prev, 'run', a.run + CAST(1 AS BIGINT), 'acc', a.acc),
+         |    named_struct('prev', x, 'run', CAST(1 AS BIGINT),
+         |      'acc', a.acc + IF(a.prev IS NULL, CAST(0 AS BIGINT), ${terms("a.prev", "a.run")}))),
+         |  a -> a.acc + IF(a.prev IS NULL, CAST(0 AS BIGINT), ${terms("a.prev", "a.run")}))""".stripMargin
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .crossJoin(broadcast(maps))
+      .crossJoin(broadcast(docsCt))
+      .withColumn("acc", expr(fold))
+      .withColumn("prior_dm", expr(
+        "CAST(FLOOR(ln(CAST(np AS DOUBLE) / CAST(nn AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        ((col("prior_dm") + col("acc")).cast("double") / 10000.0).as("log_odds"))
+      .withColumn("predicted",
+        when(col("log_odds") > 0, "keep").otherwise("drop"))
+  }
+
   /** A4/X1 — KeywordStats streaming: tokenize (whitespace UDTF replacement,
     * app/function/SplitFunction.java:12-28) + 10s window count.
     * Input columns: full_word string, ts (millis).

@@ -217,6 +217,21 @@ class PlanContractSpec extends SparkSpec {
     assert(count(p, "BroadcastHashJoin") >= 1, p)
   }
 
+  test("nb classifier shuffles the corpus once; model and totals broadcast back (t15)") {
+    val df = SparkEntry.queries("t15_nb_quality")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the corpus explodes into words once for the tf aggregate (the model
+    // groups it through a ReusedExchange) and once for the vocab count;
+    // totals ride a no-explode projection — never a fourth pass
+    assert(count(p, "Generate explode") === 2, s"t15 re-explodes the corpus:\n$p")
+    assert(count(p, "ReusedExchange") >= 1, s"t15 tf exchange not reused:\n$p")
+    assert(count(p, "Scan parquet") <= 3, s"t15 corpus scan count drifted:\n$p")
+    // vocab-sized model + one-row totals/vocab join back broadcast
+    assert(count(p, "SortMergeJoin") === 0, p)
+    assert(count(p, "BroadcastHashJoin") >= 1, p)
+  }
+
   test("semdedup stays within-cluster: broadcast centroids, no cartesian corpus pair (d16)") {
     val p = planOf("d16_semdedup")
     assert(count(p, "CartesianProduct") === 0, p)

@@ -153,6 +153,26 @@ class TextOpsSpec extends SparkSpec {
     assert((2L to 8L).forall(i => r(i) === r(1L)))
   }
 
+  test("t15 nb classifier separates disjoint-vocabulary classes; identical docs score identically") {
+    import spark.implicits._
+    // balanced classes (prior = ln(3/3) = 0) with DISJOINT vocabularies:
+    // every pos word has cn = 0 and vice versa, so the per-word evidence
+    // cleanly dominates and min(pos log_odds) > max(neg log_odds)
+    val posText = ("the good clean fluent prose reads well and " * 3).trim // 24 words, has 'the'
+    val pos = (1L to 3L).map(i => (i, posText, 120L))
+    val neg = (4L to 6L).map(i => (i, "junk noise qq zz", 10L))
+    val df = (pos ++ neg).toDF("doc_id", "text", "n_chars")
+    val out = TextOps.nbQualityScore(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getString(3)))).toMap
+    assert(out.size === 6, "every doc surfaces exactly once")
+    assert((1L to 3L).map(out(_)._2).toSet.size === 1, "identical docs, identical score")
+    assert((1L to 3L).forall(out(_)._3 == "keep"), s"pos docs must keep: $out")
+    assert((4L to 6L).forall(out(_)._3 == "drop"), s"neg docs must drop: $out")
+    assert((1L to 3L).map(out(_)._2).min > (4L to 6L).map(out(_)._2).max)
+    // n_tokens is the doc's word count
+    assert(out(1L)._1 === 24L && out(4L)._1 === 4L)
+  }
+
   test("t14 ppl buckets: head is the most fluent third; equal scores never straddle a boundary") {
     import spark.implicits._
     // three fluency tiers: 4 docs saturated in the corpus-dominant bigram,

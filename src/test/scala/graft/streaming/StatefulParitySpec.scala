@@ -460,6 +460,51 @@ class StatefulParitySpec extends SparkSpec {
     assert(streamed(9L) === ((2L, 0L, "")))
   }
 
+  test("nbScoreStream is a STATELESS streaming face; batch face == nbQualityScore bit-for-bit (T15)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{length => slen, col => c}
+    // long stopworded docs pass the t2 positive gate; short ones don't
+    val corpus = Seq(
+      (1L, ("the data and the model go to the store and that works fine " * 3).trim),
+      (2L, "a b a b a b"), (3L, "c d"), (4L, "short noise tokens qq"),
+      (5L, ("the quick brown fox jumps over the lazy dog again and again today " * 2).trim))
+    val corpusDf = corpus.toDF("doc_id", "text")
+      .withColumn("n_chars", slen(c("text")).cast("long"))
+
+    // 1) scored against its own training corpus, the BATCH face must equal
+    //    the batch operator row-for-row including the quantized doubles —
+    //    the integer deci-milli fold is the same sum the decimal path takes
+    val viaStream = graft.streaming.StatsStreams.nbScoreStream(corpusDf, corpusDf)
+      .select("doc_id", "n_tokens", "log_odds", "predicted")
+    val viaBatch = graft.operators.TextOps.nbQualityScore(corpusDf)
+      .select("doc_id", "n_tokens", "log_odds", "predicted")
+    assert(viaStream.exceptAll(viaBatch).count() === 0,
+      s"stream face drifted:\n${viaStream.collect().mkString("\n")}\nvs\n${viaBatch.collect().mkString("\n")}")
+    assert(viaBatch.exceptAll(viaStream).count() === 0)
+
+    // 2) the same call on a real MemoryStream (AvailableNow) agrees with
+    //    its own batch face; a doc of model-unseen words still scores
+    //    finite (both-class add-one backoff)
+    val live = corpus :+ (9L, "zz qq zz qq zz")
+    val input = MemoryStream[(Long, String)]
+    input.addData(live: _*)
+    val q = graft.streaming.StatsStreams.nbScoreStream(
+        input.toDF().toDF("doc_id", "text"), corpusDf)
+      .writeStream.format("memory").queryName("sp_nb")
+      .trigger(Trigger.AvailableNow()).outputMode("append").start()
+    try q.awaitTermination() finally q.stop()
+    val streamed = spark.table("sp_nb")
+      .select("doc_id", "n_tokens", "log_odds", "predicted").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getString(3)))).toMap
+    val batched = graft.streaming.StatsStreams.nbScoreStream(
+        live.toDF("doc_id", "text"), corpusDf)
+      .select("doc_id", "n_tokens", "log_odds", "predicted").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getString(3)))).toMap
+    assert(streamed.size === batched.size && streamed.forall { case (k, v) => batched(k) == v },
+      "nb scoring diverged between stream and batch")
+    assert(!streamed(9L)._2.isNaN && !streamed(9L)._2.isInfinite)
+  }
+
   test("dsirScoreStream is a STATELESS streaming face; batch face == dsirWeights bit-for-bit (S10)") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{length => slen, col => c}
