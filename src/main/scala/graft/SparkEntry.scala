@@ -84,6 +84,7 @@ object SparkEntry {
     "d13_substring_spans" -> ((s: SparkSession, d: String) => DedupOps.exactSubstringSpans(s, d)),
     "d14_strip_spans" -> ((s: SparkSession, d: String) => DedupOps.stripDuplicatedSpans(s, d)),
     "d17_boilerplate_strip" -> ((s: SparkSession, d: String) => DedupOps.boilerplateStrip(s, d)),
+    "d18_containment_pairs" -> ((s: SparkSession, d: String) => DedupOps.containmentPairs(s, d)),
     "g5_dup_rate_by_source" -> ((s: SparkSession, d: String) => DedupOps.dupRateBySource(s, d)),
     // LLM-data-pipeline: similarity search
     "n1_ann_cosine_topk" -> ((s: SparkSession, d: String) => AnnOps.cosineTopK(s, d)),
@@ -1104,6 +1105,32 @@ object SparkEntry {
            |       ${sp("cl.doc_id")} <> ${sp("cl.cluster_id")} AS moved
            |FROM cl""".stripMargin)
     },
+    // d18: asymmetric containment pairs — |A∩B|/min(|A|,|B|) over distinct
+    // shingle sets, candidates from shingles with df in [2, 50] sharing
+    // >= 2 of them (the d15 posting-join bounds); containment thresholded
+    // AFTER 4dp quantization.
+    "d18_containment_pairs" ->
+      (shingleCte +
+        """,
+          |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          |rare AS (SELECT shingle FROM sh GROUP BY shingle
+          |         HAVING count(*) BETWEEN 2 AND 50),
+          |k AS (SELECT doc_id, shingle FROM sh JOIN rare USING (shingle)),
+          |cand AS (SELECT x.doc_id AS a, y.doc_id AS b
+          |         FROM k x JOIN k y
+          |           ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+          |         GROUP BY x.doc_id, y.doc_id HAVING count(*) >= 2),
+          |inter AS (SELECT c.a, c.b, count(*) AS inter_ct
+          |          FROM cand c
+          |          JOIN sh sa ON sa.doc_id = c.a
+          |          JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+          |          GROUP BY c.a, c.b)
+          |SELECT i.a AS doc_a, i.b AS doc_b, i.inter_ct,
+          |       ca.n AS na, cb.n AS nb,
+          |       floor(i.inter_ct * 10000.0 / least(ca.n, cb.n) + 0.5) / 10000.0 AS containment
+          |FROM inter i JOIN cnt ca ON ca.doc_id = i.a
+          |             JOIN cnt cb ON cb.doc_id = i.b
+          |WHERE floor(i.inter_ct * 10000.0 / least(ca.n, cb.n) + 0.5) / 10000.0 >= 0.8""".stripMargin),
     // d12: segment (paragraph) dedup — same 10-word segmentation, first
     // corpus occurrence by (doc_id, seg_idx), docs reassembled in seg order.
     "d12_segment_dedup" ->

@@ -178,6 +178,64 @@ object DedupOps {
         (floor(col("inter_ct") * 10000.0 / uni + 0.5) / 10000.0).as("jaccard"))
   }
 
+  /** D18 — asymmetric CONTAINMENT pairs: `|A∩B| / min(|A|, |B|)` over the
+    * distinct shingle sets, the quote/inclusion case symmetric Jaccard
+    * structurally misses — a short document wholly embedded in a long one
+    * has containment 1.0 but Jaccard ≈ |A|/|B| ≈ 0, so it never collides in
+    * d3's MinHash bands (which estimate Jaccard BY DESIGN). Candidates come
+    * from a shared-rare-shingle posting join instead (the d15 recipe):
+    * shingles with document frequency in [2, maxDf] vote pairs, which
+    * bounds the self-join at Σdf² ≤ maxDf·Σdf — linear in corpus shingles,
+    * never pairwise. A df-1 shingle can vote nothing; a stopword-like
+    * shingle above the cap votes noise quadratically and is dropped, the
+    * MOSS/winnow common-hash discipline. Candidates must share ≥
+    * `minShared` rare shingles (the d15 rule) before the verify runs:
+    * measured at sf0.1 this prunes 1.13M one-incidental-shingle pairs to
+    * 112k while losing ZERO ≥0.8-containment pairs — a true pair's shared
+    * run of text votes many shingles, an accidental collision votes one.
+    * (Like the df cap itself, this is a candidate-recall trade: a pair
+    * whose smaller side has a single rare shingle in common is not
+    * generated — MOSS's published posting discipline, not exhaustive
+    * search.)
+    *
+    * Verify is [[jaccardOf]]'s shape: sets broadcast to the candidate rows,
+    * the native count-only [[graft.functions.IntersectCount]] per pair,
+    * 4-dp floor-quantized containment compared AFTER quantization so both
+    * engines threshold the same number.
+    *
+    * Scale notes (100 TB): one shingle-keyed df count + one posting
+    * self-join bounded by the df cap + map-side verify — the d15 shuffle
+    * budget plus the set join-back; nothing quadratic in the corpus.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.8,
+      maxDf: Long = 50, minShared: Long = 2): DataFrame = {
+    val sets = graft.Tables.spread(
+        docShingles(docs).select(col("doc_id"), col("shset"), col("n")))
+      .cache()
+    val post = sets.select(col("doc_id"), explode(col("shset")).as("sh"))
+    val rare = post.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf)).select("sh")
+    val kept = post.join(rare, Seq("sh"))
+    val cand = kept.select(col("sh"), col("doc_id").as("a"))
+      .join(kept.select(col("sh"), col("doc_id").as("b")), Seq("sh"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared_rare"))
+      .filter(col("shared_rare") >= minShared)
+      .select("a", "b")
+    val contain =
+      floor(col("inter_ct") * 10000.0 / least(col("na"), col("nb")) + 0.5) / 10000.0
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("shset").as("sa"), col("n").as("na")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("shset").as("sb"), col("n").as("nb")), Seq("b"))
+      .withColumn("inter_ct", graft.functions.IntersectCount(col("sa"), col("sb")))
+      .withColumn("containment", contain)
+      .filter(col("containment") >= threshold)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        col("inter_ct"), col("na"), col("nb"), col("containment"))
+  }
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(table(spark, dir, "documents"))
+
   /** Corpus-level near-dup REMOVAL: drop every doc that is ≥ `threshold`
     * Jaccard-similar to a lower-id doc (greedy keep-first, the standard
     * training-data dedup policy; exact duplicates always drop since their

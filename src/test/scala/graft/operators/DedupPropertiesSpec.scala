@@ -296,6 +296,33 @@ class DedupPropertiesSpec extends SparkSpec {
     assert(out(7L) === ((2L, 0L, ""))) // both within-doc occurrences excised
   }
 
+  test("containment pairs (D18): an embedded short doc scores 1.0; bounds and ordering hold") {
+    // doc 1 = 10 consecutive words lifted from doc 0's middle: every shingle
+    // of doc 1 is a shingle of doc 0 → containment 1.0, while Jaccard is
+    // only ~8/28 (the asymmetric case MinHash bands structurally miss)
+    val host = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango " +
+      "uniform victor whiskey xray yankee zulu niner octo deca endword")
+    val embedded = host.split(" ").slice(10, 20).mkString(" ")
+    val unrelated = "one two three four five six seven eight nine ten eleven twelve"
+    val df = docsDf(Seq(host, embedded, unrelated))
+    val out = DedupOps.containmentPairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.length === 1, s"exactly the embedded pair: ${out.mkString(",")}")
+    val (a, b, inter, na, nb, c) = out.head
+    assert(a === 0L && b === 1L, "pairs ordered doc_a < doc_b")
+    assert(c === 1.0, s"full containment, got $c")
+    assert(inter === math.min(na, nb), "intersection equals the smaller set")
+    // bounded and well-formed on generated corpora
+    (1L to 3L).foreach { s =>
+      val p = DedupOps.containmentPairs(docsDf(sample(corpusGen, s)), threshold = 0.0)
+      assert(p.filter(col("containment") < 0.0 || col("containment") > 1.0).count() === 0)
+      assert(p.filter(col("doc_a") >= col("doc_b")).count() === 0)
+      assert(p.filter(col("inter_ct") > least(col("na"), col("nb"))).count() === 0)
+    }
+  }
+
   test("exact substring spans (D13): cross/within-doc repeats found, overlaps merge, unique text silent") {
     // hand fixture with every structural case, k = 4 for readability
     val boiler = "all rights reserved by the owner" // 6 words, shared verbatim
