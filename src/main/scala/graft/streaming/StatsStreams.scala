@@ -606,6 +606,46 @@ object StatsStreams {
       .withColumn("gscore", col("weight") + col("gumbel"))
   }
 
+  /** Streaming perplexity bucketing — the streaming face of
+    * [[graft.operators.TextOps.pplBuckets]] (t14): incoming docs are scored
+    * with [[lmScoreStream]]'s broadcast bigram model and cut against STATIC
+    * head/middle/tail thresholds derived from the indexed corpus's own
+    * 4-dp-quantized nll histogram — the batch operator's exact threshold
+    * construction, aggregated to one broadcast row. A stream cannot know
+    * its own future score distribution, so the streaming contract is
+    * vs-reference (the CCNet production shape: thresholds come from the
+    * reference corpus snapshot, live docs classify against them); re-train
+    * and swap per index build like the other model faces. Everything after
+    * the model broadcasts is a per-row projection — no state store, no
+    * stream-side shuffle.
+    *
+    * With `corpus` = the indexed corpus, the batch face of this call equals
+    * [[graft.operators.TextOps.pplBuckets]] row-for-row (parity-pinned):
+    * the nll values ride [[lmScoreStream]]'s bit-exact integer fold and
+    * the thresholds are the same histogram cut.
+    */
+  def pplBucketsStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = graft.operators.TextOps.lmScore(corpus)
+      .groupBy(col("nll")).agg(count(lit(1)).as("ct"))
+    val all = Window.orderBy(col("nll"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = hist
+      .withColumn("cum", sum(col("ct")).over(Window.orderBy(col("nll"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("ct")).over(all))
+    val th = cum.agg(
+      min(when(col("cum") * 3 >= col("n"), col("nll"))).as("t1"),
+      min(when(col("cum") * 3 >= col("n") * 2, col("nll"))).as("t2"))
+    lmScoreStream(docs, corpus)
+      .select(col("doc_id"), col("nll"))
+      .crossJoin(broadcast(th))
+      .select(col("doc_id"), col("nll"),
+        when(col("nll") <= col("t1"), "head")
+          .when(col("nll") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Streaming NB quality classification — the streaming face of
     * [[graft.operators.TextOps.nbQualityScore]] (t15): incoming docs are
     * scored against a STATIC pre-trained Naive-Bayes model (trained here

@@ -150,6 +150,15 @@ class PlanContractSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") <= 4, s"d17 shuffle shape drifted:\n$p")
   }
 
+  test("containment pairing is posting-bounded: no cartesian, shingle-keyed candidates (d18)") {
+    val p = planOf("d18_containment_pairs")
+    assert(count(p, "CartesianProduct") === 0, s"d18 went pairwise:\n$p")
+    assert(count(p, "BroadcastNestedLoopJoin") === 0, p)
+    // the posting self-join keys on the rare shingle; the verify joins the
+    // per-doc set table back by id — hash joins all the way down
+    assert(count(p, "BroadcastHashJoin") + count(p, "SortMergeJoin") >= 2, p)
+  }
+
   test("ppl bucketing runs the LM subtree once via the cached scored frame (t14)") {
     val p = planOf("t14_ppl_buckets")
     // both consumers (value histogram + bucket assignment) must read the

@@ -460,6 +460,48 @@ class StatefulParitySpec extends SparkSpec {
     assert(streamed(9L) === ((2L, 0L, "")))
   }
 
+  test("pplBucketsStream is a STATELESS streaming face; batch face == pplBuckets row-for-row (T14)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{length => slen, col => c}
+    // three fluency tiers (the TextOpsSpec t14 fixture shape)
+    val corpus = (1L to 4L).map(i => (i, "the data the data the data")) ++
+      (5L to 8L).map(i => (i, s"the data mixes level$i tokens")) ++
+      (9L to 12L).map(i => (i, s"q$i w$i e$i r$i t$i"))
+    val corpusDf = corpus.toDF("doc_id", "text")
+      .withColumn("n_chars", slen(c("text")).cast("long"))
+
+    // 1) bucketed against its own corpus's thresholds, the BATCH face must
+    //    equal the batch operator row-for-row (nll AND bucket)
+    val viaStream = graft.streaming.StatsStreams.pplBucketsStream(corpusDf, corpusDf)
+      .select("doc_id", "nll", "bucket")
+    val viaBatch = graft.operators.TextOps.pplBuckets(corpusDf)
+      .select("doc_id", "nll", "bucket")
+    assert(viaStream.exceptAll(viaBatch).count() === 0,
+      s"stream face drifted:\n${viaStream.collect().mkString("\n")}\nvs\n${viaBatch.collect().mkString("\n")}")
+    assert(viaBatch.exceptAll(viaStream).count() === 0)
+
+    // 2) a real MemoryStream run agrees with its own batch face; a live
+    //    noise doc of model-unseen bigrams classifies into the TAIL
+    val live = corpus :+ (99L, "zz qq zz qq zz")
+    val input = MemoryStream[(Long, String)]
+    input.addData(live: _*)
+    val q = graft.streaming.StatsStreams.pplBucketsStream(
+        input.toDF().toDF("doc_id", "text"), corpusDf)
+      .writeStream.format("memory").queryName("sp_ppl")
+      .trigger(Trigger.AvailableNow()).outputMode("append").start()
+    try q.awaitTermination() finally q.stop()
+    val streamed = spark.table("sp_ppl")
+      .select("doc_id", "nll", "bucket").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+    val batched = graft.streaming.StatsStreams.pplBucketsStream(
+        live.toDF("doc_id", "text"), corpusDf)
+      .select("doc_id", "nll", "bucket").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+    assert(streamed.size === batched.size && streamed.forall { case (k, v) => batched(k) == v },
+      "ppl bucketing diverged between stream and batch")
+    assert(streamed(99L)._2 === "tail")
+  }
+
   test("nbScoreStream is a STATELESS streaming face; batch face == nbQualityScore bit-for-bit (T15)") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{length => slen, col => c}
