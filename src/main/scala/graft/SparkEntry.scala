@@ -126,6 +126,7 @@ object SparkEntry {
     // LLM-data-pipeline: text analysis
     "c1_corpus_curation" -> ((s: SparkSession, d: String) => TextOps.curateCorpus(s, d)),
     "c2_training_pipeline" -> ((s: SparkSession, d: String) => CurationOps.trainingPipeline(s, d)),
+    "c3_curated_train_export" -> ((s: SparkSession, d: String) => CurationOps.curatedTrainExport(s, d)),
     "t1_lang_id" -> ((s: SparkSession, d: String) => TextOps.langId(s, d)),
     "t2_text_quality" -> ((s: SparkSession, d: String) => TextOps.textQuality(s, d)),
     "t3_token_count" -> ((s: SparkSession, d: String) => TextOps.tokenCount(s, d)),
@@ -1131,6 +1132,78 @@ object SparkEntry {
           |FROM inter i JOIN cnt ca ON ca.doc_id = i.a
           |             JOIN cnt cb ON cb.doc_id = i.b
           |WHERE floor(i.inter_ct * 10000.0 / least(ca.n, cb.n) + 0.5) / 10000.0 >= 0.8""".stripMargin),
+    // c3: curated training export — the composed capstone over the
+    // classifier-era stages: d17's cleaned text (boilerplate-dominated docs
+    // dropped via kept*2 > n_segs), t15's NB keep verdict, s11's
+    // leakage-safe TRAIN slice. Each sub-chain is the SAME SQL as its
+    // standalone oracle (renamed CTEs), appended under the recursive
+    // cluster chain — one definition per stage, composed.
+    "c3_curated_train_export" -> {
+      val sp = {
+        def d(h: String, i: Int) = s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1)"
+        val h = "md5('split:' || CAST(cl.cluster_id AS VARCHAR))"
+        val hx = s"(((${d(h, 1)} * 16 + ${d(h, 2)}) * 16 + ${d(h, 3)}) * 16 + ${d(h, 4)})"
+        s"CASE WHEN $hx * 10 < 524288 THEN 'train' " +
+          s"WHEN $hx * 10 < 589824 THEN 'val' ELSE 'test' END"
+      }
+      clusterSql(
+        s""",
+           |wb AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           |nb0 AS (SELECT doc_id, words, CAST(ceil(len(words) / 10.0) AS BIGINT) AS n_segs
+           |        FROM wb WHERE len(words) > 0),
+           |cb0 AS (SELECT doc_id, n_segs, words,
+           |              unnest(generate_series(0, n_segs - 1)) AS i FROM nb0),
+           |segb AS (SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+           |                array_to_string(list_slice(words, i*10 + 1, i*10 + 10), ' ') AS seg
+           |         FROM cb0),
+           |bb AS (SELECT seg FROM segb GROUP BY seg HAVING count(DISTINCT doc_id) >= 3),
+           |kb AS (SELECT s.doc_id, s.seg_idx, s.seg FROM segb s
+           |       LEFT JOIN bb ON s.seg = bb.seg WHERE bb.seg IS NULL),
+           |cleaned AS (SELECT b.doc_id, b.n_segs, count(k.seg) AS kept_segs,
+           |                   coalesce(string_agg(k.seg, ' ' ORDER BY k.seg_idx), '') AS clean_text
+           |            FROM (SELECT doc_id, n_segs FROM nb0) b
+           |            LEFT JOIN kb k ON b.doc_id = k.doc_id
+           |            GROUP BY b.doc_id, b.n_segs),
+           |l5 AS (SELECT doc_id, string_split(text, ' ') AS w, n_chars FROM documents),
+           |lab5 AS (SELECT doc_id, w,
+           |           (CASE WHEN len(w) >= 20 THEN 1 ELSE 0 END +
+           |            CASE WHEN len(list_filter(w, x -> x = 'the' OR x = 'a')) > 0 THEN 1 ELSE 0 END +
+           |            CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) >= 2 AS is_pos
+           |         FROM l5),
+           |tk5 AS (SELECT doc_id, is_pos, unnest(w) AS word FROM lab5),
+           |dw5 AS (SELECT doc_id, word, is_pos, count(*) AS tf
+           |        FROM tk5 GROUP BY doc_id, word, is_pos),
+           |model5 AS (SELECT word,
+           |             CAST(sum(CASE WHEN is_pos THEN tf ELSE 0 END) AS BIGINT) AS cp,
+           |             CAST(sum(CASE WHEN NOT is_pos THEN tf ELSE 0 END) AS BIGINT) AS cn
+           |           FROM dw5 GROUP BY word),
+           |tot5 AS (SELECT CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+           |                CAST(sum(CASE WHEN NOT is_pos THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+           |                CAST(sum(CASE WHEN is_pos THEN len(w) ELSE 0 END) AS BIGINT) AS tp,
+           |                CAST(sum(CASE WHEN NOT is_pos THEN len(w) ELSE 0 END) AS BIGINT) AS tn
+           |         FROM lab5),
+           |vq5 AS (SELECT CAST(count(DISTINCT x) AS BIGINT) AS v
+           |        FROM (SELECT unnest(string_split(text, ' ')) AS x FROM documents)),
+           |sc5 AS (SELECT dw5.doc_id, dw5.tf,
+           |               CAST(floor(dw5.tf * ln((m.cp + 1.0) / (t.tp + vq5.v))
+           |                    * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS term_p,
+           |               CAST(floor(dw5.tf * ln((m.cn + 1.0) / (t.tn + vq5.v))
+           |                    * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS term_n,
+           |               CAST(floor(ln(t.np / CAST(t.nn AS DOUBLE))
+           |                    * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS prior
+           |        FROM dw5 JOIN model5 m USING (word), tot5 t, vq5),
+           |nbq AS (SELECT doc_id,
+           |               CAST(max(prior) + sum(term_p) - sum(term_n) AS DOUBLE) AS log_odds,
+           |               CASE WHEN CAST(max(prior) + sum(term_p) - sum(term_n) AS DOUBLE) > 0
+           |                    THEN 'keep' ELSE 'drop' END AS predicted
+           |        FROM sc5 GROUP BY doc_id),
+           |spl AS (SELECT cl.doc_id, cl.cluster_id, $sp AS split FROM cl)
+           |SELECT c.doc_id, c.clean_text, c.kept_segs, c.n_segs, q.log_odds, s.cluster_id
+           |FROM cleaned c JOIN nbq q ON q.doc_id = c.doc_id
+           |               JOIN spl s ON s.doc_id = c.doc_id
+           |WHERE q.predicted = 'keep' AND c.kept_segs * 2 > c.n_segs
+           |  AND s.split = 'train'""".stripMargin)
+    },
     // d12: segment (paragraph) dedup — same 10-word segmentation, first
     // corpus occurrence by (doc_id, seg_idx), docs reassembled in seg order.
     "d12_segment_dedup" ->

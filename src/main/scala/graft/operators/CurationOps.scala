@@ -116,6 +116,40 @@ object CurationOps {
   def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame =
     leakageSafeSplit(table(spark, dir, "documents"), 0.7)
 
+  /** C3 — curated training export, the capstone composing this library's
+    * classifier-era curation stages (the c1/c2 recipe pattern over the
+    * newer operators): (1) corpus-frequency boilerplate removal (d17) —
+    * docs keeping at most half their segments are treated as
+    * boilerplate-dominated and dropped (`kept_segs·2 > n_segs`, integer
+    * compare); (2) Naive-Bayes quality classification (t15) — only
+    * `predicted = keep` survives; (3) leakage-safe splitting (s11) — only
+    * the TRAIN slice exports, so the emitted corpus can never contain a
+    * near-duplicate of a held-out document. Output: the CLEANED text plus
+    * the evidence columns each stage decided on.
+    *
+    * Scale notes (100 TB): three doc_id-keyed equi-joins over per-doc
+    * frames — each stage's corpus-scale work is its own documented plan
+    * (d17: broadcast anti-join; t15: one reused-exchange shuffle; s11:
+    * d10's candidate-bounded closure); the composition adds only the
+    * doc_id joins. A production pipeline materializes each stage once and
+    * reuses it across consumers (the d11 cluster-reuse pattern) — the
+    * self-contained query form re-pays lineage like d11 does.
+    */
+  def curatedTrainExport(docs: DataFrame): DataFrame = {
+    val cleaned = graft.operators.DedupOps.boilerplateStrip(docs)
+    val scored = graft.operators.TextOps.nbQualityScore(docs)
+    val split = leakageSafeSplit(docs,
+      graft.operators.DedupOps.nearDupClusters(docs, 0.7))
+    cleaned.join(scored, Seq("doc_id")).join(split, Seq("doc_id"))
+      .filter(col("predicted") === "keep" &&
+        col("kept_segs") * 2 > col("n_segs") &&
+        col("split") === "train")
+      .select(col("doc_id"), col("clean_text"), col("kept_segs"),
+        col("n_segs"), col("log_odds"), col("cluster_id"))
+  }
+  def curatedTrainExport(spark: SparkSession, dir: String): DataFrame =
+    curatedTrainExport(table(spark, dir, "documents"))
+
   /** S2 — deterministic training-shard shuffle: shard by a salted hash, order
     * within each shard by a second hash — the standard "global shuffle" for
     * training export, done WITHOUT a global sort. Each shard's row_number runs

@@ -59,6 +59,31 @@ class CurationOpsSpec extends SparkSpec {
     split.unpersist()
   }
 
+  test("curated train export composes its stages: every exported doc passes every gate (C3)") {
+    val out = CurationOps.curatedTrainExport(spark, sf).cache()
+    assert(out.count() > 0, "the sf corpus must yield a non-empty train export")
+    // each stage's own standalone output agrees with the export's verdicts
+    val nb = graft.operators.TextOps.nbQualityScore(docs)
+      .select(col("doc_id"), col("predicted"))
+    assert(out.join(nb, Seq("doc_id")).filter(col("predicted") =!= "keep").count() === 0)
+    val split = CurationOps.leakageSafeSplit(spark, sf)
+      .select(col("doc_id"), col("split"), col("cluster_id").as("cid"))
+    val j = out.join(split, Seq("doc_id"))
+    assert(j.filter(col("split") =!= "train").count() === 0)
+    assert(j.filter(col("cluster_id") =!= col("cid")).count() === 0)
+    // boilerplate dominance gate + cleaned text comes from d17
+    assert(out.filter(col("kept_segs") * 2 <= col("n_segs")).count() === 0)
+    val strip = graft.operators.DedupOps.boilerplateStrip(docs)
+      .select(col("doc_id"), col("clean_text").as("ct"))
+    assert(out.join(strip, Seq("doc_id")).filter(col("clean_text") =!= col("ct")).count() === 0)
+    // the leakage guarantee carries through: no exported doc's cluster has a
+    // member in val/test (its whole cluster is train by construction)
+    val exportedClusters = out.select(col("cluster_id")).distinct()
+    assert(split.join(exportedClusters, col("cid") === col("cluster_id"))
+      .filter(col("split") =!= "train").count() === 0)
+    out.unpersist()
+  }
+
   test("train shuffle partitions the corpus into dense per-shard sequences") {
     val s = CurationOps.trainShuffle(docs).cache()
     assert(s.count() === docs.count())
