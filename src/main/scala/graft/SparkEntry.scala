@@ -156,6 +156,10 @@ object SparkEntry {
     // the oracle; only upscale-capped shrink-to-fit 512 is exercised
     "m3_resize" -> ((s: SparkSession, d: String) =>
       MultimodalOps.resizePlan(MultimodalOps.decodeFeatures(s, d), 512)),
+    // m6: perceptual average-hash over the REAL PNG decode — 4x4
+    // nearest-neighbor grid, integer brighter-than-mean bits, per-hash
+    // dup-candidate counts; the oracle replays the gradient arithmetic
+    "m6_image_phash" -> ((s: SparkSession, d: String) => MultimodalOps.imagePhash(s, d)),
     "m4_audio_features" -> ((s: SparkSession, d: String) => MultimodalOps.audioFeatures(s, d)),
     // m5: REAL WAV round trip — encode RIFF/WAVE bytes per doc, decode with
     // the in-JDK javax.sound parser, aggregate frames at the codec seam;
@@ -1962,6 +1966,31 @@ object SparkEntry {
         |       1 + doc_id % 48 AS height,
         |       (1 + doc_id % 64) * (1 + doc_id % 48) AS n_pixels
         |FROM documents""".stripMargin,
+    // m6: perceptual average-hash — the oracle replays the synthetic
+    // gradient pixel arithmetic ((x*31 + y*17 + id) & 0xffffff, RGB summed
+    // to gray) at the same 4x4 nearest-neighbor sample points and packs the
+    // same integer brighter-than-mean bits; a hash match proves the REAL
+    // PNG decode returned every sampled pixel bit-exactly.
+    "m6_image_phash" ->
+      """WITH ids AS (SELECT doc_id, CAST(1 + doc_id % 64 AS BIGINT) AS w,
+        |                    CAST(1 + doc_id % 48 AS BIGINT) AS h FROM documents),
+        |s AS (SELECT doc_id, w, h, i, j,
+        |             (i * w) // 4 AS x, (j * h) // 4 AS y
+        |      FROM ids, unnest(generate_series(0, 3)) u(i),
+        |                unnest(generate_series(0, 3)) v(j)),
+        |p AS (SELECT doc_id, w, h, i, j,
+        |             (x * 31 + y * 17 + doc_id) % 16777216 AS pv FROM s),
+        |q AS (SELECT doc_id, w, h, i, j,
+        |             (pv // 65536) + ((pv // 256) % 256) + (pv % 256) AS gray FROM p),
+        |t AS (SELECT doc_id, sum(gray) AS total FROM q GROUP BY doc_id),
+        |hb AS (SELECT q.doc_id, q.w, q.h,
+        |              CAST(coalesce(sum(CASE WHEN q.gray * 16 > t.total
+        |                THEN CAST(1 AS BIGINT) << CAST(j * 4 + i AS INTEGER)
+        |                ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS phash
+        |       FROM q JOIN t USING (doc_id) GROUP BY q.doc_id, q.w, q.h)
+        |SELECT doc_id, w AS width, h AS height, phash,
+        |       CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS dup_ct
+        |FROM hb""".stripMargin,
     // v1: frame-sampling fan-out — every 30th of the md5-derived frame
     // count, dims from the same digest bytes as m1.
     "v1_frame_sample" -> {

@@ -168,6 +168,60 @@ object MultimodalOps {
         (col("width") * col("height")).cast("long").as("n_pixels"))
   }
 
+  /** M6 — image perceptual hashing over the REAL codec path, the multimodal
+    * face of the dedup family: decode each document's PNG with the genuine
+    * in-JDK ImageIO plugin, nearest-neighbor-sample a 4×4 grid, and emit a
+    * 16-bit average-hash (bit k = 1 iff sample k is brighter than the grid
+    * mean — `gray·16 > Σgray`, an INTEGER compare, so no division rounding
+    * can diverge between engines). `dup_ct` counts corpus images sharing
+    * the hash — the bucket a production image-dedup pipeline would verify
+    * within (exactly d3's candidates-then-verify shape, with the hash as
+    * the band key). The oracle replays the synthetic gradient's pixel
+    * arithmetic, so a codec fault — wrong pixel, wrong dims, alpha
+    * mishandling — breaks the hash match, like m2/m5/v2.
+    *
+    * Scale notes (100 TB): decode + hash run inside one `mapPartitions`
+    * pass at the codec seam (decoder init amortized per partition, ids
+    * spread first like m2); only the 4-long hash row leaves the seam —
+    * never pixels. The dup count is one hash-keyed window over 16-bit
+    * keys; a production 64-bit pHash would ride the d8 banded-hamming
+    * machinery for near-dup pairs.
+    */
+  def imagePhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    imageRecords(spark, dir)
+      .mapPartitions(_.map { rec =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(rec.content))
+        require(img != null, s"undecodable image for doc ${rec.doc_id}")
+        val w = img.getWidth; val h = img.getHeight
+        val gs = new Array[Long](16)
+        var j = 0
+        while (j < 4) {
+          var i = 0
+          while (i < 4) {
+            val rgb = img.getRGB(i * w / 4, j * h / 4)
+            gs(j * 4 + i) =
+              ((rgb >> 16) & 255) + ((rgb >> 8) & 255) + (rgb & 255)
+            i += 1
+          }
+          j += 1
+        }
+        val total = gs.sum
+        var hash = 0L
+        var k = 0
+        while (k < 16) {
+          if (gs(k) * 16 > total) hash |= (1L << k)
+          k += 1
+        }
+        (rec.doc_id, w.toLong, h.toLong, hash)
+      })
+      .toDF("doc_id", "width", "height", "phash")
+      .withColumn("dup_ct",
+        count(lit(1)).over(Window.partitionBy(col("phash"))).cast("long"))
+  }
+
   /** Deterministic MJPEG stream: `nFrames` real JPEG frames (ImageIO-encoded
     * gradient keyed by doc id + frame index) concatenated back to back — the
     * motion-JPEG-over-raw layout IP cameras emit. Real encode, so the decode

@@ -52,6 +52,30 @@ class MultimodalOpsSpec extends SparkSpec {
     }
   }
 
+  test("imagePhash hashes real decoded pixels: 16-bit range, uniform 1x1 images hash 0 (M6)") {
+    import org.apache.spark.sql.functions._
+    val out = MultimodalOps.imagePhash(spark, sf).cache()
+    val total = out.count()
+    assert(total > 0)
+    // 16-bit hash domain, every doc exactly once
+    assert(out.filter(col("phash") < 0 || col("phash") >= 65536).count() === 0)
+    assert(out.select("doc_id").distinct().count() === total)
+    // dims follow the id arithmetic (the decode really read the header)
+    assert(out.filter(col("width") =!= lit(1) + col("doc_id") % 64 ||
+      col("height") =!= lit(1) + col("doc_id") % 48).count() === 0)
+    // a 1x1 image (id % 192 == 0: lcm(64,48)) samples ONE pixel 16 times —
+    // nothing is strictly brighter than the mean, so the hash must be 0
+    val tiny = out.filter(col("doc_id") % 192 === 0)
+    assert(tiny.count() > 0, "fixture must include a 1x1 image")
+    assert(tiny.filter(col("phash") =!= 0L).count() === 0,
+      "uniform image must hash to 0")
+    // dup_ct partitions the corpus: per-hash counts sum back to the total
+    val sums = out.select("phash", "dup_ct").distinct()
+      .agg(sum("dup_ct")).head.getLong(0)
+    assert(sums === total)
+    out.unpersist()
+  }
+
   test("WavCodec round-trips real RIFF/WAVE bytes sample-exact (M5)") {
     val wav = MultimodalOps.syntheticWav(7L, 200)
     // it is a genuine WAV container, not raw PCM
