@@ -96,6 +96,9 @@ object SparkEntry {
     "n2b_ann_ivf_trained" -> ((s: SparkSession, d: String) => AnnOps.ivfTrainedTopK(s, d)),
     "n3_ann_lsh_topk" -> ((s: SparkSession, d: String) => AnnOps.lshTopK(s, d)),
     "n6_pq_adc" -> ((s: SparkSession, d: String) => AnnOps.pqAdcTopK(s, d)),
+    // n7: k-NN weak labeling — majority label of the top-5 cosine
+    // neighbors, deterministic (sim DESC, id) / (votes DESC, label) ties
+    "n7_knn_label" -> ((s: SparkSession, d: String) => AnnOps.knnLabel(s, d)),
     "n4_embed_quantize" -> ((s: SparkSession, d: String) => AnnOps.quantizeStats(s, d)),
     "n5_cosine_sim_fn" -> (cosineSimFn _),
     // LLM-data-pipeline: corpus curation (decontamination, sampling,
@@ -1011,6 +1014,32 @@ object SparkEntry {
          |  SELECT query_id, neighbor_id, sim,
          |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
          |  FROM sims) WHERE rnk <= 5""".stripMargin,
+    // n7: k-NN weak labeling — n1's neighbor chain at QLIM 50, labels voted
+    // with deterministic (votes DESC, label) tie-break; `agrees` holds the
+    // vote against the vector's own stored label.
+    "n7_knn_label" ->
+      s"""WITH ${cosineCommon.replace("%QLIM%", "50")},
+         |sims AS (SELECT query_id, vec_id AS neighbor_id,
+         |                floor(list_dot_product(qe, ee) /
+         |                      (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ee, ee)))
+         |                      * 10000.0 + 0.5) / 10000.0 AS sim
+         |         FROM q, e WHERE vec_id <> query_id),
+         |top AS (SELECT query_id, neighbor_id FROM (
+         |          SELECT query_id, neighbor_id,
+         |                 row_number() OVER (PARTITION BY query_id
+         |                   ORDER BY sim DESC, neighbor_id) AS rnk
+         |          FROM sims) WHERE rnk <= 5),
+         |votes AS (SELECT t.query_id, emb.label, count(*) AS votes
+         |          FROM top t JOIN embeddings emb ON emb.vec_id = t.neighbor_id
+         |          GROUP BY t.query_id, emb.label),
+         |pick AS (SELECT query_id, label, votes,
+         |                row_number() OVER (PARTITION BY query_id
+         |                  ORDER BY votes DESC, label) AS r
+         |         FROM votes)
+         |SELECT p.query_id, q0.label AS true_label, p.label AS predicted_label,
+         |       p.votes, p.label = q0.label AS agrees
+         |FROM pick p JOIN embeddings q0 ON q0.vec_id = p.query_id
+         |WHERE p.r = 1""".stripMargin,
     "n2_ann_ivf_topk" ->
       s"""WITH ${cosineCommon.replace("%QLIM%", "20")},
          |q2 AS (SELECT q.query_id, emb.label, q.qe FROM q JOIN embeddings emb ON emb.vec_id = q.query_id),

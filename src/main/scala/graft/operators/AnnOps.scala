@@ -84,6 +84,51 @@ object AnnOps {
   def cosineTopK(spark: SparkSession, dir: String): DataFrame =
     cosineTopK(table(spark, dir, "embeddings"))
 
+  /** N7 — k-NN weak labeling (auto-labeling / label propagation, the
+    * nearest-neighbor classifier the data-curation literature uses to
+    * extend a small labeled seed over an unlabeled corpus): each query
+    * vector takes the majority label of its top-k cosine neighbors.
+    * Deterministic everywhere: neighbors tie-break (sim DESC, neighbor_id)
+    * on the 4-dp-quantized similarity — n1's exact ordering — and the vote
+    * tie-breaks (votes DESC, label). `agrees` compares the vote against
+    * the vector's own stored label — the held-out-accuracy face.
+    *
+    * Scale notes (100 TB): the query batch broadcasts (n1's shape — the
+    * corpus streams map-side, zero corpus shuffle), top-k is the two-phase
+    * partial top-k, and the vote runs over queries×k rows — trivially
+    * small; the label join-backs are broadcast. A production variant swaps
+    * the brute-force candidate stage for IVF/PQ (n2/n6) with the same
+    * vote.
+    */
+  def knnLabel(e: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        norm(col("embedding")).as("nq"))
+    val corpus = e.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nv"))
+    val sims = corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosinePre(col("qe"), col("embedding"), col("nq"), col("nv")).as("sim"))
+    val labels = e.select(col("vec_id"), col("label"))
+    val votes = topKPerQuery(sims, k, Seq("query_id"))
+      .join(broadcast(labels.withColumnRenamed("vec_id", "neighbor_id")),
+        Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label"))
+    votes.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .join(broadcast(labels.select(col("vec_id").as("query_id"),
+        col("label").as("true_label"))), Seq("query_id"))
+      .select(col("query_id"), col("true_label"),
+        col("label").as("predicted_label"), col("votes"),
+        (col("label") === col("true_label")).as("agrees"))
+  }
+  def knnLabel(spark: SparkSession, dir: String): DataFrame =
+    knnLabel(table(spark, dir, "embeddings"))
+
   /** N2 — IVF-style ANN: probe only the query's cell (`label` = coarse
     * centroid assignment), top-3 per query. The scale path: corpus partitioned
     * by cell, per-cell scans instead of full scans.

@@ -113,6 +113,31 @@ class AnnOpsSpec extends SparkSpec {
     }
   }
 
+  test("knn labeling votes the planted neighborhood's label; tie-breaks deterministic (N7)") {
+    import spark.implicits._
+    // query 0 sits in a tight cluster of 5 'x'-labeled vectors; vectors
+    // labeled 'z' are orthogonal — the majority vote MUST be 'x' even
+    // though the query's own stored label is 'z' (agrees = false)
+    def vec(a: Float, b: Float): Array[Float] = Array(a, b, 0f, 0f)
+    val rows = Seq(
+      (0L, vec(1f, 0.0f), "z"),
+      (1L, vec(1f, 0.01f), "x"), (2L, vec(1f, 0.02f), "x"),
+      (3L, vec(1f, 0.03f), "x"), (4L, vec(1f, 0.04f), "x"),
+      (5L, vec(1f, 0.05f), "x"),
+      (6L, vec(0f, 1f), "z"), (7L, vec(0.01f, 1f), "z"))
+    val out = AnnOps.knnLabel(rows.toDF("vec_id", "embedding", "label"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // every vec_id < 50 is a query here
+    assert(out.size === 8)
+    assert(out(0L) === (("z", "x", 5L, false)), s"query 0 vote: ${out(0L)}")
+    // cluster members vote each other (4 'x' + the z query among top-5)
+    assert((1L to 5L).forall(out(_)._2 == "x"))
+    assert((1L to 5L).forall(i => out(i)._4), "x members must agree")
+    // one row per query, votes within [1, 5]
+    assert(out.values.forall(v => v._3 >= 1 && v._3 <= 5))
+  }
+
   test("int8 quantization invariants: max-abs lane saturates, L1 bounds, sign symmetry (N4)") {
     import spark.implicits._
     val e = Tables.table(spark, sf, "embeddings")
