@@ -85,6 +85,9 @@ object SparkEntry {
     "d14_strip_spans" -> ((s: SparkSession, d: String) => DedupOps.stripDuplicatedSpans(s, d)),
     "d17_boilerplate_strip" -> ((s: SparkSession, d: String) => DedupOps.boilerplateStrip(s, d)),
     "d18_containment_pairs" -> ((s: SparkSession, d: String) => DedupOps.containmentPairs(s, d)),
+    // d19: incremental batch-vs-history dedup triage (exact | near | novel);
+    // history is never shuffled — batch side broadcast at every join
+    "d19_incremental_dedup" -> ((s: SparkSession, d: String) => DedupOps.incrementalDedup(s, d)),
     "g5_dup_rate_by_source" -> ((s: SparkSession, d: String) => DedupOps.dupRateBySource(s, d)),
     // LLM-data-pipeline: similarity search
     "n1_ann_cosine_topk" -> ((s: SparkSession, d: String) => AnnOps.cosineTopK(s, d)),
@@ -163,6 +166,11 @@ object SparkEntry {
     // nearest-neighbor grid, integer brighter-than-mean bits, per-hash
     // dup-candidate counts; the oracle replays the gradient arithmetic
     "m6_image_phash" -> ((s: SparkSession, d: String) => MultimodalOps.imagePhash(s, d)),
+    // m7: image near-dup PAIRS — 64-bit average-hash over the real ImageIO
+    // decode, banded-hamming candidate join (d8's machinery verbatim), exact
+    // hamming <= 3 verify; the oracle replays the pixel arithmetic and
+    // brute-forces all pairs, so banding must be COMPLETE to hash-match
+    "m7_phash_pairs" -> ((s: SparkSession, d: String) => MultimodalOps.imagePhashPairs(s, d)),
     "m4_audio_features" -> ((s: SparkSession, d: String) => MultimodalOps.audioFeatures(s, d)),
     // m5: REAL WAV round trip — encode RIFF/WAVE bytes per doc, decode with
     // the in-JDK javax.sound parser, aggregate frames at the codec seam;
@@ -1165,6 +1173,46 @@ object SparkEntry {
           |FROM inter i JOIN cnt ca ON ca.doc_id = i.a
           |             JOIN cnt cb ON cb.doc_id = i.b
           |WHERE floor(i.inter_ct * 10000.0 / least(ca.n, cb.n) + 0.5) / 10000.0 >= 0.8""".stripMargin),
+    // d19: odd ids = incoming batch, even = history; exact via full-text
+    // equality, near via cross-parity LSH band collision + Jaccard >= 1/2
+    // as the integer compare 2*inter >= union; exact wins the coalesce.
+    "d19_incremental_dedup" ->
+      (shingleCte +
+        """,
+          |sig AS (SELECT doc_id, """.stripMargin + minhashSelect +
+        """ FROM sh GROUP BY doc_id),
+          |bands AS (SELECT doc_id, 0 AS band, mh0 || mh1 AS bkey FROM sig
+          |          UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM sig
+          |          UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM sig
+          |          UNION ALL SELECT doc_id, 3, mh6 || mh7 FROM sig),
+          |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          |         FROM bands x JOIN bands y
+          |           ON x.band = y.band AND x.bkey = y.bkey
+          |         WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 0),
+          |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          |inter AS (SELECT c.a, c.b, count(*) AS inter_ct
+          |          FROM cand c
+          |          JOIN sh sa ON sa.doc_id = c.a
+          |          JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+          |          GROUP BY c.a, c.b),
+          |nr AS (SELECT i.a, min(i.b) AS near_id
+          |       FROM inter i JOIN cnt ca ON ca.doc_id = i.a
+          |                    JOIN cnt cb ON cb.doc_id = i.b
+          |       WHERE i.inter_ct * 2 >= ca.n + cb.n - i.inter_ct
+          |       GROUP BY i.a),
+          |ex AS (SELECT a.doc_id, min(b.doc_id) AS exact_id
+          |       FROM documents a JOIN documents b ON a.text = b.text
+          |       WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+          |       GROUP BY a.doc_id)
+          |SELECT d.doc_id,
+          |       CASE WHEN ex.exact_id IS NOT NULL THEN 'exact'
+          |            WHEN nr.near_id IS NOT NULL THEN 'near'
+          |            ELSE 'novel' END AS status,
+          |       coalesce(ex.exact_id, nr.near_id) AS match_id
+          |FROM documents d
+          |LEFT JOIN ex ON ex.doc_id = d.doc_id
+          |LEFT JOIN nr ON nr.a = d.doc_id
+          |WHERE d.doc_id % 2 = 1""".stripMargin),
     // c3: curated training export — the composed capstone over the
     // classifier-era stages: d17's cleaned text (boilerplate-dominated docs
     // dropped via kept*2 > n_segs), t15's NB keep verdict, s11's
@@ -2020,6 +2068,28 @@ object SparkEntry {
         |SELECT doc_id, w AS width, h AS height, phash,
         |       CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS dup_ct
         |FROM hb""".stripMargin,
+    // m7: the 64-bit hash replayed bit-by-bit (8x8 grid, gray*64 > total),
+    // then BRUTE-FORCE all-pairs hamming via a per-bit join — complete by
+    // construction, so it proves the Spark side's banded candidates missed
+    // nothing (pigeonhole contract) and the verify arithmetic is exact
+    "m7_phash_pairs" ->
+      """WITH ids AS (SELECT doc_id, CAST(1 + doc_id % 64 AS BIGINT) AS w,
+        |                    CAST(1 + doc_id % 48 AS BIGINT) AS h FROM documents),
+        |s AS (SELECT doc_id, (i * w) // 8 AS x, (j * h) // 8 AS y, j * 8 + i AS k
+        |      FROM ids, unnest(generate_series(0, 7)) u(i),
+        |                unnest(generate_series(0, 7)) v(j)),
+        |p AS (SELECT doc_id, k, (x * 31 + y * 17 + doc_id) % 16777216 AS pv FROM s),
+        |q AS (SELECT doc_id, k,
+        |             (pv // 65536) + ((pv // 256) % 256) + (pv % 256) AS gray FROM p),
+        |t AS (SELECT doc_id, sum(gray) AS total FROM q GROUP BY doc_id),
+        |bits AS (SELECT q.doc_id, q.k,
+        |                CASE WHEN q.gray * 64 > t.total THEN 1 ELSE 0 END AS bit
+        |         FROM q JOIN t USING (doc_id)),
+        |ham AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |               CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |        FROM bits x JOIN bits y ON x.k = y.k AND x.doc_id < y.doc_id
+        |        GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3""".stripMargin,
     // v1: frame-sampling fan-out — every 30th of the md5-derived frame
     // count, dims from the same digest bytes as m1.
     "v1_frame_sample" -> {

@@ -472,7 +472,7 @@ object DedupOps {
     * and every bucket is quadratic in its own population — so the per-pair
     * constant is what decides whether millions of candidates are fine.
     */
-  private def bandedHammingPairs(sh0: DataFrame, bits: Int, nBands: Int,
+  private[graft] def bandedHammingPairs(sh0: DataFrame, bits: Int, nBands: Int,
       maxHamming: Int): DataFrame = {
     // pigeonhole completeness needs maxHamming differing bits to leave at
     // least one band untouched; out-of-contract bounds would silently drop
@@ -897,4 +897,77 @@ object DedupOps {
     segmentRows(docs)
       .groupBy(col("seg")).agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDf).select("seg")
+
+  /** D19 — INCREMENTAL corpus dedup: triage an incoming batch against the
+    * accumulated history corpus, the production shape of every crawl
+    * pipeline (today's fetch vs the index — history is never re-paired with
+    * itself). Each incoming document is classified:
+    *   - `exact`: content-hash match in history (md5 over full text);
+    *   - `near`:  shares an LSH band with a history doc AND Jaccard ≥ 1/2
+    *              over distinct 3-shingles (the d3 verify, thresholded with
+    *              the INTEGER compare `2·|∩| ≥ |∪|` — no float drift);
+    *   - `novel`: neither. `match_id` is the smallest matching history doc
+    * (exact match preferred), null for novel rows.
+    *
+    * The batch is split deterministically here (odd ids = incoming, even =
+    * history) so the oracle can state the same split; `incrementalDedupOf`
+    * is the real API taking the two frames.
+    *
+    * Scale notes (100 TB history, GB-scale batch): the batch side is
+    * BROADCAST at every join — band probe, signature join-back, and final
+    * assembly — so the history corpus is never shuffled: band matching runs
+    * map-side over the history scan, exactly the semantic-decontamination
+    * (b2) plan shape. History band keys + shingle sets ride inline on the
+    * probe output (bandedHammingPairs' trick), so no join-back against
+    * history is needed either. Candidate pairs hit the IntersectCount
+    * verify WITHOUT a distinct — a pair colliding in k bands is verified k
+    * ≤ 4 times rather than paying a pair-keyed shuffle, and the duplicate
+    * verdicts collapse in the final batch-keyed min() agg (the only keyed
+    * shuffle, over batch-sized data). In production the history signature
+    * table is a persisted index, so the per-batch cost is one history scan
+    * + batch-sized state.
+    */
+  def incrementalDedupOf(incoming: DataFrame, history: DataFrame): DataFrame = {
+    val exact = broadcast(
+        incoming.select(col("doc_id").as("in_id"), md5(col("text")).as("fp")))
+      .join(history.select(md5(col("text")).as("fp"), col("doc_id").as("hid")),
+        Seq("fp"))
+      .groupBy(col("in_id")).agg(min(col("hid")).as("exact_id"))
+    val bandKeys = (0 until NumBands).map(b =>
+      concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
+    def sigOf(docs: DataFrame) = docShingles(docs)
+      .select(Seq(col("doc_id"), col("shset"), col("n")) ++ minhashCols: _*)
+    def bandsOf(sig: DataFrame) = sig.select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+    val incSig = sigOf(incoming).select(
+      col("doc_id").as("in_id"), col("shset").as("sa"), col("n").as("na"))
+    // history sets ride INLINE on the banded rows (one select, no join-back
+    // keyed on history ids — that join would shuffle the index)
+    val histBands = sigOf(history).select(col("doc_id").as("hid"),
+      col("shset").as("sb"), col("n").as("nb"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+    val near = broadcast(bandsOf(sigOf(incoming))
+        .select(col("doc_id").as("in_id"), col("band"), col("bkey")))
+      .join(histBands, Seq("band", "bkey"))
+      .join(broadcast(incSig), Seq("in_id"))
+      .withColumn("inter_ct", graft.functions.IntersectCount(col("sa"), col("sb")))
+      .filter(col("inter_ct") * 2 >= col("na") + col("nb") - col("inter_ct"))
+      .groupBy(col("in_id")).agg(min(col("hid")).as("near_id"))
+    // the match maps are batch-keyed aggregates (≤ batch rows) — broadcast
+    // them so the assembly never sort-merges over the batch either
+    incoming.select(col("doc_id"))
+      .join(broadcast(exact.withColumnRenamed("in_id", "doc_id")), Seq("doc_id"), "left")
+      .join(broadcast(near.withColumnRenamed("in_id", "doc_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_id").isNotNull, lit("exact"))
+          .when(col("near_id").isNotNull, lit("near"))
+          .otherwise(lit("novel")).as("status"),
+        coalesce(col("exact_id"), col("near_id")).as("match_id"))
+  }
+  def incrementalDedup(docs: DataFrame): DataFrame =
+    incrementalDedupOf(
+      docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0))
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame =
+    incrementalDedup(table(spark, dir, "documents"))
 }

@@ -222,6 +222,69 @@ object MultimodalOps {
         count(lit(1)).over(Window.partitionBy(col("phash"))).cast("long"))
   }
 
+  /** 64-bit average-hash per image over the REAL codec path: decode the PNG,
+    * nearest-neighbor-sample an 8×8 grid, bit `j*8+i` = 1 iff that sample is
+    * strictly brighter than the grid mean (`gray·64 > Σgray` — an integer
+    * compare, so no division rounding can diverge between engines). This is
+    * m6's production-width sibling (2⁶⁴ hash domain vs 2¹⁶), the fingerprint
+    * the published image-dedup pipelines band on.
+    */
+  def imagePhash64(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    imageRecords(spark, dir)
+      .mapPartitions(_.map { rec =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(rec.content))
+        require(img != null, s"undecodable image for doc ${rec.doc_id}")
+        val w = img.getWidth; val h = img.getHeight
+        val gs = new Array[Long](64)
+        var j = 0
+        while (j < 8) {
+          var i = 0
+          while (i < 8) {
+            val rgb = img.getRGB(i * w / 8, j * h / 8)
+            gs(j * 8 + i) =
+              ((rgb >> 16) & 255) + ((rgb >> 8) & 255) + (rgb & 255)
+            i += 1
+          }
+          j += 1
+        }
+        val total = gs.sum
+        var hash = 0L
+        var k = 0
+        while (k < 64) {
+          if (gs(k) * 64 > total) hash |= (1L << k)
+          k += 1
+        }
+        (rec.doc_id, hash)
+      })
+      .toDF("doc_id", "phash64")
+  }
+
+  /** M7 — image NEAR-duplicate pairs, the multimodal face of d8: 64-bit
+    * perceptual hash (real ImageIO decode, [[imagePhash64]]) ridden through
+    * the exact banded-hamming machinery the text near-dup family uses
+    * (`DedupOps.bandedHammingPairs`: 4 bands × 16 bits, pigeonhole-complete
+    * for hamming ≤ 3, bit-packed xor/bit_count verify map-side on the bucket
+    * join output). Emits every image pair whose hashes differ in ≤
+    * `maxHamming` bits — re-encodes, small crops, and brightness-preserving
+    * edits land here; exact byte dups are the hamming-0 slice.
+    *
+    * Scale notes (100 TB): decode cost is one pass at the codec seam (ids
+    * spread first, decoder amortized per partition); only the 8-byte hash
+    * leaves it. Candidate generation is the d8 shape — ≤1 keyed shuffle of
+    * (doc, band) rows into 2¹⁶-bucket bands, never all-pairs — so the
+    * operator inherits d8's published scaling story (Manku et al., WWW'07)
+    * unchanged; a billion-image corpus pays the same per-bucket quadratic
+    * bound the text side does.
+    */
+  def imagePhashPairs(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sh0 = imagePhash64(spark, dir)
+      .select(col("doc_id"), lpad(bin(col("phash64")), 64, "0").as("simhash"))
+    DedupOps.bandedHammingPairs(sh0, bits = 64, nBands = 4, maxHamming)
+  }
+
   /** Deterministic MJPEG stream: `nFrames` real JPEG frames (ImageIO-encoded
     * gradient keyed by doc id + frame index) concatenated back to back — the
     * motion-JPEG-over-raw layout IP cameras emit. Real encode, so the decode

@@ -266,4 +266,25 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("RunningWindowFunction") && count(p, "WindowExec") === 0,
       s"g7 replays the transition window:\n$p")
   }
+
+  test("image near-dup pairs ride the d8 banded shape: no all-pairs join (m7)") {
+    val p = planOf("m7_phash_pairs")
+    // candidates come from the (band, bkey) bucket join; the hamming verify
+    // is inlined on its output — an all-pairs regression would surface as a
+    // nested-loop or cartesian join over the image table
+    assert(count(p, "CartesianProduct") === 0, p)
+    assert(count(p, "BroadcastNestedLoopJoin") === 0, p)
+    assert(count(p, "SortMergeJoin") === 0, p)
+  }
+
+  test("incremental dedup never shuffles the history corpus (d19)") {
+    val p = planOf("d19_incremental_dedup")
+    // batch side broadcast at every join: band probe, signature join-back,
+    // exact-fingerprint probe, and both assembly joins. The only keyed
+    // exchanges are the batch-keyed min() aggs (and AQE coalescing) —
+    // history rows never sort-merge or hash-exchange on their own key
+    assert(count(p, "SortMergeJoin") === 0, p)
+    assert(count(p, "CartesianProduct") === 0, p)
+    assert(count(p, "BroadcastHashJoin") >= 4, p)
+  }
 }

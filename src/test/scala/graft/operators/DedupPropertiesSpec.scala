@@ -373,4 +373,39 @@ class DedupPropertiesSpec extends SparkSpec {
     assert(clean(4L) === ((8L, 5L, "pre post one")))
     assert(clean(5L) === ((8L, 5L, "zz yy xx")))
   }
+
+  test("incrementalDedup triages exact / near / novel against history (d19)") {
+    // history = even ids, incoming = odd. Crafted so each status fires:
+    //   1 vs 0 — byte-identical         → exact (match 0)
+    //   3 vs 2 — one word changed       → near  (jaccard of 3-shingles ≥ ½)
+    //   5      — disjoint vocabulary    → novel
+    //   7 vs 0 — identical AND near 2?  → exact wins the coalesce
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val hist2 = "papa quebec romeo sierra tango uniform victor whiskey xray yankee"
+    val docs = Seq(
+      (0L, base), (1L, base), (2L, hist2), (3L, hist2.replace("yankee", "zulu")),
+      (4L, "mike november oscar kilo lima golfing echoes"),
+      (5L, "one two three four five six seven"),
+      (6L, base), (7L, base))
+      .map { case (id, t) => (id, t, t.replace(" ", "").length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+    val out = DedupOps.incrementalDedup(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    assert(out.keySet === Set(1L, 3L, 5L, 7L), "every incoming doc exactly once")
+    assert(out(1L) === (("exact", Some(0L))))
+    // doc 3 differs from history doc 2 by the LAST word only: 7 of 8
+    // 3-shingles shared → jaccard 7/9 ≥ ½; the leading bands' minhashes
+    // come from the shared shingles here (deterministic md5s), so the
+    // band collision fires
+    assert(out(3L)._1 === "near")
+    assert(out(3L)._2 === Some(2L))
+    assert(out(5L) === (("novel", None)))
+    // doc 7 is exact-dup of 0 AND 6 (min id wins), also near them — exact wins
+    assert(out(7L) === (("exact", Some(0L))))
+
+    // history is NEVER the shuffled side: the near path must carry no
+    // sort-merge join and the only keyed exchanges are batch-sized aggs
+    val plan = DedupOps.incrementalDedup(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }

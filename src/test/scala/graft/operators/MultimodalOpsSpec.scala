@@ -76,6 +76,26 @@ class MultimodalOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("imagePhashPairs: banded candidates equal brute-force hamming <= 3 (M7)") {
+    import org.apache.spark.sql.functions._
+    // ground truth from the operator's OWN hashes, brute-forced driver-side
+    // (500 docs -> 125k pairs): proves the banding missed no pair and the
+    // packed-word xor/bit_count verify computed true hamming distance
+    val hashes = MultimodalOps.imagePhash64(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(expected.nonEmpty, "fixture must contain near-dup images")
+    // the +192 dims-cycle structure must surface: same (w,h), gradient
+    // shifted by a constant -> small hamming for at least one such pair
+    assert(expected.exists { case (a, b, _) => b - a == 192 || b - a == 384 })
+    val got = MultimodalOps.imagePhashPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+  }
+
   test("WavCodec round-trips real RIFF/WAVE bytes sample-exact (M5)") {
     val wav = MultimodalOps.syntheticWav(7L, 200)
     // it is a genuine WAV container, not raw PCM
