@@ -213,6 +213,32 @@ object StatsStreams {
     else graft.operators.DedupOps.electFirstSegment(segs, col("seg_key"))
   }
 
+  /** Streaming incremental dedup — the streaming face of batch D19
+    * ([[graft.operators.DedupOps.incrementalDedupOf]]): each arriving
+    * micro-batch is triaged (`exact` | `near` | `novel`) against the STATIC
+    * history index, the per-micro-batch `foreachBatch` shape J3b
+    * established ([[WideJoins.enrichAsOf]]) — which is exactly what the
+    * operator semantically is: incremental dedup IS batch-vs-index, so the
+    * stream face reuses the batch operator verbatim per trigger instead of
+    * re-deriving it with stream-side state. `history` is by-name, re-read
+    * per batch, so an index rebuilt between triggers is picked up —
+    * batch-local novelty (two near-dups arriving in the SAME batch both
+    * report novel) is the documented contract, identical to
+    * [[stripSpansStream]]'s vs-reference semantics.
+    *
+    * Scale notes: state is zero (no state store at all); per-batch cost is
+    * the batch operator's own — history never shuffled, batch side
+    * broadcast everywhere — so an hourly crawl drop pays exactly one
+    * indexed-scan triage per trigger.
+    */
+  def incrementalDedupStream(incoming: DataFrame, history: => DataFrame)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    incoming.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(graft.operators.DedupOps.incrementalDedupOf(batch, history), id)
+    }
+
   /** Streaming boilerplate removal — the streaming face of
     * [[graft.operators.DedupOps.boilerplateStrip]] (d17): incoming docs are
     * cleaned against a STATIC boilerplate segment set (the indexed corpus's

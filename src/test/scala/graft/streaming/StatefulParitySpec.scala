@@ -612,4 +612,39 @@ class StatefulParitySpec extends SparkSpec {
     assert(streamed.exists(r => r.head == 1L && r.last == true))
     assert(streamed.exists(r => r.head == 3L && r.last == false))
   }
+
+  test("incrementalDedupStream: per-micro-batch triage == batch operator (D19)") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val hist2 = "papa quebec romeo sierra tango uniform victor whiskey xray yankee"
+    val history = Seq(
+      (0L, base), (2L, hist2),
+      (4L, "mike november oscar kilo lima golfing echoes"), (6L, base))
+      .map { case (id, t) => (id, t, t.replace(" ", "").length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+    // incoming split across TWO micro-batches: exact dup, near dup, novel
+    val batch1 = Seq((1L, base), (3L, hist2.replace("yankee", "zulu")))
+    val batch2 = Seq((5L, "one two three four five six seven"), (7L, base))
+    val toRow = (p: (Long, String)) => (p._1, p._2, p._2.replace(" ", "").length.toLong)
+
+    val input = MemoryStream[(Long, String, Long)]
+    input.addData(batch1.map(toRow): _*); input.addData(batch2.map(toRow): _*)
+    val got = scala.collection.mutable.Map[Long, (String, Option[Long])]()
+    val q = StatsStreams.incrementalDedupStream(
+        input.toDF().toDF("doc_id", "text", "n_chars"), history) { (df, _) =>
+      df.collect().foreach(r => got(r.getLong(0)) =
+        (r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long])))
+    }.trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+
+    val batched = graft.operators.DedupOps.incrementalDedupOf(
+        (batch1 ++ batch2).map(toRow).toDF("doc_id", "text", "n_chars"), history)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    assert(got.toMap === batched, "stream triage diverged from the batch operator")
+    assert(got(1L) === (("exact", Some(0L))))
+    assert(got(3L)._1 === "near")
+    assert(got(5L) === (("novel", None)))
+    assert(got(7L) === (("exact", Some(0L))))
+  }
 }
