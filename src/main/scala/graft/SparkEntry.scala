@@ -172,6 +172,10 @@ object SparkEntry {
     // brute-forces all pairs, so banding must be COMPLETE to hash-match
     "m7_phash_pairs" -> ((s: SparkSession, d: String) => MultimodalOps.imagePhashPairs(s, d)),
     "m4_audio_features" -> ((s: SparkSession, d: String) => MultimodalOps.audioFeatures(s, d)),
+    // m8: audio fingerprint dedup — d1's exact-dedup shape at the audio
+    // seam: 2-frame energy prefix key over REAL WAV decode, hash-groupBy to
+    // (keeper, dup_ct); the oracle replays the sample recurrence
+    "m8_audio_fingerprint" -> ((s: SparkSession, d: String) => MultimodalOps.audioFingerprintDups(s, d)),
     // m5: REAL WAV round trip — encode RIFF/WAVE bytes per doc, decode with
     // the in-JDK javax.sound parser, aggregate frames at the codec seam;
     // same arithmetic oracle as m4, so a codec fault breaks the hash
@@ -2090,6 +2094,21 @@ object SparkEntry {
         |        FROM bits x JOIN bits y ON x.k = y.k AND x.doc_id < y.doc_id
         |        GROUP BY 1, 2)
         |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3""".stripMargin,
+    // m8: the 2x64-sample energy-prefix key replayed from the recurrence,
+    // then d1's group-to-keeper; string_agg ORDER BY frame mirrors the
+    // Scala mkString over in-order frames
+    "m8_audio_fingerprint" ->
+      """WITH s AS (SELECT doc_id, abs(((doc_id * 31 + i * 17) % 256) - 128) AS a,
+        |                  i // 64 AS frame
+        |           FROM documents, unnest(generate_series(0, 127)) u(i)
+        |           WHERE n_chars >= 128),
+        |f AS (SELECT doc_id, frame, sum(a) AS sum_abs FROM s GROUP BY doc_id, frame),
+        |k AS (SELECT doc_id,
+        |             string_agg(CAST(sum_abs AS VARCHAR), ',' ORDER BY frame) AS prefix_key
+        |      FROM f GROUP BY doc_id)
+        |SELECT prefix_key, min(doc_id) AS keeper_id,
+        |       CAST(count(*) AS BIGINT) AS dup_ct
+        |FROM k GROUP BY prefix_key""".stripMargin,
     // v1: frame-sampling fan-out — every 30th of the md5-derived frame
     // count, dims from the same digest bytes as m1.
     "v1_frame_sample" -> {

@@ -637,4 +637,44 @@ object MultimodalOps {
         sum(col("smp") * col("smp")).as("energy"))
   def audioFeatures(spark: SparkSession, dir: String): DataFrame =
     audioFeatures(table(spark, dir, "documents"))
+
+  private val PrefixFrames = 2
+  private val PrefixSamples = PrefixFrames * AudioFrame // 128
+
+  /** M8 — audio fingerprint dedup over the REAL codec path: d1's exact-dedup
+    * shape at the audio seam, completing the modality set (text d1, image
+    * m7). Each blob is fingerprinted by its first [[PrefixFrames]] frames'
+    * sum-|sample| energies — decoded from genuine RIFF/WAVE bytes with
+    * [[WavCodec]], so a header-math or sign fault changes the key — and
+    * blobs sharing the prefix key collapse to (keeper = min id, dup_ct),
+    * exactly the audio-track dedup a crawl pipeline runs before transcribe
+    * (same recording re-uploaded with different tails/containers groups
+    * here). Blobs shorter than the prefix are excluded: a key over absent
+    * samples would alias short clips with silence.
+    *
+    * Scale notes (100 TB): in production the prefix read is a RANGE read —
+    * WAV header + `PrefixSamples` bytes per object — so fingerprint cost is
+    * O(prefix), not O(blob); here the demo encodes the full blob at the
+    * seam but still fingerprints only the decoded prefix. The group step is
+    * one hash-groupBy on ~20-char keys with map-side partial aggregation —
+    * d1's plan, byte for byte.
+    */
+  def audioFingerprintDups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.spread(table(spark, dir, "documents")
+        .filter(col("n_chars") >= PrefixSamples)
+        .select(col("doc_id"), col("n_chars")))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, n) =>
+        require(n <= Int.MaxValue,
+          s"audio blob for doc $id has $n samples — exceeds the Int-indexed demo codec")
+        val samples = WavCodec.decodeSamples(syntheticWav(id, n.toInt))
+        val key = samples.take(PrefixSamples).grouped(AudioFrame)
+          .map(_.map(s => math.abs(s).toLong).sum).mkString(",")
+        (id, key)
+      })
+      .toDF("doc_id", "prefix_key")
+      .groupBy("prefix_key")
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("dup_ct"))
+  }
 }

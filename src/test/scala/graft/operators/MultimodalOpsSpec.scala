@@ -96,6 +96,28 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("audioFingerprintDups groups same-content prefixes via the real decode (M8)") {
+    import org.apache.spark.sql.functions._
+    val out = MultimodalOps.audioFingerprintDups(spark, sf).cache()
+    // the sample recurrence depends on doc_id only through id*31 mod 256, so
+    // ids congruent mod 256 (with >= 128 samples) share ALL prefix frames —
+    // the fixture has such classes, so real dup groups must surface
+    assert(out.filter(col("dup_ct") >= 2).count() > 0, "no dup groups found")
+    // groups partition the eligible corpus
+    val eligible = graft.Tables.table(spark, sf, "documents")
+      .filter(col("n_chars") >= 128).count()
+    assert(out.agg(sum("dup_ct")).head.getLong(0) === eligible)
+    // keeper is a member: recompute its OWN key from the recurrence and
+    // check it equals the group key (decode really read the samples)
+    val r = out.filter(col("dup_ct") >= 2).orderBy("keeper_id").head
+    val key = r.getString(0); val keeper = r.getLong(1)
+    val expected = (0 until 2).map { f =>
+      (0 until 64).map(j => math.abs((keeper * 31 + (f * 64 + j) * 17) % 256 - 128)).sum
+    }.mkString(",")
+    assert(key === expected)
+    out.unpersist()
+  }
+
   test("WavCodec round-trips real RIFF/WAVE bytes sample-exact (M5)") {
     val wav = MultimodalOps.syntheticWav(7L, 200)
     // it is a genuine WAV container, not raw PCM
