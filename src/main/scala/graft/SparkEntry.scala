@@ -176,6 +176,10 @@ object SparkEntry {
     // seam: 2-frame energy prefix key over REAL WAV decode, hash-groupBy to
     // (keeper, dup_ct); the oracle replays the sample recurrence
     "m8_audio_fingerprint" -> ((s: SparkSession, d: String) => MultimodalOps.audioFingerprintDups(s, d)),
+    // c4: multimodal curation capstone — text gopher-keep AND image
+    // phash-canonical AND audio fingerprint-keeper, every gate reused
+    // verbatim from its standalone operator (and its oracle likewise)
+    "c4_multimodal_curation" -> ((s: SparkSession, d: String) => MultimodalOps.multimodalCuration(s, d)),
     // m5: REAL WAV round trip — encode RIFF/WAVE bytes per doc, decode with
     // the in-JDK javax.sound parser, aggregate frames at the codec seam;
     // same arithmetic oracle as m4, so a codec fault breaks the hash
@@ -362,6 +366,83 @@ object SparkEntry {
       |       ca.n + cb.n - i.inter_ct AS union_ct,
       |       floor(i.inter_ct * 10000.0 / (ca.n + cb.n - i.inter_ct) + 0.5) / 10000.0 AS jaccard
       |FROM inter i JOIN cnt ca ON ca.doc_id = i.a JOIN cnt cb ON cb.doc_id = i.b""".stripMargin
+
+  /** t12's full rule battery — shared by the t12 entry and c4's text gate. */
+  private val t12GopherSql =
+    """WITH s AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w,
+      |         string_split(text, chr(10)) AS l,
+      |         CAST(length(replace(text, ' ', '')) AS BIGINT) AS char_ct,
+      |         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+      |           + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS symbol_ct
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, char_ct, symbol_ct,
+      |         CAST(len(w) AS BIGINT) AS n_words,
+      |         CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
+      |         CAST(len(list_filter(w, x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS stop_ct,
+      |         CAST(len(l) AS BIGINT) AS n_lines,
+      |         CAST(len(list_filter(l, x -> starts_with(ltrim(x), '-') OR starts_with(ltrim(x), '*')
+      |                                      OR starts_with(ltrim(x), '•'))) AS BIGINT) AS bullet_lines,
+      |         CAST(len(list_filter(l, x -> ends_with(rtrim(x), '...'))) AS BIGINT) AS ellipsis_lines
+      |  FROM s)
+      |SELECT doc_id, n_words, char_ct, symbol_ct, alpha_words, stop_ct,
+      |       n_lines, bullet_lines, ellipsis_lines,
+      |       floor(char_ct * 10000.0 / n_words + 0.5) / 10000.0 AS mean_word_len,
+      |       floor(symbol_ct * 10000.0 / n_words + 0.5) / 10000.0 AS symbol_ratio,
+      |       n_words >= 50 AND n_words <= 100000 AS r_word_count,
+      |       char_ct >= n_words * 3 AND char_ct <= n_words * 10 AS r_mean_word_len,
+      |       symbol_ct * 10 <= n_words AS r_symbol_ratio,
+      |       bullet_lines * 10 <= n_lines * 9 AS r_bullet_lines,
+      |       ellipsis_lines * 10 <= n_lines * 3 AS r_ellipsis_lines,
+      |       alpha_words * 10 >= n_words * 8 AS r_alpha_words,
+      |       stop_ct >= 2 AS r_stopwords,
+      |       (n_words >= 50 AND n_words <= 100000)
+      |         AND (char_ct >= n_words * 3 AND char_ct <= n_words * 10)
+      |         AND symbol_ct * 10 <= n_words
+      |         AND bullet_lines * 10 <= n_lines * 9
+      |         AND ellipsis_lines * 10 <= n_lines * 3
+      |         AND alpha_words * 10 >= n_words * 8
+      |         AND stop_ct >= 2 AS keep
+      |FROM g""".stripMargin
+
+  /** m7's brute-force pair query — shared by the m7 entry and c4's image
+    * canonical-election gate (dropped = any doc_b position).
+    */
+  private val m7PhashPairsSql =
+    """WITH ids AS (SELECT doc_id, CAST(1 + doc_id % 64 AS BIGINT) AS w,
+      |                    CAST(1 + doc_id % 48 AS BIGINT) AS h FROM documents),
+      |s AS (SELECT doc_id, (i * w) // 8 AS x, (j * h) // 8 AS y, j * 8 + i AS k
+      |      FROM ids, unnest(generate_series(0, 7)) u(i),
+      |                unnest(generate_series(0, 7)) v(j)),
+      |p AS (SELECT doc_id, k, (x * 31 + y * 17 + doc_id) % 16777216 AS pv FROM s),
+      |q AS (SELECT doc_id, k,
+      |             (pv // 65536) + ((pv // 256) % 256) + (pv % 256) AS gray FROM p),
+      |t AS (SELECT doc_id, sum(gray) AS total FROM q GROUP BY doc_id),
+      |bits AS (SELECT q.doc_id, q.k,
+      |                CASE WHEN q.gray * 64 > t.total THEN 1 ELSE 0 END AS bit
+      |         FROM q JOIN t USING (doc_id)),
+      |ham AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |               CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+      |        FROM bits x JOIN bits y ON x.k = y.k AND x.doc_id < y.doc_id
+      |        GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3""".stripMargin
+
+  /** m8's fingerprint-group query — shared by the m8 entry and c4's audio
+    * keeper gate.
+    */
+  private val m8AudioFpSql =
+    """WITH s AS (SELECT doc_id, abs(((doc_id * 31 + i * 17) % 256) - 128) AS a,
+      |                  i // 64 AS frame
+      |           FROM documents, unnest(generate_series(0, 127)) u(i)
+      |           WHERE n_chars >= 128),
+      |f AS (SELECT doc_id, frame, sum(a) AS sum_abs FROM s GROUP BY doc_id, frame),
+      |k AS (SELECT doc_id,
+      |             string_agg(CAST(sum_abs AS VARCHAR), ',' ORDER BY frame) AS prefix_key
+      |      FROM f GROUP BY doc_id)
+      |SELECT prefix_key, min(doc_id) AS keeper_id,
+      |       CAST(count(*) AS BIGINT) AS dup_ct
+      |FROM k GROUP BY prefix_key""".stripMargin
 
   private val simhashSums = (1 to 16).map(j =>
     s"sum(CASE WHEN substr(md5(word), $j, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS s$j")
@@ -1577,43 +1658,7 @@ object SparkEntry {
     // length-delta uses plain (non-regex) replace in both engines; the
     // '...'-count division is an exact integer multiple, so DuckDB's
     // round-to-nearest BIGINT cast and Spark's truncating cast agree.
-    "t12_gopher_rules" ->
-      """WITH s AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w,
-        |         string_split(text, chr(10)) AS l,
-        |         CAST(length(replace(text, ' ', '')) AS BIGINT) AS char_ct,
-        |         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
-        |           + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS symbol_ct
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, char_ct, symbol_ct,
-        |         CAST(len(w) AS BIGINT) AS n_words,
-        |         CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
-        |         CAST(len(list_filter(w, x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS stop_ct,
-        |         CAST(len(l) AS BIGINT) AS n_lines,
-        |         CAST(len(list_filter(l, x -> starts_with(ltrim(x), '-') OR starts_with(ltrim(x), '*')
-        |                                      OR starts_with(ltrim(x), '•'))) AS BIGINT) AS bullet_lines,
-        |         CAST(len(list_filter(l, x -> ends_with(rtrim(x), '...'))) AS BIGINT) AS ellipsis_lines
-        |  FROM s)
-        |SELECT doc_id, n_words, char_ct, symbol_ct, alpha_words, stop_ct,
-        |       n_lines, bullet_lines, ellipsis_lines,
-        |       floor(char_ct * 10000.0 / n_words + 0.5) / 10000.0 AS mean_word_len,
-        |       floor(symbol_ct * 10000.0 / n_words + 0.5) / 10000.0 AS symbol_ratio,
-        |       n_words >= 50 AND n_words <= 100000 AS r_word_count,
-        |       char_ct >= n_words * 3 AND char_ct <= n_words * 10 AS r_mean_word_len,
-        |       symbol_ct * 10 <= n_words AS r_symbol_ratio,
-        |       bullet_lines * 10 <= n_lines * 9 AS r_bullet_lines,
-        |       ellipsis_lines * 10 <= n_lines * 3 AS r_ellipsis_lines,
-        |       alpha_words * 10 >= n_words * 8 AS r_alpha_words,
-        |       stop_ct >= 2 AS r_stopwords,
-        |       (n_words >= 50 AND n_words <= 100000)
-        |         AND (char_ct >= n_words * 3 AND char_ct <= n_words * 10)
-        |         AND symbol_ct * 10 <= n_words
-        |         AND bullet_lines * 10 <= n_lines * 9
-        |         AND ellipsis_lines * 10 <= n_lines * 3
-        |         AND alpha_words * 10 >= n_words * 8
-        |         AND stop_ct >= 2 AS keep
-        |FROM g""".stripMargin,
+    "t12_gopher_rules" -> t12GopherSql,
     // t13: CCNet bigram-LM scoring — the single ln per (doc,bigram) is
     // 4dp-floor-quantized then summed as DECIMAL(18,4) (exact/associative:
     // double-sum ORDER can never move the hash); P is an integer ratio so
@@ -2076,39 +2121,22 @@ object SparkEntry {
     // then BRUTE-FORCE all-pairs hamming via a per-bit join — complete by
     // construction, so it proves the Spark side's banded candidates missed
     // nothing (pigeonhole contract) and the verify arithmetic is exact
-    "m7_phash_pairs" ->
-      """WITH ids AS (SELECT doc_id, CAST(1 + doc_id % 64 AS BIGINT) AS w,
-        |                    CAST(1 + doc_id % 48 AS BIGINT) AS h FROM documents),
-        |s AS (SELECT doc_id, (i * w) // 8 AS x, (j * h) // 8 AS y, j * 8 + i AS k
-        |      FROM ids, unnest(generate_series(0, 7)) u(i),
-        |                unnest(generate_series(0, 7)) v(j)),
-        |p AS (SELECT doc_id, k, (x * 31 + y * 17 + doc_id) % 16777216 AS pv FROM s),
-        |q AS (SELECT doc_id, k,
-        |             (pv // 65536) + ((pv // 256) % 256) + (pv % 256) AS gray FROM p),
-        |t AS (SELECT doc_id, sum(gray) AS total FROM q GROUP BY doc_id),
-        |bits AS (SELECT q.doc_id, q.k,
-        |                CASE WHEN q.gray * 64 > t.total THEN 1 ELSE 0 END AS bit
-        |         FROM q JOIN t USING (doc_id)),
-        |ham AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-        |               CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
-        |        FROM bits x JOIN bits y ON x.k = y.k AND x.doc_id < y.doc_id
-        |        GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3""".stripMargin,
+    "m7_phash_pairs" -> m7PhashPairsSql,
     // m8: the 2x64-sample energy-prefix key replayed from the recurrence,
     // then d1's group-to-keeper; string_agg ORDER BY frame mirrors the
     // Scala mkString over in-order frames
-    "m8_audio_fingerprint" ->
-      """WITH s AS (SELECT doc_id, abs(((doc_id * 31 + i * 17) % 256) - 128) AS a,
-        |                  i // 64 AS frame
-        |           FROM documents, unnest(generate_series(0, 127)) u(i)
-        |           WHERE n_chars >= 128),
-        |f AS (SELECT doc_id, frame, sum(a) AS sum_abs FROM s GROUP BY doc_id, frame),
-        |k AS (SELECT doc_id,
-        |             string_agg(CAST(sum_abs AS VARCHAR), ',' ORDER BY frame) AS prefix_key
-        |      FROM f GROUP BY doc_id)
-        |SELECT prefix_key, min(doc_id) AS keeper_id,
-        |       CAST(count(*) AS BIGINT) AS dup_ct
-        |FROM k GROUP BY prefix_key""".stripMargin,
+    "m8_audio_fingerprint" -> m8AudioFpSql,
+    // c4: the three modality gates composed as subqueries — each reused
+    // VERBATIM from its standalone entry, so a drift in any gate breaks
+    // both the standalone hash and the capstone's
+    "c4_multimodal_curation" ->
+      s"""SELECT d.doc_id, d.lang, d.n_chars
+         |FROM documents d
+         |JOIN ($t12GopherSql) t ON t.doc_id = d.doc_id
+         |JOIN (SELECT keeper_id FROM ($m8AudioFpSql) z) au ON au.keeper_id = d.doc_id
+         |LEFT JOIN (SELECT DISTINCT doc_b FROM ($m7PhashPairsSql) y) img
+         |       ON img.doc_b = d.doc_id
+         |WHERE t.keep AND img.doc_b IS NULL""".stripMargin,
     // v1: frame-sampling fan-out — every 30th of the md5-derived frame
     // count, dims from the same digest bytes as m1.
     "v1_frame_sample" -> {

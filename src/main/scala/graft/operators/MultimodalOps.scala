@@ -677,4 +677,38 @@ object MultimodalOps {
       .groupBy("prefix_key")
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("dup_ct"))
   }
+
+  /** C4 — multimodal curation capstone: one curated sample table gated by
+    * all three modalities, the c2/c3 composition pattern extended across
+    * the codec seams. A document survives iff
+    *   - its TEXT passes the full Gopher rule battery (t12 `keep`);
+    *   - its IMAGE is near-dup canonical — it is never the higher id of an
+    *     m7 hamming ≤ 3 pair (greedy keep-lowest election over the pair
+    *     set: deterministic in both engines because the pair set itself is
+    *     oracle-pinned);
+    *   - its AUDIO exists (≥ prefix length) and it is its m8 fingerprint
+    *     group's keeper.
+    * Every gate is reused VERBATIM from its standalone operator, so each
+    * stage keeps its own oracle and the capstone's oracle composes the
+    * same three queries as subqueries — drift anywhere breaks two hashes.
+    *
+    * Scale notes (100 TB): the gates run their own documented plans (t12
+    * zero-shuffle scan; m7 banded, never all-pairs; m8 one hash-groupBy);
+    * the assembly is three id-keyed semi/anti joins on gate outputs that
+    * are corpus-sized or smaller — AQE broadcasts the small sides (the
+    * dropped-image and audio-keeper lists shrink with dup density).
+    */
+  def multimodalCuration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val keepText = graft.operators.TextOps.gopherRules(docs)
+      .filter(col("keep")).select(col("doc_id"))
+    val droppedImgs = imagePhashPairs(spark, dir)
+      .select(col("doc_b").as("doc_id"))
+    val audioKeepers = audioFingerprintDups(spark, dir)
+      .select(col("keeper_id").as("doc_id"))
+    docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(keepText, Seq("doc_id"), "left_semi")
+      .join(droppedImgs, Seq("doc_id"), "left_anti")
+      .join(audioKeepers, Seq("doc_id"), "left_semi")
+  }
 }

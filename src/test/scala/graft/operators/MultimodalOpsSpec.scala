@@ -118,6 +118,27 @@ class MultimodalOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("multimodalCuration output passes every modality gate, each gate bites (C4)") {
+    import org.apache.spark.sql.functions._
+    val ids = MultimodalOps.multimodalCuration(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.nonEmpty)
+    val keepText = graft.operators.TextOps.gopherRules(
+        graft.Tables.table(spark, sf, "documents"))
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val droppedImg = MultimodalOps.imagePhashPairs(spark, sf)
+      .select("doc_b").collect().map(_.getLong(0)).toSet
+    val audioKeep = MultimodalOps.audioFingerprintDups(spark, sf)
+      .select("keeper_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(keepText), "a curated doc failed the text gate")
+    assert(ids.intersect(droppedImg).isEmpty, "a curated doc is an image near-dup loser")
+    assert(ids.subsetOf(audioKeep), "a curated doc is not its audio group's keeper")
+    // the composition is strict: every gate excludes at least one doc the
+    // other two would admit (otherwise the capstone is a no-op wrapper)
+    assert((keepText -- droppedImg).intersect(audioKeep) === ids)
+    assert(ids.size < keepText.size)
+  }
+
   test("WavCodec round-trips real RIFF/WAVE bytes sample-exact (M5)") {
     val wav = MultimodalOps.syntheticWav(7L, 200)
     // it is a genuine WAV container, not raw PCM
