@@ -91,6 +91,10 @@ object SparkEntry {
     "g5_dup_rate_by_source" -> ((s: SparkSession, d: String) => DedupOps.dupRateBySource(s, d)),
     // LLM-data-pipeline: similarity search
     "n1_ann_cosine_topk" -> ((s: SparkSession, d: String) => AnnOps.cosineTopK(s, d)),
+    // n8: metadata-FILTERED vector search — top-k among same-label vectors
+    // only; the label equality turns n1's nested-loop into a keyed
+    // broadcast hash join (filter-then-score)
+    "n8_ann_filtered_topk" -> ((s: SparkSession, d: String) => AnnOps.filteredTopK(s, d)),
     "n2_ann_ivf_topk" -> ((s: SparkSession, d: String) => AnnOps.ivfTopK(s, d)),
     // n2b: the TRAINED quantizer end-to-end (kmeansTrain → assignCellsLit →
     // ivfSearchAssigned). Lloyd's loop is not oracle-stateable in one SQL
@@ -1103,6 +1107,23 @@ object SparkEntry {
          |                      (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ee, ee)))
          |                      * 10000.0 + 0.5) / 10000.0 AS sim
          |         FROM q, e WHERE vec_id <> query_id)
+         |SELECT query_id, neighbor_id, rnk, sim FROM (
+         |  SELECT query_id, neighbor_id, sim,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |  FROM sims) WHERE rnk <= 5""".stripMargin,
+    // n8: n1's chain with the label-scoped candidate set — queries carry
+    // their label, neighbors must match it
+    "n8_ann_filtered_topk" ->
+      s"""WITH q2 AS (SELECT vec_id AS query_id, label AS qlabel,
+         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+         |            FROM embeddings WHERE vec_id < 10),
+         |e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ee
+         |      FROM embeddings),
+         |sims AS (SELECT query_id, vec_id AS neighbor_id,
+         |                floor(list_dot_product(qe, ee) /
+         |                      (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ee, ee)))
+         |                      * 10000.0 + 0.5) / 10000.0 AS sim
+         |         FROM q2, e WHERE vec_id <> query_id AND label = qlabel)
          |SELECT query_id, neighbor_id, rnk, sim FROM (
          |  SELECT query_id, neighbor_id, sim,
          |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk

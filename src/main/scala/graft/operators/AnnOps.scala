@@ -84,6 +84,36 @@ object AnnOps {
   def cosineTopK(spark: SparkSession, dir: String): DataFrame =
     cosineTopK(table(spark, dir, "embeddings"))
 
+  /** N8 — FILTERED vector search: each query's top-k cosine neighbors
+    * restricted to corpus vectors sharing the query's label — the
+    * metadata-filtered ANN shape every production vector store exposes
+    * (tenant / language / source scoping). Same exact ordering contract as
+    * n1 (4-dp-quantized sim DESC, neighbor_id).
+    *
+    * Scale notes (100 TB): the filter is applied BEFORE similarity — the
+    * label equality turns n1's broadcast nested-loop into a label-KEYED
+    * broadcast hash join, so each corpus vector is scored only against the
+    * queries of its own label partition (filter-then-score, not
+    * score-then-filter: candidates shrink by the label selectivity, here
+    * 10×). Top-k is the same two-phase partial merge as n1; an IVF variant
+    * composes by filtering within probed cells.
+    */
+  def filteredTopK(e: DataFrame, k: Int = 5): DataFrame = {
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        norm(col("embedding")).as("nq"), col("label").as("qlabel"))
+    val corpus = e.select(col("vec_id"), col("embedding"), col("label"),
+      norm(col("embedding")).as("nv"))
+    val sims = corpus.join(broadcast(q),
+        corpus("label") === q("qlabel") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosinePre(col("qe"), col("embedding"), col("nq"), col("nv")).as("sim"))
+    topKPerQuery(sims, k, Seq("query_id"))
+      .select("query_id", "neighbor_id", "rnk", "sim")
+  }
+  def filteredTopK(spark: SparkSession, dir: String): DataFrame =
+    filteredTopK(table(spark, dir, "embeddings"))
+
   /** N7 — k-NN weak labeling (auto-labeling / label propagation, the
     * nearest-neighbor classifier the data-curation literature uses to
     * extend a small labeled seed over an unlabeled corpus): each query

@@ -113,6 +113,39 @@ class AnnOpsSpec extends SparkSpec {
     }
   }
 
+  test("filteredTopK scopes candidates to the query's label, exact vs brute force (N8)") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val out = AnnOps.filteredTopK(spark, sf).cache()
+    // every neighbor shares its query's label (the filter semantics)
+    val lbl = e.select(col("vec_id"), col("label"))
+    val badLabel = out
+      .join(lbl.select(col("vec_id").as("query_id"), col("label").as("ql")), "query_id")
+      .join(lbl.select(col("vec_id").as("neighbor_id"), col("label").as("nl")), "neighbor_id")
+      .filter(col("ql") =!= col("nl")).count()
+    assert(badLabel === 0, "a neighbor crossed the label filter")
+    // exactness: driver-side brute force over the same quantized ordering
+    val vecs = e.select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def sim(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      math.floor(d / (math.sqrt(na) * math.sqrt(nb)) * 10000.0 + 0.5) / 10000.0
+    }
+    val expected = (for {
+      (qid, qv, ql) <- vecs.toSeq.filter(_._1 < 10)
+      ((nid, s), idx) <- vecs.toSeq
+        .filter { case (nid, _, nl) => nid != qid && nl == ql }
+        .map { case (nid, nv, _) => (nid, sim(qv, nv)) }
+        .sortBy { case (nid, s) => (-s, nid) }
+        .take(5).zipWithIndex
+    } yield (qid, nid, (idx + 1).toLong, s)).toSet // (query, neighbor, rnk, sim)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === expected)
+    out.unpersist()
+  }
+
   test("knn labeling votes the planted neighborhood's label; tie-breaks deterministic (N7)") {
     import spark.implicits._
     // query 0 sits in a tight cluster of 5 'x'-labeled vectors; vectors
