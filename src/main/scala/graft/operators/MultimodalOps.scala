@@ -659,20 +659,28 @@ object MultimodalOps {
     * one hash-groupBy on ~20-char keys with map-side partial aggregation —
     * d1's plan, byte for byte.
     */
+  /** Blobs shorter than this have no prefix fingerprint (see [[audioPrefixKey]]). */
+  private[graft] val AudioPrefixSamples: Int = PrefixSamples
+
+  /** The m8 fingerprint for ONE blob — encode, REAL-decode, key the first
+    * [[PrefixFrames]] frames' energies. Shared by the batch operator and the
+    * streaming face so the two can never diverge at the codec seam.
+    */
+  private[graft] def audioPrefixKey(id: Long, n: Long): String = {
+    require(n <= Int.MaxValue,
+      s"audio blob for doc $id has $n samples — exceeds the Int-indexed demo codec")
+    WavCodec.decodeSamples(syntheticWav(id, n.toInt))
+      .take(PrefixSamples).grouped(AudioFrame)
+      .map(_.map(s => math.abs(s).toLong).sum).mkString(",")
+  }
+
   def audioFingerprintDups(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.Tables.spread(table(spark, dir, "documents")
         .filter(col("n_chars") >= PrefixSamples)
         .select(col("doc_id"), col("n_chars")))
       .as[(Long, Long)]
-      .mapPartitions(_.map { case (id, n) =>
-        require(n <= Int.MaxValue,
-          s"audio blob for doc $id has $n samples — exceeds the Int-indexed demo codec")
-        val samples = WavCodec.decodeSamples(syntheticWav(id, n.toInt))
-        val key = samples.take(PrefixSamples).grouped(AudioFrame)
-          .map(_.map(s => math.abs(s).toLong).sum).mkString(",")
-        (id, key)
-      })
+      .mapPartitions(_.map { case (id, n) => (id, audioPrefixKey(id, n)) })
       .toDF("doc_id", "prefix_key")
       .groupBy("prefix_key")
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("dup_ct"))
@@ -706,9 +714,12 @@ object MultimodalOps {
       .select(col("doc_b").as("doc_id"))
     val audioKeepers = audioFingerprintDups(spark, dir)
       .select(col("keeper_id").as("doc_id"))
+    // droppedImgs is PAIR-bounded (≪ corpus at any dup density) — broadcast
+    // the anti probe; the text/audio gates are corpus-sized subsets, so
+    // their id-keyed semi joins legitimately shuffle at scale
     docs.select(col("doc_id"), col("lang"), col("n_chars"))
       .join(keepText, Seq("doc_id"), "left_semi")
-      .join(droppedImgs, Seq("doc_id"), "left_anti")
+      .join(broadcast(droppedImgs), Seq("doc_id"), "left_anti")
       .join(audioKeepers, Seq("doc_id"), "left_semi")
   }
 }

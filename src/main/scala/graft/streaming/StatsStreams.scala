@@ -213,6 +213,32 @@ object StatsStreams {
     else graft.operators.DedupOps.electFirstSegment(segs, col("seg_key"))
   }
 
+  /** Streaming audio fingerprint dedup — the streaming face of batch M8
+    * ([[graft.operators.MultimodalOps.audioFingerprintDups]]): each arriving
+    * blob is fingerprinted at the REAL codec seam through the SAME
+    * `audioPrefixKey` the batch operator uses (encode → WavCodec decode →
+    * 2-frame energy key), then first-arrival-per-key survives with
+    * watermark-evicted state — [[dedupExactStream]]'s contract with the
+    * fingerprint swapped from md5(text) to the decoded audio prefix. Blobs
+    * shorter than the prefix pass through no row (same eligibility rule as
+    * batch). State is one row per distinct LIVE fingerprint, gone at the
+    * watermark horizon.
+    */
+  def audioFingerprintStream(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val keyed = docs
+      .filter(col("n_chars") >= graft.operators.MultimodalOps.AudioPrefixSamples)
+      .select(col("doc_id"), col("n_chars"), col("ts"))
+      .as[(Long, Long, Long)]
+      .mapPartitions(_.map { case (id, n, ts) =>
+        (id, ts, graft.operators.MultimodalOps.audioPrefixKey(id, n)) })
+      .toDF("doc_id", "ts", "prefix_key")
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", "1 hour")
+    if (keyed.isStreaming) keyed.dropDuplicatesWithinWatermark("prefix_key")
+    else keyed.dropDuplicates("prefix_key")
+  }
+
   /** Streaming incremental dedup — the streaming face of batch D19
     * ([[graft.operators.DedupOps.incrementalDedupOf]]): each arriving
     * micro-batch is triaged (`exact` | `near` | `novel`) against the STATIC

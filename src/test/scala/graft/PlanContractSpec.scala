@@ -277,6 +277,37 @@ class PlanContractSpec extends SparkSpec {
     assert(count(p, "SortMergeJoin") === 0, p)
   }
 
+  test("audio fingerprint dedup is d1's plan at the codec seam (m8)") {
+    val p = planOf("m8_audio_fingerprint")
+    // decode + key extraction inside one mapPartitions pass; the ONLY keyed
+    // exchange is the prefix-key groupBy (spread's round-robin widening and
+    // AQE coalescing aside) — no joins at all
+    assert(count(p, "Exchange hashpartitioning") <= 1, p)
+    assert(count(p, "BroadcastHashJoin") === 0 && count(p, "SortMergeJoin") === 0, p)
+  }
+
+  test("filtered vector search is filter-then-score: keyed BHJ, no nested loop (n8)") {
+    val p = planOf("n8_ann_filtered_topk")
+    // the label filter must reach the JOIN (a BroadcastHashJoin on label),
+    // not run as a post-score filter over an all-pairs nested loop
+    assert(count(p, "BroadcastHashJoin") === 1, p)
+    assert(count(p, "BroadcastNestedLoopJoin") === 0,
+      s"n8 regressed to score-then-filter:\n$p")
+    assert(count(p, "SortMergeJoin") === 0, p)
+  }
+
+  test("multimodal curation: broadcast anti on the pair-bounded image list (c4)") {
+    val p = planOf("c4_multimodal_curation")
+    assert(count(p, "CartesianProduct") === 0, p)
+    assert(count(p, "BroadcastNestedLoopJoin") === 0, p)
+    // the dropped-image list is pair-bounded — its anti join must broadcast;
+    // the text/audio gates are corpus-sized subsets, so their id-keyed semi
+    // joins may shuffle (that IS the scale-correct plan) but never more
+    // than one keyed join each
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(count(p, "SortMergeJoin") <= 2, p)
+  }
+
   test("incremental dedup never shuffles the history corpus (d19)") {
     val p = planOf("d19_incremental_dedup")
     // batch side broadcast at every join: band probe, signature join-back,

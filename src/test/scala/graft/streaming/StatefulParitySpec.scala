@@ -613,6 +613,33 @@ class StatefulParitySpec extends SparkSpec {
     assert(streamed.exists(r => r.head == 3L && r.last == false))
   }
 
+  test("audioFingerprintStream: stream == batch, first arrival survives (M8)") {
+    implicit val sqlCtx = spark.sqlContext
+    // ids 7 and 263 are congruent mod 256 with equal sample counts -> same
+    // decoded prefix -> same fingerprint; 8 is a different class; 30 is too
+    // short for a prefix and must emit nothing
+    val batch1 = Seq((7L, 200L, 1000L), (8L, 150L, 2000L))
+    val batch2 = Seq((263L, 200L, 3000L), (30L, 100L, 4000L))
+    val allRows = batch1 ++ batch2
+    val input = MemoryStream[(Long, Long, Long)]
+    input.addData(batch1: _*); input.addData(batch2: _*)
+    val q = StatsStreams.audioFingerprintStream(
+        input.toDF().toDF("doc_id", "n_chars", "ts"))
+      .writeStream.format("memory").queryName("sf_audio_fp")
+      .trigger(Trigger.AvailableNow()).outputMode("append").start()
+    try q.awaitTermination() finally q.stop()
+    val streamed = spark.table("sf_audio_fp")
+      .select("prefix_key", "doc_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batched = StatsStreams.audioFingerprintStream(
+        allRows.toDF("doc_id", "n_chars", "ts").coalesce(1))
+      .select("prefix_key", "doc_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed === batched, "audio fingerprint dedup diverged")
+    // 263 collapsed onto 7 (first arrival), 8 kept, 30 ineligible
+    assert(streamed.values.toSet === Set(7L, 8L))
+  }
+
   test("incrementalDedupStream: per-micro-batch triage == batch operator (D19)") {
     implicit val sqlCtx = spark.sqlContext
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
