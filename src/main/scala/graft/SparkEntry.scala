@@ -51,6 +51,10 @@ object SparkEntry {
     "a12_event_transitions" -> (StatsOps.eventTransitions _),
     "g7_pagerank" -> (StatsOps.pageRank _),
     "l1_zorder_key" -> ((s: SparkSession, d: String) => Bucketing.zorderEvents(s, d)),
+    // l2: compaction planning (the small-files chore): first-fit-in-order
+    // file assignment at ~16KB targets within (lang, doc_id%16) slices —
+    // one bounded running-sum window per slice, never a global sort
+    "l2_compaction_plan" -> ((s: SparkSession, d: String) => Bucketing.compactionPlan(s, d)),
     "r3_retention" -> (StatsOps.retention _),
     "w2_sliding_counts" -> (StatsOps.slidingCounts _),
     "w3_session_window" -> (StatsOps.sessionWindowStats _),
@@ -796,6 +800,18 @@ object SparkEntry {
          |z AS (SELECT event_id, user_id, k, $terms AS zkey FROM c)
          |SELECT event_id, user_id, k, zkey, zkey >> 22 AS zbucket FROM z""".stripMargin
     },
+    // l2: the running byte sum and first-fit file index replayed with the
+    // same (lang, doc_id%16) slicing; // on non-negative BIGINTs equals
+    // Spark's floor(double division) here (values far below 2^53)
+    "l2_compaction_plan" ->
+      """WITH b AS (SELECT doc_id, lang, n_chars, doc_id % 16 AS shard FROM documents),
+        |c AS (SELECT doc_id, lang, shard, n_chars,
+        |             sum(n_chars) OVER (PARTITION BY lang, shard ORDER BY doc_id) AS cum_bytes
+        |      FROM b)
+        |SELECT doc_id, lang, shard,
+        |       CAST((cum_bytes - n_chars) // 16384 AS BIGINT) AS file_idx,
+        |       CAST(cum_bytes AS BIGINT) AS cum_bytes
+        |FROM c""".stripMargin,
     // r3: day-cohort retention on integer epoch-µs days (no DATE/timezone
     // semantics to diverge); cohort size = the offset-0 row of the same agg.
     "r3_retention" ->

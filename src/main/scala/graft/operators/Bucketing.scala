@@ -90,4 +90,35 @@ object Bucketing {
       .drop("_z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** L2 — compaction planning, l1's sibling for the OTHER lakehouse layout
+    * chore (the small-files problem): assign each document to an output
+    * file of ≈ `targetBytes`, bin-packed in id order WITHIN a
+    * (lang, shard) slice — `file_idx = floor(bytes_before_me / target)`,
+    * the first-fit-in-order plan every compaction job (Delta OPTIMIZE,
+    * Iceberg rewriteDataFiles) computes before it moves a byte. Shard =
+    * `doc_id % numShards` keeps the running sum DETERMINISTIC and
+    * engine-portable (no hash seams) while bounding every window
+    * partition.
+    *
+    * Scale notes (100 TB): the only structure is one running-sum window
+    * per (lang, shard) — parallelism = shards × langs, each partition
+    * sorts only its own slice (never a global sort), and the output is a
+    * pure projection the actual rewrite job consumes as its partition
+    * spec. Skew-bounded by construction: a shard's byte volume is ~1/N of
+    * its language.
+    */
+  def compactionPlan(docs: DataFrame, targetBytes: Long = 16384L,
+      numShards: Int = 16): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+    docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("shard", col("doc_id") % numShards)
+      .withColumn("cum_bytes", sum(col("n_chars")).over(w))
+      .withColumn("file_idx",
+        floor((col("cum_bytes") - col("n_chars")) / targetBytes.toDouble).cast("long"))
+      .select("doc_id", "lang", "shard", "file_idx", "cum_bytes")
+  }
+  def compactionPlan(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    compactionPlan(graft.Tables.table(spark, dir, "documents"))
 }

@@ -95,4 +95,39 @@ class BucketingSpec extends SparkSpec {
       s"z-order layout not tighter: z=$zArea vs naive=$naiveArea")
     z.unpersist()
   }
+
+  test("compactionPlan bin-packs first-fit-in-order within each slice (L2)") {
+    import org.apache.spark.sql.functions._
+    val target = 16384L
+    val plan = Bucketing.compactionPlan(spark, sf).cache()
+    // every eligible doc planned exactly once
+    val docs = graft.Tables.table(spark, sf, "documents")
+    assert(plan.count() === docs.count())
+    // file indices start at 0 in every slice and are gapless
+    val idx = plan.groupBy("lang", "shard")
+      .agg(min("file_idx").as("lo"), max("file_idx").as("hi"),
+        countDistinct("file_idx").as("nf"))
+    assert(idx.filter(col("lo") =!= 0L).count() === 0)
+    assert(idx.filter(col("nf") =!= col("hi") + 1).count() === 0, "gap in file indices")
+    // first-fit invariant: a doc starts a new file iff the bytes before it
+    // crossed the target — file size (bytes before last member + its own
+    // size) never exceeds target + the member's size
+    val sizes = plan.join(docs.select("doc_id", "n_chars"), "doc_id")
+      .groupBy("lang", "shard", "file_idx")
+      .agg(sum("n_chars").as("bytes"), max("n_chars").as("biggest"))
+    assert(sizes.filter(col("bytes") > lit(target) + col("biggest")).count() === 0,
+      "a planned file exceeds target + one document")
+    // and non-final files come within one document of the target (a file
+    // closes only because the NEXT doc crossed the boundary, so it can
+    // fall short by at most the largest doc in its slice)
+    val lastIdx = plan.groupBy("lang", "shard").agg(max("file_idx").as("last"))
+    val sliceMax = plan.join(docs.select("doc_id", "n_chars"), "doc_id")
+      .groupBy("lang", "shard").agg(max("n_chars").as("mx"))
+    val nonFinal = sizes.join(lastIdx, Seq("lang", "shard"))
+      .filter(col("file_idx") < col("last"))
+      .join(sliceMax, Seq("lang", "shard"))
+    assert(nonFinal.filter(col("bytes") < lit(target) - col("mx")).count() === 0,
+      "a non-final file was closed more than one document short of the target")
+    plan.unpersist()
+  }
 }
