@@ -706,14 +706,13 @@ object MultimodalOps {
     * are corpus-sized or smaller — AQE broadcasts the small sides (the
     * dropped-image and audio-keeper lists shrink with dup density).
     */
-  def multimodalCuration(spark: SparkSession, dir: String): DataFrame = {
-    val docs = table(spark, dir, "documents")
-    val keepText = graft.operators.TextOps.gopherRules(docs)
-      .filter(col("keep")).select(col("doc_id"))
-    val droppedImgs = imagePhashPairs(spark, dir)
-      .select(col("doc_b").as("doc_id"))
-    val audioKeepers = audioFingerprintDups(spark, dir)
-      .select(col("keeper_id").as("doc_id"))
+  /** The pipeline form (the `dedupByCluster` reuse pattern): pass the three
+    * gate outputs a production pipeline has already materialized — the
+    * standalone face below re-derives them in its own lineage, re-paying
+    * each gate's decode, exactly like d11 vs `dedupByCluster`.
+    */
+  def multimodalCurationOf(docs: DataFrame, keepText: DataFrame,
+      droppedImgs: DataFrame, audioKeepers: DataFrame): DataFrame =
     // droppedImgs is PAIR-bounded (≪ corpus at any dup density) — broadcast
     // the anti probe; the text/audio gates are corpus-sized subsets, so
     // their id-keyed semi joins legitimately shuffle at scale
@@ -721,5 +720,15 @@ object MultimodalOps {
       .join(keepText, Seq("doc_id"), "left_semi")
       .join(broadcast(droppedImgs), Seq("doc_id"), "left_anti")
       .join(audioKeepers, Seq("doc_id"), "left_semi")
+
+  def multimodalCuration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    multimodalCurationOf(docs,
+      keepText = graft.operators.TextOps.gopherRules(docs)
+        .filter(col("keep")).select(col("doc_id")),
+      droppedImgs = imagePhashPairs(spark, dir)
+        .select(col("doc_b").as("doc_id")),
+      audioKeepers = audioFingerprintDups(spark, dir)
+        .select(col("keeper_id").as("doc_id")))
   }
 }

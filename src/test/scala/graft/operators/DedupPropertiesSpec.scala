@@ -374,6 +374,46 @@ class DedupPropertiesSpec extends SparkSpec {
     assert(clean(5L) === ((8L, 5L, "zz yy xx")))
   }
 
+  test("property: incrementalDedup matches a driver-side reference triage (d19)") {
+    // independent reference: exact = text equality; near = any LSH band
+    // collision (bands recomputed from the signature operator's output)
+    // AND jaccard >= 1/2 over distinct 3-shingles (recomputed from raw
+    // text driver-side); match = min qualifying history id, exact first
+    (1L to 3L).foreach { s =>
+      val texts = sample(corpusGen, s)
+      val docs = docsDf(texts)
+      val sigs = DedupOps.minhashSignature(docs).collect()
+        .map(r => r.getLong(0) -> (0 until 8).map(i => r.getString(i + 1))).toMap
+      def shingles(t: String): Set[String] = {
+        val w = t.split(" ").filter(_.nonEmpty)
+        if (w.length < 3) Set.empty
+        else w.sliding(3).map(_.mkString(" ")).toSet
+      }
+      def bandsOf(id: Long): Set[(Int, String)] =
+        sigs.get(id).map(mh => (0 until 4).map(b => b -> (mh(2 * b) + mh(2 * b + 1))).toSet)
+          .getOrElse(Set.empty)
+      val byId = texts.zipWithIndex.map { case (t, i) => i.toLong -> t }.toMap
+      val inc = byId.keys.filter(_ % 2 == 1).toSeq.sorted
+      val hist = byId.keys.filter(_ % 2 == 0).toSeq.sorted
+      val expected = inc.map { i =>
+        val exact = hist.filter(h => byId(h) == byId(i)).sorted.headOption
+        val near = hist.filter { h =>
+          val sa = shingles(byId(i)); val sb = shingles(byId(h))
+          val inter = (sa & sb).size
+          bandsOf(i).intersect(bandsOf(h)).nonEmpty && sa.nonEmpty && sb.nonEmpty &&
+            inter * 2 >= sa.size + sb.size - inter
+        }.sorted.headOption
+        val status =
+          if (exact.isDefined) "exact" else if (near.isDefined) "near" else "novel"
+        i -> ((status, exact.orElse(near)))
+      }.toMap
+      val got = DedupOps.incrementalDedup(docs).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+      assert(got === expected, s"seed $s")
+    }
+  }
+
   test("incrementalDedup triages exact / near / novel against history (d19)") {
     // history = even ids, incoming = odd. Crafted so each status fires:
     //   1 vs 0 — byte-identical         → exact (match 0)
