@@ -36,6 +36,10 @@ object SparkEntry {
     "j3_dim_enrich" -> (RelationalOps.dimEnrich _),
     "j4_asof_native" -> (asofNative _),
     "j5_asof_tolerance" -> (asofTolerance _),
+    // j6: merge_asof direction='nearest' — TWO passes of the native as-of
+    // operator (forward = backward on negated micros), arbitrated by
+    // distance with backward winning ties
+    "j6_asof_nearest" -> (asofNearest _),
     // §2.5 aggregations / §2.6 windows
     "a1_visitor_stats" -> (StatsOps.visitorStats _),
     "a2_product_stats" -> (StatsOps.productStats _),
@@ -265,6 +269,46 @@ object SparkEntry {
         unix_micros(col("ts")).as("click_ts_us"),
         col("r_view_id").as("view_id"),
         unix_micros(col("r_ts")).as("view_ts_us"))
+  }
+
+  /** J6 — the as-of join's `merge_asof(direction='nearest')` form: each
+    * click takes the time-CLOSEST view either side, composed from TWO
+    * passes of the native operator — backward on integer micros, forward
+    * on NEGATED micros (`latest(-v ≤ -c)` ≡ `earliest(v ≥ c)`, exploiting
+    * the operator's type-generic ordering) — then arbitrated per click by
+    * absolute distance, backward winning exact ties (pandas' rule). The
+    * DuckDB oracle states nearest directly as a windowed argmin over the
+    * per-user candidate set with the same tie-break.
+    *
+    * Scale notes: each pass is the native operator's per-key merge (both
+    * sides hash-partitioned by user, sorted within partitions, one
+    * sequential sweep — never a time-range nested loop); the arbitration
+    * is one click-keyed equi-join of two click-sized frames.
+    */
+  private def asofNearest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.table(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("us"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("view_id"))
+      .select(col("user_id"), col("view_id"), unix_micros(col("ts")).as("us"))
+    val back = graft.plans.AsOfJoinNative.asOf(clicks, views, "user_id", "us", "us")
+    val fwd = graft.plans.AsOfJoinNative.asOf(
+      clicks.withColumn("nus", -col("us")),
+      views.withColumn("nus", -col("us")), "user_id", "nus", "nus", prefix = "f_")
+    val db = col("click_us") - col("r_us")
+    val df = col("f_us") - col("click_us")
+    val backWins = col("r_us").isNotNull && (col("f_us").isNull || db <= df)
+    back.select(col("click_id"), col("user_id"), col("us").as("click_us"),
+        col("r_view_id"), col("r_us"))
+      .join(fwd.select(col("click_id"), col("f_view_id"), col("f_us")), Seq("click_id"))
+      .select(col("click_id"), col("user_id"), col("click_us"),
+        when(backWins, col("r_view_id")).otherwise(col("f_view_id")).as("view_id"),
+        when(backWins, col("r_us")).otherwise(col("f_us")).as("view_us"),
+        when(col("r_us").isNull && col("f_us").isNull, lit(null).cast("string"))
+          .when(backWins, lit("backward")).otherwise(lit("forward")).as("direction"))
   }
 
   /** X2 — the typed `Aggregator` (ProductStatsAggregator's distinct-set
@@ -625,6 +669,24 @@ object SparkEntry {
          |SELECT c.click_id, c.user_id, epoch_us(c.cts) AS click_ts_us,
          |       v.view_id, epoch_us(v.vts) AS view_ts_us
          |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.cts >= v.vts""".stripMargin,
+    // j6: nearest = windowed argmin over the per-user candidate set by
+    // |Δus| with backward (v.us <= c.us) winning ties — DuckDB states the
+    // semantics directly; Spark composes two directional asof passes.
+    "j6_asof_nearest" ->
+      s"""WITH c AS (SELECT user_id, event_id AS click_id, epoch_us($EV) AS us
+         |           FROM events WHERE event_type = 'click'),
+         |v AS (SELECT user_id, max(event_id) AS view_id, epoch_us($EV) AS us
+         |      FROM events WHERE event_type = 'view' GROUP BY user_id, $EV),
+         |j AS (SELECT c.click_id, v.view_id, v.us AS view_us,
+         |             CASE WHEN v.us <= c.us THEN 0 ELSE 1 END AS fwd,
+         |             row_number() OVER (PARTITION BY c.click_id
+         |               ORDER BY abs(v.us - c.us),
+         |                        CASE WHEN v.us <= c.us THEN 0 ELSE 1 END) AS rn
+         |      FROM c JOIN v ON v.user_id = c.user_id)
+         |SELECT c.click_id, c.user_id, c.us AS click_us, j.view_id, j.view_us,
+         |       CASE WHEN j.view_us IS NULL THEN NULL
+         |            WHEN j.fwd = 1 THEN 'forward' ELSE 'backward' END AS direction
+         |FROM c LEFT JOIN j ON j.click_id = c.click_id AND j.rn = 1""".stripMargin,
     // j5: j4 + a 48h staleness tolerance — ASOF pick, then null out matches
     // older than the bound (the latest match rejected => all older rejected).
     "j5_asof_tolerance" ->

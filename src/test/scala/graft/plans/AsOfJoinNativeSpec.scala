@@ -167,4 +167,37 @@ class AsOfJoinNativeSpec extends SparkSpec {
     // every matched view really is at-or-before its click
     assert(a.filter(col("view_ts_us") > col("click_ts_us")).count() === 0)
   }
+
+  test("nearest (j6) arbitrates the two directional passes; backward wins ties") {
+    // fixture on the operator's own composition path via SparkEntry would
+    // need a testdata dir, so drive the brute-force contract on the real
+    // fixture instead: every click's match is the |Δ|-minimal view either
+    // side, tie -> backward, no-views user -> null direction
+    val out = graft.SparkEntry.queries("j6_asof_nearest")(spark, sf).cache()
+    assert(out.count() === clicks.count())
+    // compare against a windowed argmin computed with a DIFFERENT plan
+    val c = clicks.select(col("user_id"), col("click_id"),
+      unix_micros(col("ts")).as("cus"))
+    val v = views.select(col("user_id"), col("view_id"),
+      unix_micros(col("ts")).as("vus"))
+    val cand = c.join(v, Seq("user_id"))
+      .withColumn("d", abs(col("vus") - col("cus")))
+      .withColumn("fwd", when(col("vus") <= col("cus"), 0).otherwise(1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("click_id").orderBy(col("d"), col("fwd"))
+    val best = cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("click_id"), col("view_id").as("exp_view"),
+        col("vus").as("exp_us"),
+        when(col("fwd") === 1, "forward").otherwise("backward").as("exp_dir"))
+    val joined = out.join(best, Seq("click_id"), "left")
+    assert(joined.filter(
+      coalesce(col("view_id"), lit(-1L)) =!= coalesce(col("exp_view"), lit(-1L)) ||
+      coalesce(col("view_us"), lit(-1L)) =!= coalesce(col("exp_us"), lit(-1L)) ||
+      coalesce(col("direction"), lit("x")) =!= coalesce(col("exp_dir"), lit("x"))
+    ).count() === 0, "j6 diverged from the brute-force nearest")
+    // both directions genuinely occur in the fixture
+    val dirs = out.select("direction").distinct().collect().map(_.getString(0)).toSet
+    assert(dirs.contains("backward") && dirs.contains("forward"))
+    out.unpersist()
+  }
 }
