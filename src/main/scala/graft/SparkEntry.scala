@@ -54,6 +54,9 @@ object SparkEntry {
     "a13_rolling_active" -> (StatsOps.rollingActive _),
     "a12_event_transitions" -> (StatsOps.eventTransitions _),
     "g7_pagerank" -> (StatsOps.pageRank _),
+    // g8: triangle counting via degree-ordered orientation — wedge volume
+    // O(m^1.5), hub-skew-immune ("curse of the last reducer")
+    "g8_triangles" -> (StatsOps.triangles _),
     "l1_zorder_key" -> ((s: SparkSession, d: String) => Bucketing.zorderEvents(s, d)),
     // l2: compaction planning (the small-files chore): first-fit-in-order
     // file assignment at ~16KB targets within (lang, doc_id%16) slices —
@@ -845,6 +848,39 @@ object SparkEntry {
     // g7: PageRank — five unrolled rounds of integer-unit rank flow over
     // the props.k transition graph (see pagerankSql).
     "g7_pagerank" -> pagerankSql(5),
+    // g8: the same orientation scheme stated in SQL — each triangle
+    // {p<q<r by (deg,id)} closes exactly one p-wedge, so the per-node
+    // participation is an exact count, not an estimate
+    "g8_triangles" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us($EV) AS us,
+         |                  TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS node
+         |           FROM events
+         |           WHERE TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) IS NOT NULL),
+         |t AS (SELECT lag(node) OVER (PARTITION BY user_id ORDER BY us, event_id) AS src,
+         |             node AS dst
+         |      FROM e),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM t WHERE src IS NOT NULL AND src <> dst),
+         |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+         |          SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+         |        GROUP BY n),
+         |wd AS (SELECT und.a, und.b, x.deg AS da, y.deg AS db
+         |       FROM und JOIN deg x ON x.n = und.a JOIN deg y ON y.n = und.b),
+         |ori AS (SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+         |               CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v,
+         |               CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dv
+         |        FROM wd),
+         |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+         |        FROM ori e1 JOIN ori e2 ON e1.u = e2.u
+         |             AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+         |        JOIN ori e3 ON e3.u = e1.v AND e3.v = e2.v),
+         |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS tri_ct FROM (
+         |         SELECT x AS node FROM tri
+         |         UNION ALL SELECT y FROM tri
+         |         UNION ALL SELECT z FROM tri)
+         |       GROUP BY node)
+         |SELECT deg.n AS node, deg.deg, coalesce(pn.tri_ct, CAST(0 AS BIGINT)) AS tri_ct
+         |FROM deg LEFT JOIN pn ON pn.node = deg.n""".stripMargin,
     // l1: Morton/z-order layout key — 32 shift-mask-shift integer terms,
     // bit-identical in any engine; zbucket = the 1024-way range split.
     "l1_zorder_key" -> {

@@ -432,6 +432,68 @@ object StatsOps {
   def pageRank(spark: SparkSession, dir: String): DataFrame =
     pageRank(table(spark, dir, "events"))
 
+  /** G8 — triangle counting over the property-transition graph (g7's node
+    * set, simple undirected form: self-loops dropped, directions merged,
+    * multi-edges collapsed): per node, its degree and the number of
+    * triangles it participates in — the clustering-structure diagnostic
+    * next to g7's link analysis (high triangle density ⇒ tightly looping
+    * navigation neighborhoods).
+    *
+    * Algorithm: DEGREE-ORDERED edge orientation (the standard distributed
+    * triangle scheme — Suri & Vassilvitskii, WWW'11 "Counting triangles
+    * and the curse of the last reducer"): orient every edge from the
+    * (degree, id)-smaller endpoint to the larger, enumerate wedges at the
+    * small end, close them against the oriented edge set. Each triangle
+    * {p≺q≺r} is found exactly once (the p-wedge (q, r)).
+    *
+    * Scale notes (100 TB): orientation bounds every node's OUT-degree by
+    * O(√m) regardless of its true degree, so wedge volume is O(m^{3/2}) —
+    * optimal for enumeration — and the hub that breaks naive
+    * neighbor-join triangle counting ("the last reducer") contributes
+    * almost no wedges because its edges all point INTO it. Every join is
+    * keyed (wedge join on u, closure on (y, z)); the corpus-scale work is
+    * the same one user-keyed window g7 pays, and everything after the
+    * edge rollup is edge-catalog-sized.
+    */
+  def triangles(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val seq0 = events.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        get_json_object(col("props"), "$.k").cast("long").as("node"))
+      .filter(col("node").isNotNull)
+    val und = seq0
+      .withColumn("src", lag(col("node"), 1).over(w))
+      .filter(col("src").isNotNull && col("src") =!= col("node"))
+      .select(least(col("src"), col("node")).as("a"),
+        greatest(col("src"), col("node")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), Seq("b"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val ori = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("v"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+    val e1 = ori.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+    val e2 = ori.select(col("u"), col("v").as("z"), col("dv").as("dz"))
+    val tris = e1.join(e2, Seq("u"))
+      .filter(col("dy") < col("dz") || (col("dy") === col("dz") && col("y") < col("z")))
+      .join(ori.select(col("u").as("y"), col("v").as("z")), Seq("y", "z"))
+      .select(col("u").as("x"), col("y"), col("z"))
+    val perNode = tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri_ct"))
+    deg.select(col("n").as("node"), col("deg"))
+      .join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"), coalesce(col("tri_ct"), lit(0L)).as("tri_ct"))
+  }
+  def triangles(spark: SparkSession, dir: String): DataFrame =
+    triangles(table(spark, dir, "events"))
+
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     val gapUs = 30L * 60 * 1000000
     val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))

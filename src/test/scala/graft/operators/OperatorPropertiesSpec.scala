@@ -196,4 +196,29 @@ class OperatorPropertiesSpec extends SparkSpec {
       assert(gotR === wantR, s"seed $s cut=$cut retention diverged")
     }
   }
+
+  test("triangles counts the planted graph exactly; hub edges orient inward (G8)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // user 1 walks 1->2->3->1: triangle {1,2,3}; user 2 walks 4->5: lone
+    // edge; user 3 walks 6->1, 6->2, 6->4 (restarting at 6 via separate
+    // visits): star at 6 — 6-1-2 closes a second triangle via {1,2}
+    def ev(id: Long, user: Long, t: Long, node: Long) =
+      (id, user, t, s"""{"k":$node}""")
+    val rows = Seq(
+      ev(1, 1, 10, 1), ev(2, 1, 20, 2), ev(3, 1, 30, 3), ev(4, 1, 40, 1),
+      ev(5, 2, 10, 4), ev(6, 2, 20, 5),
+      ev(7, 3, 10, 6), ev(8, 3, 20, 1), ev(9, 3, 30, 6), ev(10, 3, 40, 2),
+      ev(11, 3, 50, 6), ev(12, 3, 60, 4))
+    val events = rows.toDF("event_id", "user_id", "t", "props")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("t")).as("ts"), col("props"))
+    // edges: {1,2},{2,3},{1,3},{4,5},{1,6},{2,6},{4,6}
+    // triangles: {1,2,3} and {1,2,6}
+    val got = StatsOps.triangles(events).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      1L -> ((3L, 2L)), 2L -> ((3L, 2L)), 3L -> ((2L, 1L)),
+      4L -> ((2L, 0L)), 5L -> ((1L, 0L)), 6L -> ((3L, 1L))))
+  }
 }
