@@ -141,6 +141,9 @@ object SparkEntry {
     "s9_temperature_mix" -> ((s: SparkSession, d: String) => CurationOps.temperatureMix(s, d)),
     "s10_dsir_weights" -> ((s: SparkSession, d: String) => CurationOps.dsirWeights(s, d)),
     "s11_leakage_split" -> ((s: SparkSession, d: String) => CurationOps.leakageSafeSplit(s, d)),
+    // s12: Efraimidis-Spirakis weighted sampling without replacement —
+    // global top-n on the 4dp-quantized ln(u)/w key, WindowGroupLimit plan
+    "s12_weighted_sample" -> ((s: SparkSession, d: String) => CurationOps.weightedSample(s, d)),
     // exact=true opts into the reducer-buffered exact percentile the DuckDB
     // oracle states; the operator's 100 TB default is the t-digest path
     "g2_token_quantiles" -> ((s: SparkSession, d: String) => CurationOps.tokenQuantiles(s, d, exact = true)),
@@ -1954,6 +1957,19 @@ object SparkEntry {
          |FROM b JOIN (VALUES ('en', 50), ('de', 30), ('es', 20), ('fr', 20), ('zh', 10))
          |            AS r(lang, rate) USING (lang)
          |WHERE bucket < rate""".stripMargin,
+    // s12: the A-Res key replayed — u = (hex16 + 0.5)/65536 (exact dyadic),
+    // one ln 4dp-floor-quantized like t13, ties by doc_id
+    "s12_weighted_sample" ->
+      s"""WITH h AS (SELECT doc_id, n_chars,
+         |                  md5('ws:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |k AS (SELECT doc_id, n_chars,
+         |             floor(ln((${hex16("h")} + 0.5) / 65536.0) / n_chars * 10000.0 + 0.5) / 10000.0 AS skey
+         |      FROM h),
+         |r AS (SELECT doc_id, n_chars, skey,
+         |             row_number() OVER (ORDER BY skey DESC, doc_id) AS rnk
+         |      FROM k)
+         |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, skey, n_chars
+         |FROM r WHERE rnk <= 100""".stripMargin,
     // s2: deterministic train-shard shuffle — shard by one salted hash,
     // position by row_number over a second; no global sort on either engine.
     "s2_train_shuffle" ->

@@ -167,6 +167,34 @@ object CurationOps {
   def trainShuffle(spark: SparkSession, dir: String): DataFrame =
     trainShuffle(table(spark, dir, "documents"))
 
+  /** S12 — WEIGHTED sampling without replacement (Efraimidis & Spirakis
+    * 2006, A-Res): each doc draws a deterministic uniform u from its salted
+    * md5 and competes on the key `ln(u)/w` (the log form of u^(1/w) —
+    * monotone-equivalent, no overflow); the global top-n by key win, giving
+    * inclusion probability ∝ weight in ONE distributed pass — here weight =
+    * `n_chars`, the length-proportional draw a token-budgeted curation pass
+    * wants. The single float op (one ln) is 4-dp floor-quantized before
+    * ranking — t13's cross-engine determinism recipe — and ties break by
+    * doc_id, so both engines rank identically.
+    *
+    * Scale notes (100 TB): no global sort — `rank ≤ n` over the keyed
+    * window compiles to the two-phase `WindowGroupLimit` (map-side top-n
+    * per split, then top-n of ≤ n·splits survivors), the r1 plan. The draw
+    * itself is a scan-projection; weights never leave their rows.
+    */
+  def weightedSample(docs: DataFrame, n: Int = 100): DataFrame = {
+    val u = (hashBucket("ws:").cast("double") + 0.5) / 65536.0
+    val skey = floor(log(u) / col("n_chars") * 10000.0 + 0.5) / 10000.0
+    docs.select(col("doc_id"), col("n_chars"))
+      .withColumn("skey", skey)
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("skey").desc, col("doc_id"))).cast("long"))
+      .filter(col("rnk") <= n)
+      .select("rnk", "doc_id", "skey", "n_chars")
+  }
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    weightedSample(table(spark, dir, "documents"))
+
   /** G1 — corpus top-K n-grams per language (frequency/contamination
     * analysis). The rank-then-filter compiles to Catalyst's two-phase
     * `WindowGroupLimit`: a MAP-SIDE partial group limit keeps only K rows per

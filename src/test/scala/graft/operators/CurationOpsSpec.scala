@@ -414,4 +414,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.exceptAll(again).count() === 0 && again.exceptAll(out).count() === 0)
     out.unpersist()
   }
+
+  test("weightedSample is the exact A-Res top-n; weights change the draw (S12)") {
+    import java.security.MessageDigest
+    val docs = graft.Tables.table(spark, sf, "documents")
+    val got = CurationOps.weightedSample(docs, n = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    // independent reference: same formula, computed with JDK primitives
+    def key(id: Long, w: Long): Double = {
+      val md = MessageDigest.getInstance("MD5")
+        .digest(s"ws:$id".getBytes("UTF-8"))
+      val hex = md.take(2).map("%02x".format(_)).mkString // first 4 hex chars
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 65536.0
+      math.floor(math.log(u) / w * 10000.0 + 0.5) / 10000.0
+    }
+    val all = docs.select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = all.map { case (id, w) => (id, w, key(id, w)) }
+      .sortBy { case (id, _, k) => (-k, id) }.take(100).zipWithIndex
+      .map { case ((id, w, k), i) => ((i + 1).toLong, id, k) }.sortBy(_._1)
+    assert(got.toSeq === expected.toSeq)
+    // the weight genuinely matters: the unweighted draw (w ≡ 1 ⇒ rank by u
+    // alone) selects a different set — otherwise this is s1 in disguise
+    val unweighted = all.map { case (id, _) => (id, key(id, 1L)) }
+      .sortBy { case (id, k) => (-k, id) }.take(100).map(_._1).toSet
+    assert(got.map(_._2).toSet !== unweighted)
+  }
 }
