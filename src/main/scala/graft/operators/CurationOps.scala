@@ -185,12 +185,16 @@ object CurationOps {
   def weightedSample(docs: DataFrame, n: Int = 100): DataFrame = {
     val u = (hashBucket("ws:").cast("double") + 0.5) / 65536.0
     val skey = floor(log(u) / col("n_chars") * 10000.0 + 0.5) / 10000.0
+    // filter the RAW rank (cast only afterwards): InferWindowGroupLimit
+    // matches `Filter(rank <= n, Window)` — a cast in between regresses the
+    // plan to a full single-partition window over the whole corpus
     docs.select(col("doc_id"), col("n_chars"))
       .withColumn("skey", skey)
       .withColumn("rnk", row_number()
-        .over(Window.orderBy(col("skey").desc, col("doc_id"))).cast("long"))
+        .over(Window.orderBy(col("skey").desc, col("doc_id"))))
       .filter(col("rnk") <= n)
-      .select("rnk", "doc_id", "skey", "n_chars")
+      .select(col("rnk").cast("long").as("rnk"),
+        col("doc_id"), col("skey"), col("n_chars"))
   }
   def weightedSample(spark: SparkSession, dir: String): DataFrame =
     weightedSample(table(spark, dir, "documents"))

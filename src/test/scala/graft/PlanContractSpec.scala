@@ -308,6 +308,31 @@ class PlanContractSpec extends SparkSpec {
     assert(count(p, "SortMergeJoin") <= 2, p)
   }
 
+  test("nearest as-of runs BOTH directional passes through the custom operator (j6)") {
+    val p = planOf("j6_asof_nearest")
+    assert(count(p, "AsOfJoin") >= 2, s"j6 lost a native directional pass:\n$p")
+    assert(count(p, "BroadcastNestedLoopJoin") === 0, p)
+    assert(count(p, "CartesianProduct") === 0, p)
+  }
+
+  test("triangle counting is keyed joins only — no cartesian wedge explosion (g8)") {
+    val p = planOf("g8_triangles")
+    assert(count(p, "CartesianProduct") === 0, p)
+    assert(count(p, "BroadcastNestedLoopJoin") === 0, p)
+  }
+
+  test("weighted sampling bounds the global top-n map-side (s12)") {
+    val p = planOf("s12_weighted_sample")
+    // the rank-filter must compile to a bounded top-n — either the
+    // two-phase WindowGroupLimit or (better) TakeOrderedAndProject, which
+    // takes the per-partition top-100 map-side and ranks only the 100
+    // survivors; a full global Sort+Window over the corpus is the
+    // regression this pins against
+    assert(p.contains("TakeOrderedAndProject") || count(p, "WindowGroupLimit") >= 1,
+      s"s12 lost its partial top-n:\n$p")
+    assert(count(p, "BroadcastHashJoin") === 0 && count(p, "SortMergeJoin") === 0, p)
+  }
+
   test("incremental dedup never shuffles the history corpus (d19)") {
     val p = planOf("d19_incremental_dedup")
     // batch side broadcast at every join: band probe, signature join-back,
