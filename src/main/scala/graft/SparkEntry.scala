@@ -159,6 +159,10 @@ object SparkEntry {
     "t8_normalize" -> ((s: SparkSession, d: String) => TextOps.normalizeText(s, d)),
     "t7_repetition" -> ((s: SparkSession, d: String) => TextOps.repetitionStats(s, d)),
     "t9_regex_tokens" -> ((s: SparkSession, d: String) => TextOps.regexTokens(s, d)),
+    // e1: fuzzy entity matching — bigram-posting-blocked candidate pairs,
+    // exact integer levenshtein verify; oracle brute-forces all pairs so
+    // blocking completeness is hash-checked
+    "e1_fuzzy_match" -> ((s: SparkSession, d: String) => TextOps.fuzzyNameMatch(s, d)),
     "t12_gopher_rules" -> ((s: SparkSession, d: String) => TextOps.gopherRules(s, d)),
     "t13_lm_score" -> ((s: SparkSession, d: String) => TextOps.lmScore(s, d)),
     "t14_ppl_buckets" -> ((s: SparkSession, d: String) => TextOps.pplBuckets(s, d)),
@@ -1892,6 +1896,18 @@ object SparkEntry {
         |       CASE WHEN CAST(max(prior) + sum(term_p) - sum(term_n) AS DOUBLE) > 0
         |            THEN 'keep' ELSE 'drop' END AS predicted
         |FROM sc GROUP BY doc_id""".stripMargin,
+    // e1: fuzzy entity matching — the oracle brute-forces EVERY distinct
+    // name pair (64 names -> 2016 pairs), so the Spark side's bigram
+    // blocking must be complete to hash-match; levenshtein is an exact
+    // integer in both engines
+    "e1_fuzzy_match" ->
+      """WITH n AS (SELECT p_name AS name, CAST(count(*) AS BIGINT) AS ct
+        |           FROM part GROUP BY p_name)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+        |       a.ct AS ct_a, b.ct AS ct_b
+        |FROM n a JOIN n b ON a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin,
     // t9: regex run-class tokenization (BPE pre-splitter shape).
     "t9_regex_tokens" ->
       """SELECT doc_id,

@@ -196,4 +196,40 @@ class TextOpsSpec extends SparkSpec {
     assert(nlls("head").max <= nlls("middle").min)
     assert(nlls("middle").max <= nlls("tail").min)
   }
+
+  test("fuzzyNameMatch: blocking finds every lev<=2 pair of a planted catalog (E1)") {
+    import spark.implicits._
+    // planted variants: substitution, deletion, two-edit, plus a far name;
+    // duplicate records collapse to counts
+    val parts = Seq(
+      "red bolt", "red bolt", "red belt",            // sub (d=1)
+      "blue gear", "blue ger",                       // del (d=1)
+      "hot widget", "hop wedget",                    // 2 edits (d=2)
+      "green spring")                                // no partner
+      .zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("p_partkey", "p_name")
+    val got = TextOps.fuzzyNameMatch(parts).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // driver-side brute force over distinct names proves blocking complete
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = parts.collect().map(_.getString(1)).groupBy(identity)
+      .map { case (n, g) => n -> g.length.toLong }
+    val expected = (for {
+      (a, ca) <- names; (b, cb) <- names if a < b
+      d = lev(a, b) if d <= 2
+    } yield (a, b, d.toLong, ca, cb)).toSet
+    assert(got === expected)
+    assert(got.exists(_._3 === 2L), "the two-edit pair must survive blocking")
+    assert(!got.exists(t => t._1.contains("green") || t._2.contains("green")))
+    // count carry: 'red bolt' has two records
+    assert(got.exists(t => t._1 == "red belt" && t._2 == "red bolt" && t._5 == 2L ||
+      t._1 == "red bolt" && t._2 == "red belt" && t._4 == 2L))
+  }
 }
