@@ -163,6 +163,10 @@ object SparkEntry {
     // exact integer levenshtein verify; oracle brute-forces all pairs so
     // blocking completeness is hash-checked
     "e1_fuzzy_match" -> ((s: SparkSession, d: String) => TextOps.fuzzyNameMatch(s, d)),
+    // e2: canonical entity assignment — e1's pairs transitively closed with
+    // the d10 connectedComponents machinery over the name vocabulary, every
+    // record rewritten to its component's canonical name
+    "e2_entity_resolve" -> ((s: SparkSession, d: String) => TextOps.entityResolve(s, d)),
     "t12_gopher_rules" -> ((s: SparkSession, d: String) => TextOps.gopherRules(s, d)),
     "t13_lm_score" -> ((s: SparkSession, d: String) => TextOps.lmScore(s, d)),
     "t14_ppl_buckets" -> ((s: SparkSession, d: String) => TextOps.pplBuckets(s, d)),
@@ -1908,6 +1912,25 @@ object SparkEntry {
         |       a.ct AS ct_a, b.ct AS ct_b
         |FROM n a JOIN n b ON a.name < b.name
         |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin,
+    // e2: the name graph transitively closed via WITH RECURSIVE (the d10
+    // closure pattern); canonical = name holding min reachable id
+    "e2_entity_resolve" ->
+      """WITH RECURSIVE n AS (SELECT p_name AS name, CAST(min(p_partkey) AS BIGINT) AS id
+        |                     FROM part GROUP BY p_name),
+        |e0 AS (SELECT a.id AS a, b.id AS b
+        |       FROM n a JOIN n b ON a.name < b.name
+        |       WHERE levenshtein(a.name, b.name) <= 2),
+        |und AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+        |reach(root, node) AS (
+        |  SELECT id, id FROM n
+        |  UNION
+        |  SELECT r.root, u.dst FROM reach r JOIN und u ON u.src = r.node
+        |),
+        |cl AS (SELECT root AS id, min(node) AS cluster FROM reach GROUP BY root),
+        |canon AS (SELECT n.name, cn.name AS canonical_name
+        |          FROM n JOIN cl ON cl.id = n.id JOIN n cn ON cn.id = cl.cluster)
+        |SELECT p.p_partkey, p.p_name, canon.canonical_name
+        |FROM part p JOIN canon ON canon.name = p.p_name""".stripMargin,
     // t9: regex run-class tokenization (BPE pre-splitter shape).
     "t9_regex_tokens" ->
       """SELECT doc_id,

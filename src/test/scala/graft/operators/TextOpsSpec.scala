@@ -232,4 +232,27 @@ class TextOpsSpec extends SparkSpec {
     assert(got.exists(t => t._1 == "red belt" && t._2 == "red bolt" && t._5 == 2L ||
       t._1 == "red bolt" && t._2 == "red belt" && t._4 == 2L))
   }
+
+  test("entityResolve merges variant CHAINS to one canonical name (E2)") {
+    import spark.implicits._
+    // belt~bolt~boot chain: belt-bolt d=1, bolt-boot d=1, belt-boot d=2 —
+    // but transitivity must merge them even when an endpoint pair exceeds
+    // the verify bound; 'melt' joins via belt (d=1); 'gear' stays alone
+    val parts = Seq(
+      (10L, "red belt"), (11L, "red bolt"), (12L, "red boot"),
+      (13L, "red melt"), (14L, "blue gear"), (15L, "red bolt"))
+      .toDF("p_partkey", "p_name")
+    val out = TextOps.entityResolve(parts).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.length === 6, "every record reassigned exactly once")
+    val canon = out.map(t => t._2 -> t._3).toMap
+    // canonical = name holding the smallest record id in the component
+    assert(canon("red belt") === "red belt")
+    assert(canon("red bolt") === "red belt")
+    assert(canon("red boot") === "red belt")
+    assert(canon("red melt") === "red belt")
+    assert(canon("blue gear") === "blue gear")
+    // both 'red bolt' records landed on the same canonical name
+    assert(out.filter(_._2 == "red bolt").map(_._3).distinct.length === 1)
+  }
 }
