@@ -134,17 +134,29 @@ object Bench {
       * `failed` array names every one of them.
       */
     private[graft] val CompactBudget = 1850
+
+    /** Compact-map key: the roster code before the first underscore
+      * ("d10_neardup_clusters" → "d10"). Codes are unique across the roster
+      * (spec-pinned) and cut the per-entry cost ~2.5× — at 118 queries the
+      * full-name map stopped fitting the driver's tail window (40 entries
+      * were being omitted); with codes the WHOLE roster fits with margin.
+      * Full names remain in bench_out.json / bench_history (the complete
+      * record); the line carries `"keys":"code"` so the encoding is
+      * self-documenting.
+      */
+    private[graft] def code(name: String): String = name.takeWhile(_ != '_')
+
     def compact(passes: Seq[(String, Seq[Double])], sfDir: String,
         extraFailed: Seq[String] = Nil, budget: Int = CompactBudget): String = {
       val entries = minTimes(passes)
         .sortBy { case (n, v) => (v, n) } // failed (-1) sort first: named in `failed` anyway
-        .map { case (k, v) => k -> sec(v, 1) }
+        .map { case (k, v) => code(k) -> sec(v, 1) }
       // preamble kept MINIMAL (passes/timing live in the full line, sf as
       // basename): every preamble byte is a query entry saved from the drop
       val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
       def line(kept: Seq[(String, String)], omitted: Int): String = {
         val om = if (omitted > 0) s""""omitted":$omitted,""" else ""
-        s"""{"metric":"total","unit":"sec","sf":"${esc(sfShort)}",$om""" +
+        s"""{"metric":"total","unit":"sec","sf":"${esc(sfShort)}","keys":"code",$om""" +
           s""""queries":${objOf(kept)},""" +
           s""""failed":${failedJson(passes, extraFailed)},""" +
           s""""value":${sec(total(passes), 2)}}"""

@@ -54,12 +54,12 @@ class BenchJsonSpec extends AnyFunSuite {
   test("compact emitter: cheapest-first map at 1 decimal (clip loses the least)") {
     val line = Bench.Json.compact(passes, "/sf")
     val node = mapper.readTree(line)
-    // 1 decimal per query; the headline total keeps 2
-    assert(node.get("queries").get("a_fast").asDouble === 0.1)
-    assert(node.get("queries").get("c_slow").asDouble === 3.3)
+    // 1 decimal per query (keys are roster codes); the headline total keeps 2
+    assert(node.get("queries").get("a").asDouble === 0.1)
+    assert(node.get("queries").get("c").asDouble === 3.3)
     // ascending cost (failed -1 sorts first — it is named in `failed`), so a
     // head clip eats sub-second entries before it can touch the slow ones
-    val order = Seq("b_failed", "a_fast", "c_slow").map(n => line.indexOf("\"" + n + "\""))
+    val order = Seq("b", "a", "c").map(n => line.indexOf("\"" + n + "\":"))
     assert(order === order.sorted && order.forall(_ >= 0), line)
   }
 
@@ -104,8 +104,10 @@ class BenchJsonSpec extends AnyFunSuite {
     // 100 realistically-long names blow any window; the emitter must come
     // back under budget by shedding the CHEAP head, name the omission
     // count, and keep the expensive tail + failed + value intact
+    // underscore-free names: the code IS the full name, so length pressure
+    // reaches the emitter even under code keys
     val many: Seq[(String, Seq[Double])] =
-      (1 to 100).map(i => (f"q${i}%03d_realistically_named", Seq(i * 0.1, i * 0.1))) :+
+      (1 to 100).map(i => (f"q${i}%03dreallyquitelongrostername", Seq(i * 0.1, i * 0.1))) :+
         ("z_raised" -> Seq(-1.0, -1.0))
     val line = Bench.Json.compact(many, "/sf0.1")
     assert(line.length <= Bench.Json.CompactBudget, s"len=${line.length}")
@@ -115,7 +117,7 @@ class BenchJsonSpec extends AnyFunSuite {
     // the raised query sorts first (-1) → dropped from the map, but still named
     assert(node.get("failed").get(0).asText === "z_raised")
     // the most expensive query survives, with the grand total
-    assert(node.get("queries").get("q100_realistically_named").asDouble === 10.0)
+    assert(node.get("queries").get("q100reallyquitelongrostername").asDouble === 10.0)
     assert(line.endsWith("}") && node.get("value") != null)
     // and a set that already fits emits no omitted field at all
     assert(!mapper.readTree(Bench.Json.compact(passes, "/sf")).has("omitted"))
@@ -132,15 +134,23 @@ class BenchJsonSpec extends AnyFunSuite {
     val roster: Seq[(String, Seq[Double])] =
       SparkEntry.queries.keys.toSeq.sorted.zipWithIndex
         .map { case (n, i) => (n, Seq(i * 0.1 + 0.1, i * 0.1 + 0.1)) }
+    // the compact key space: roster codes must stay UNIQUE, or two queries
+    // would collide in the emitted map
+    val codes = roster.map { case (n, _) => Bench.Json.code(n) }
+    assert(codes.distinct.size === codes.size, "duplicate roster codes")
     val line = Bench.Json.compact(roster, "/root/testdata/sf0.1")
     assert(line.length <= Bench.Json.CompactBudget, s"len=${line.length}")
     val node = mapper.readTree(line)
+    assert(node.get("keys").asText === "code")
     val omitted = if (node.has("omitted")) node.get("omitted").asInt else 0
     assert(omitted + node.get("queries").size === roster.size)
-    assert(omitted <= roster.size / 3, s"omitted=$omitted of ${roster.size}")
-    // the 20 most expensive entries always survive omission
+    // with code keys the WHOLE current roster fits — omission is the
+    // backstop for future growth, not the steady state
+    assert(omitted === 0, s"omitted=$omitted of ${roster.size}")
+    // the 20 most expensive entries always survive (vacuous at omitted=0,
+    // load-bearing the day the roster outgrows the window again)
     roster.sortBy(-_._2.head).take(20).foreach { case (n, _) =>
-      assert(node.get("queries").has(n), s"expensive query $n omitted")
+      assert(node.get("queries").has(Bench.Json.code(n)), s"expensive query $n omitted")
     }
   }
 

@@ -333,6 +333,20 @@ class PlanContractSpec extends SparkSpec {
     assert(count(p, "BroadcastHashJoin") === 0 && count(p, "SortMergeJoin") === 0, p)
   }
 
+  test("fuzzy matching is posting-blocked: no all-pairs name join (e1)") {
+    val p = planOf("e1_fuzzy_match")
+    // candidates come from the bigram posting self-join; a regression to
+    // brute-force all-pairs would surface as a nested-loop/cartesian join
+    assert(count(p, "CartesianProduct") === 0, p)
+    assert(count(p, "BroadcastNestedLoopJoin") === 0, p)
+  }
+
+  test("entity resolution clusters the vocabulary, never the record table (e2)") {
+    val p = planOf("e2_entity_resolve")
+    assert(count(p, "CartesianProduct") === 0, p)
+    assert(count(p, "BroadcastNestedLoopJoin") === 0, p)
+  }
+
   test("incremental dedup never shuffles the history corpus (d19)") {
     val p = planOf("d19_incremental_dedup")
     // batch side broadcast at every join: band probe, signature join-back,
