@@ -48,6 +48,9 @@ object SparkEntry {
     "a5_unique_visit" -> (LogOps.uniqueVisit _),
     "a6_new_visitor_fix" -> (LogOps.newVisitorFix _),
     "a7_ads_sum" -> (RelationalOps.adsSum _),
+    // dq1: data-quality validation battery — one report row per check
+    // (nulls, FK integrity, PK uniqueness, domains, parse health)
+    "dq1_quality_checks" -> (RelationalOps.dataQualityReport _),
     "a9_sessionize" -> (StatsOps.sessionize _),
     "a10_funnel" -> (StatsOps.funnel _),
     "a11_rfm" -> (StatsOps.rfm _),
@@ -57,6 +60,9 @@ object SparkEntry {
     // g8: triangle counting via degree-ordered orientation — wedge volume
     // O(m^1.5), hub-skew-immune ("curse of the last reducer")
     "g8_triangles" -> (StatsOps.triangles _),
+    // g9: PMI collocation mining — one quantized ln over exact counts,
+    // min-support filter, bounded top-k
+    "g9_collocations" -> ((s: SparkSession, d: String) => CurationOps.collocations(s, d)),
     "l1_zorder_key" -> ((s: SparkSession, d: String) => Bucketing.zorderEvents(s, d)),
     // l2: compaction planning (the small-files chore): first-fit-in-order
     // file assignment at ~16KB targets within (lang, doc_id%16) slices —
@@ -758,6 +764,37 @@ object SparkEntry {
          |  SELECT event_id, user_id,
          |         row_number() OVER (PARTITION BY user_id ORDER BY $EV, event_id) AS rn
          |  FROM events)""".stripMargin,
+    // dq1: each rule restated as a count; UNION ALL keeps one row per check
+    "dq1_quality_checks" ->
+      """SELECT 'orders_custkey_not_null' AS check,
+        |       CAST(count(*) AS BIGINT) AS violations
+        |FROM orders WHERE o_custkey IS NULL
+        |UNION ALL
+        |SELECT 'orders_fk_customer', CAST(count(*) AS BIGINT)
+        |FROM orders o WHERE NOT EXISTS (
+        |  SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'lineitem_fk_orders', CAST(count(*) AS BIGINT)
+        |FROM lineitem l WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'orders_pk_unique',
+        |       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+        |UNION ALL
+        |SELECT 'lineitem_qty_positive', CAST(count(*) AS BIGINT)
+        |FROM lineitem WHERE l_quantity <= 0
+        |UNION ALL
+        |SELECT 'lineitem_discount_domain', CAST(count(*) AS BIGINT)
+        |FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+        |UNION ALL
+        |SELECT 'part_name_unique',
+        |       CAST(count(*) - count(DISTINCT p_name) AS BIGINT) FROM part
+        |UNION ALL
+        |SELECT 'documents_min_length', CAST(count(*) AS BIGINT)
+        |FROM documents WHERE n_chars < 64
+        |UNION ALL
+        |SELECT 'events_props_have_k', CAST(count(*) AS BIGINT)
+        |FROM events WHERE json_extract_string(props, '$.k') IS NULL""".stripMargin,
     "a7_ads_sum" ->
       s"""SELECT strftime(o_orderdate, '%Y%m%d') AS dt,
          |       ${dsum("o_totalprice")} AS order_amount,
@@ -909,6 +946,30 @@ object SparkEntry {
          |z AS (SELECT event_id, user_id, k, $terms AS zkey FROM c)
          |SELECT event_id, user_id, k, zkey, zkey >> 22 AS zbucket FROM z""".stripMargin
     },
+    // g9: PMI replayed with the SAME pinned association —
+    // ((((pair*nw)/cta)/ctb)*nw)/nb — one ln, 4dp-floor-quantized (t13's
+    // recipe), ties by (w1, w2)
+    "g9_collocations" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |uni AS (SELECT unnest(ws) AS t FROM w),
+        |u AS (SELECT t, CAST(count(*) AS BIGINT) AS ct FROM uni GROUP BY t),
+        |nw AS (SELECT CAST(count(*) AS BIGINT) AS nw FROM uni),
+        |bi AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+        |       FROM w, unnest(generate_series(1, len(ws) - 1)) g(i)),
+        |b AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_ct
+        |      FROM bi GROUP BY w1, w2),
+        |nb AS (SELECT CAST(sum(pair_ct) AS BIGINT) AS nb FROM b),
+        |p AS (SELECT b.w1, b.w2, b.pair_ct,
+        |             floor(ln(CAST(b.pair_ct AS DOUBLE) * nw.nw / ua.ct / ub.ct
+        |                      * nw.nw / nb.nb) * 10000.0 + 0.5) / 10000.0 AS pmi
+        |      FROM b CROSS JOIN nw CROSS JOIN nb
+        |      JOIN u ua ON ua.t = b.w1 JOIN u ub ON ub.t = b.w2
+        |      WHERE b.pair_ct >= 5)
+        |SELECT CAST(rnk AS BIGINT) AS rnk, w1, w2, pair_ct, pmi FROM (
+        |  SELECT w1, w2, pair_ct, pmi,
+        |         row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rnk FROM p)
+        |WHERE rnk <= 20""".stripMargin,
     // l2: the running byte sum and first-fit file index replayed with the
     // same (lang, doc_id%16) slicing; // on non-negative BIGINTs equals
     // Spark's floor(double division) here (values far below 2^53)

@@ -227,6 +227,53 @@ object CurationOps {
   def ngramTopK(spark: SparkSession, dir: String): DataFrame =
     ngramTopK(table(spark, dir, "documents"))
 
+  /** G9 — collocation mining: the corpus's top-k adjacent word pairs by
+    * pointwise mutual information (Church & Hanks 1990), the classic
+    * corpus-linguistics signal for multiword expressions — high PMI means
+    * the pair co-occurs far beyond what its words' base rates predict,
+    * min-support-filtered so rare flukes can't top the list.
+    * `PMI = ln( P(a,b) / (P(a)·P(b)) )` with P from exact corpus counts;
+    * the ONE float op (a single ln over a pinned-association ratio of
+    * exact integers) is 4-dp floor-quantized before ranking — the t13
+    * recipe — and ties break by (w1, w2), so both engines rank alike.
+    *
+    * Scale notes (100 TB): unigram and bigram tables are two map-side
+    * exploded partial-agg shuffles over (word) / (w1, w2); the corpus
+    * totals are one-row broadcasts; the top-k rides the s12 bounded top-n
+    * (filter the RAW rank). Nothing is ever corpus × corpus.
+    */
+  def collocations(docs: DataFrame, minCount: Int = 5, k: Int = 20): DataFrame = {
+    val words = graft.Tables.spread(docs
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 2).select(col("w")))
+    val uni = words.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("ct"))
+    val bi = words.select(explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("pair_ct"))
+    val nw = uni.agg(sum("ct").as("nw"))
+    val nb = bi.agg(sum("pair_ct").as("nb"))
+    val pmi = floor(log(
+      col("pair_ct").cast("double") * col("nw") / col("cta") / col("ctb")
+        * col("nw") / col("nb")) * 10000.0 + 0.5) / 10000.0
+    val scored = bi.filter(col("pair_ct") >= minCount)
+      .join(broadcast(uni.select(col("t").as("w1"), col("ct").as("cta"))), Seq("w1"))
+      .join(broadcast(uni.select(col("t").as("w2"), col("ct").as("ctb"))), Seq("w2"))
+      .crossJoin(broadcast(nw)).crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("pair_ct"), pmi.as("pmi"))
+    scored
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("pmi").desc, col("w1"), col("w2"))))
+      .filter(col("rnk") <= k)
+      .select(col("rnk").cast("long").as("rnk"),
+        col("w1"), col("w2"), col("pair_ct"), col("pmi"))
+  }
+  def collocations(spark: SparkSession, dir: String): DataFrame =
+    collocations(table(spark, dir, "documents"))
+
   /** S3 — context-window sequence packing: concatenate each shard's token
     * stream in deterministic doc order and slice it into fixed-length training
     * sequences; each doc gets its byte-reproducible (sequence index, offset)

@@ -183,4 +183,53 @@ object RelationalOps {
       .groupBy("dt")
       .agg(dsum(col("o_totalprice")).as("order_amount"),
         count(lit(1)).as("order_ct"))
+
+  /** DQ1 — data-quality validation battery (the dbt-test / Deequ shape):
+    * one declarative report row per check — null rates, referential
+    * integrity, primary-key uniqueness, domain ranges, parse health — so a
+    * pipeline gates its loads on `violations == 0` per rule instead of
+    * discovering breakage downstream. Checks marked by construction
+    * non-zero here (name duplication, short docs, k-less events) prove the
+    * battery measures rather than rubber-stamps.
+    *
+    * Scale notes (100 TB): every check is one scan-aggregate (count of a
+    * predicate, or total-minus-distinct for uniqueness) or one FK anti
+    * join on the join key — the same keyed/broadcast machinery every real
+    * query uses; nothing materializes violating ROWS (counts only), so the
+    * report is a fixed handful of one-row frames unioned at the end.
+    */
+  def dataQualityReport(spark: SparkSession, dir: String): DataFrame = {
+    val orders = table(spark, dir, "orders")
+    val customer = table(spark, dir, "customer")
+    val lineitem = table(spark, dir, "lineitem")
+    val part = table(spark, dir, "part")
+    val docs = table(spark, dir, "documents")
+    val events = table(spark, dir, "events")
+    def check(name: String, violations: DataFrame): DataFrame =
+      violations.select(lit(name).as("check"),
+        col("violations").cast("long").as("violations"))
+    def ofCount(df: DataFrame) = df.agg(count(lit(1)).as("violations"))
+    Seq(
+      check("orders_custkey_not_null",
+        ofCount(orders.filter(col("o_custkey").isNull))),
+      check("orders_fk_customer",
+        ofCount(orders.select(col("o_custkey").as("c_custkey"))
+          .join(customer.select("c_custkey"), Seq("c_custkey"), "left_anti"))),
+      check("lineitem_fk_orders",
+        ofCount(lineitem.select(col("l_orderkey").as("o_orderkey"))
+          .join(orders.select("o_orderkey"), Seq("o_orderkey"), "left_anti"))),
+      check("orders_pk_unique", orders.agg(
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("violations"))),
+      check("lineitem_qty_positive",
+        ofCount(lineitem.filter(col("l_quantity") <= 0))),
+      check("lineitem_discount_domain",
+        ofCount(lineitem.filter(col("l_discount") < 0 || col("l_discount") > 1))),
+      check("part_name_unique", part.agg(
+        (count(lit(1)) - countDistinct(col("p_name"))).as("violations"))),
+      check("documents_min_length",
+        ofCount(docs.filter(col("n_chars") < 64))),
+      check("events_props_have_k",
+        ofCount(events.filter(get_json_object(col("props"), "$.k").isNull))))
+      .reduce(_ unionByName _)
+  }
 }

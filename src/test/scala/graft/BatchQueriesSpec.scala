@@ -201,4 +201,23 @@ class BatchQueriesSpec extends SparkSpec {
     assert(pr(1L) > pr(2L), "the hub's sole out-link target must beat idle spokes")
     r.unpersist()
   }
+
+  test("data-quality battery: integrity rules hold, measuring rules measure (DQ1)") {
+    import org.apache.spark.sql.functions._
+    val rep = graft.operators.RelationalOps.dataQualityReport(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep.size === 9, "one row per declared check")
+    // referential/PK/domain rules are clean on the fixture by construction
+    Seq("orders_custkey_not_null", "orders_fk_customer", "lineitem_fk_orders",
+      "orders_pk_unique", "lineitem_qty_positive", "lineitem_discount_domain")
+      .foreach(c => assert(rep(c) === 0L, s"$c expected clean, got ${rep(c)}"))
+    // measuring rules recomputed independently — nonzero proves the battery
+    // measures rather than rubber-stamps
+    val part = graft.Tables.table(spark, sf, "part")
+    val dupNames = part.count() - part.select("p_name").distinct().count()
+    assert(rep("part_name_unique") === dupNames && dupNames > 0)
+    val shortDocs = graft.Tables.table(spark, sf, "documents")
+      .filter(col("n_chars") < 64).count()
+    assert(rep("documents_min_length") === shortDocs)
+  }
 }

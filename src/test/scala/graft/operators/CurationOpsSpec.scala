@@ -415,6 +415,31 @@ class CurationOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("collocations equals a driver-side PMI recompute on the fixture corpus (G9)") {
+    val docs = graft.Tables.table(spark, sf, "documents")
+    val got = CurationOps.collocations(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    // independent reference with JDK primitives and the same association
+    val texts = docs.select("text").collect().map(_.getString(0))
+      .filter(_.split(" ", -1).length >= 2).map(_.split(" ", -1))
+    val uni = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val bi = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    texts.foreach { ws =>
+      ws.foreach(w => uni(w) += 1)
+      ws.sliding(2).foreach(p => bi((p(0), p(1))) += 1)
+    }
+    val nw = uni.values.sum.toDouble; val nb = bi.values.sum.toDouble
+    val expected = bi.toSeq.filter(_._2 >= 5).map { case ((a, b), ct) =>
+      val pmi = math.floor(math.log(ct.toDouble * nw / uni(a) / uni(b) * nw / nb)
+        * 10000.0 + 0.5) / 10000.0
+      (a, b, ct, pmi)
+    }.sortBy { case (a, b, _, pmi) => (-pmi, a, b) }.take(20).zipWithIndex
+      .map { case ((a, b, ct, pmi), i) => ((i + 1).toLong, a, b, ct, pmi) }
+    assert(got.toSeq === expected)
+    assert(got.nonEmpty && got.size <= 20)
+  }
+
   test("weightedSample is the exact A-Res top-n; weights change the draw (S12)") {
     import java.security.MessageDigest
     val docs = graft.Tables.table(spark, sf, "documents")
