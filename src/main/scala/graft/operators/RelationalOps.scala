@@ -198,6 +198,24 @@ object RelationalOps {
     * query uses; nothing materializes violating ROWS (counts only), so the
     * report is a fixed handful of one-row frames unioned at the end.
     */
+  private def check(name: String, violations: DataFrame): DataFrame =
+    violations.select(lit(name).as("check"),
+      col("violations").cast("long").as("violations"))
+  private def ofCount(df: DataFrame) = df.agg(count(lit(1)).as("violations"))
+
+  /** The document-frame slice of the battery, reusable on ANY frame of
+    * (doc_id, text, n_chars) rows — [[graft.streaming.StatsStreams.qualityMonitorStream]]
+    * applies it per micro-batch for continuous load gating.
+    */
+  def documentQualityChecks(docs: DataFrame): DataFrame = Seq(
+    check("doc_id_unique", docs.agg(
+      (count(lit(1)) - countDistinct(col("doc_id"))).as("violations"))),
+    check("text_not_null", ofCount(docs.filter(col("text").isNull))),
+    check("n_chars_consistent",
+      ofCount(docs.filter(length(col("text")) =!= col("n_chars")))),
+    check("documents_min_length", ofCount(docs.filter(col("n_chars") < 64))))
+    .reduce(_ unionByName _)
+
   def dataQualityReport(spark: SparkSession, dir: String): DataFrame = {
     val orders = table(spark, dir, "orders")
     val customer = table(spark, dir, "customer")
@@ -205,10 +223,6 @@ object RelationalOps {
     val part = table(spark, dir, "part")
     val docs = table(spark, dir, "documents")
     val events = table(spark, dir, "events")
-    def check(name: String, violations: DataFrame): DataFrame =
-      violations.select(lit(name).as("check"),
-        col("violations").cast("long").as("violations"))
-    def ofCount(df: DataFrame) = df.agg(count(lit(1)).as("violations"))
     Seq(
       check("orders_custkey_not_null",
         ofCount(orders.filter(col("o_custkey").isNull))),

@@ -239,6 +239,23 @@ object StatsStreams {
     else keyed.dropDuplicates("prefix_key")
   }
 
+  /** Continuous data-quality monitoring — DQ1's streaming face: every
+    * arriving micro-batch of documents gets the SAME declarative
+    * check battery ([[graft.operators.RelationalOps.documentQualityChecks]],
+    * shared code so the contracts cannot drift), emitted as a per-batch
+    * report — the load-gating pattern (quarantine or alert when a batch's
+    * `violations > 0`) that a warehouse runs at ingest, not after the bad
+    * load lands. foreachBatch, zero stream state; per-batch cost is the
+    * battery's own scan-aggregates over batch-sized data.
+    */
+  def qualityMonitorStream(docs: DataFrame)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(graft.operators.RelationalOps.documentQualityChecks(batch), id)
+    }
+
   /** Streaming incremental dedup — the streaming face of batch D19
     * ([[graft.operators.DedupOps.incrementalDedupOf]]): each arriving
     * micro-batch is triaged (`exact` | `near` | `novel`) against the STATIC

@@ -640,6 +640,41 @@ class StatefulParitySpec extends SparkSpec {
     assert(streamed.values.toSet === Set(7L, 8L))
   }
 
+  test("qualityMonitorStream: per-batch battery == batch checks, violations gate (DQ1)") {
+    implicit val sqlCtx = spark.sqlContext
+    // batch 1 is clean; batch 2 plants one violation of each kind
+    // one planted violation of each kind, delivered as ONE micro-batch
+    // (per-batch gating semantics need the dup pair to arrive together)
+    val dirty = Seq(
+      (1L, "x" * 80, 80L), (2L, "y" * 100, 100L), // clean rows
+      (3L, "z" * 70, 70L), (3L, "w" * 90, 90L),   // duplicate doc_id
+      (4L, "short", 5L),                           // under min length
+      (5L, "a" * 80, 70L))                         // n_chars inconsistent (only)
+    val input = MemoryStream[(Long, String, Long)]
+    input.addData(dirty: _*)
+    val reports = scala.collection.mutable.Map[Long, Map[String, Long]]()
+    val q = StatsStreams.qualityMonitorStream(
+        input.toDF().toDF("doc_id", "text", "n_chars")) { (df, id) =>
+      reports(id) = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }.trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val rep = reports.values.head
+    assert(rep("doc_id_unique") === 1L)
+    assert(rep("documents_min_length") === 1L)
+    assert(rep("n_chars_consistent") === 1L)
+    assert(rep("text_not_null") === 0L)
+    // stream face == batch operator on the same rows
+    val batchRep = graft.operators.RelationalOps.documentQualityChecks(
+        dirty.toDF("doc_id", "text", "n_chars"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep === batchRep)
+    // and a clean frame reports all zeros through the same shared battery
+    val cleanRep = graft.operators.RelationalOps.documentQualityChecks(
+        Seq((9L, "q" * 80, 80L)).toDF("doc_id", "text", "n_chars"))
+      .collect().map(r => r.getLong(1))
+    assert(cleanRep.forall(_ === 0L))
+  }
+
   test("incrementalDedupStream: per-micro-batch triage == batch operator (D19)") {
     implicit val sqlCtx = spark.sqlContext
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
