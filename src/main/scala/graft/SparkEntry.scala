@@ -51,6 +51,9 @@ object SparkEntry {
     // dq1: data-quality validation battery — one report row per check
     // (nulls, FK integrity, PK uniqueness, domains, parse health)
     "dq1_quality_checks" -> (RelationalOps.dataQualityReport _),
+    // dq2: PSI drift between the d19 corpus halves over the lang
+    // distribution — the model-monitoring statistic, engine-exact
+    "dq2_drift_psi" -> (RelationalOps.driftPsi _),
     "a9_sessionize" -> (StatsOps.sessionize _),
     "a10_funnel" -> (StatsOps.funnel _),
     "a11_rfm" -> (StatsOps.rfm _),
@@ -764,6 +767,22 @@ object SparkEntry {
          |  SELECT event_id, user_id,
          |         row_number() OVER (PARTITION BY user_id ORDER BY $EV, event_id) AS rn
          |  FROM events)""".stripMargin,
+    // dq2: PSI terms restated with the SAME pinned association —
+    // ln((inc*nh)/(hist*ni)), (p-q)*ln quantized at 4dp like t13
+    "dq2_drift_psi" ->
+      """WITH i AS (SELECT lang, CAST(count(*) AS BIGINT) AS inc_ct
+        |           FROM documents WHERE doc_id % 2 = 1 GROUP BY lang),
+        |h AS (SELECT lang, CAST(count(*) AS BIGINT) AS hist_ct
+        |      FROM documents WHERE doc_id % 2 = 0 GROUP BY lang),
+        |ni AS (SELECT CAST(sum(inc_ct) AS BIGINT) AS ni FROM i),
+        |nh AS (SELECT CAST(sum(hist_ct) AS BIGINT) AS nh FROM h)
+        |SELECT i.lang, i.inc_ct, h.hist_ct,
+        |       floor(CAST(i.inc_ct AS DOUBLE) / ni.ni * 10000.0 + 0.5) / 10000.0 AS inc_share,
+        |       floor(CAST(h.hist_ct AS DOUBLE) / nh.nh * 10000.0 + 0.5) / 10000.0 AS hist_share,
+        |       floor((CAST(i.inc_ct AS DOUBLE) / ni.ni - CAST(h.hist_ct AS DOUBLE) / nh.nh)
+        |             * ln(CAST(i.inc_ct * nh.nh AS DOUBLE) / (h.hist_ct * ni.ni))
+        |             * 10000.0 + 0.5) / 10000.0 AS psi_term
+        |FROM i JOIN h USING (lang) CROSS JOIN ni CROSS JOIN nh""".stripMargin,
     // dq1: each rule restated as a count; UNION ALL keeps one row per check
     "dq1_quality_checks" ->
       """SELECT 'orders_custkey_not_null' AS check,

@@ -216,6 +216,45 @@ object RelationalOps {
     check("documents_min_length", ofCount(docs.filter(col("n_chars") < 64))))
     .reduce(_ unionByName _)
 
+  /** DQ2 — distribution DRIFT detection: the population stability index
+    * (PSI), the standard model-monitoring statistic, between two corpus
+    * snapshots — here the d19 split (even ids = history, odd = incoming)
+    * over the language distribution. Per bucket:
+    * `psi_term = (p − q) · ln(p/q)` with p = incoming share, q = history
+    * share; Σ terms > 0.2 is the conventional "significant drift" alarm.
+    * Exactness: ln runs over `(inc_ct·n_hist)/(hist_ct·n_inc)` — a ratio
+    * of exact integer products (≪ 2^53, so the doubles are exact) with
+    * pinned association — and each term is 4-dp floor-quantized (the t13
+    * recipe) so both engines emit identical rows; shares are floor-
+    * quantized the same way for the report columns.
+    *
+    * Scale notes (100 TB): two scan-aggregates (bucket counts per side,
+    * map-side partial) + a bucket-keyed join of two bucket-sized frames;
+    * totals ride one-row broadcasts. Buckets absent from either side are
+    * excluded (PSI is undefined at zero mass) — production assigns a
+    * smoothing floor; the report's `inc_ct`/`hist_ct` make the absence
+    * visible either way.
+    */
+  def driftPsi(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val inc = docs.filter(col("doc_id") % 2 === 1)
+      .groupBy(col("lang")).agg(count(lit(1)).as("inc_ct"))
+    val hist = docs.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("lang")).agg(count(lit(1)).as("hist_ct"))
+    val ni = inc.agg(sum("inc_ct").as("ni"))
+    val nh = hist.agg(sum("hist_ct").as("nh"))
+    def q4(c: org.apache.spark.sql.Column) = floor(c * 10000.0 + 0.5) / 10000.0
+    val p = col("inc_ct").cast("double") / col("ni")
+    val q = col("hist_ct").cast("double") / col("nh")
+    val lnRatio = log(
+      (col("inc_ct") * col("nh")).cast("double") / (col("hist_ct") * col("ni")))
+    inc.join(hist, Seq("lang"))
+      .crossJoin(broadcast(ni)).crossJoin(broadcast(nh))
+      .select(col("lang"), col("inc_ct"), col("hist_ct"),
+        q4(p).as("inc_share"), q4(q).as("hist_share"),
+        q4((p - q) * lnRatio).as("psi_term"))
+  }
+
   def dataQualityReport(spark: SparkSession, dir: String): DataFrame = {
     val orders = table(spark, dir, "orders")
     val customer = table(spark, dir, "customer")

@@ -220,4 +220,34 @@ class BatchQueriesSpec extends SparkSpec {
       .filter(col("n_chars") < 64).count()
     assert(rep("documents_min_length") === shortDocs)
   }
+
+  test("drift PSI: ~0 between random halves, alarms on a planted shift (DQ2)") {
+    import org.apache.spark.sql.functions._
+    // the fixture's halves are an unbiased split — total PSI far below the
+    // conventional 0.2 alarm, and each term is finite and non-negative
+    // (x-1 >= ln x ⇒ (p-q)·ln(p/q) >= 0)
+    val rep = graft.operators.RelationalOps.driftPsi(spark, sf).cache()
+    val total = rep.agg(sum("psi_term")).head.getDouble(0)
+    assert(total >= 0.0 && total < 0.2, s"unbiased split alarmed: $total")
+    assert(rep.filter(col("psi_term") < 0).count() === 0)
+    // shares are real distributions
+    val sums = rep.agg(sum("inc_share"), sum("hist_share")).head
+    assert(math.abs(sums.getDouble(0) - 1.0) < 0.01)
+    assert(math.abs(sums.getDouble(1) - 1.0) < 0.01)
+    rep.unpersist()
+    // planted drift: write a corpus whose odd half is 90% one lang and
+    // even half uniform — the statistic must cross the alarm line
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dq2").toString
+    val langs = Seq("en", "de", "es", "fr", "zh")
+    (0L until 1000L).map { i =>
+      val lang = if (i % 2 == 1) { if (i % 10 < 9) "en" else "de" }
+                 else langs((i / 2 % 5).toInt)
+      (i, s"doc $i", lang, "web", 10L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val drifted = graft.operators.RelationalOps.driftPsi(spark, dir)
+      .agg(sum("psi_term")).head.getDouble(0)
+    assert(drifted > 0.2, s"planted drift not detected: $drifted")
+  }
 }
