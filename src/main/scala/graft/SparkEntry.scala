@@ -767,8 +767,10 @@ object SparkEntry {
          |  SELECT event_id, user_id,
          |         row_number() OVER (PARTITION BY user_id ORDER BY $EV, event_id) AS rn
          |  FROM events)""".stripMargin,
-    // dq2: PSI terms restated with the SAME pinned association —
-    // ln((inc*nh)/(hist*ni)), (p-q)*ln quantized at 4dp like t13
+    // dq2: PSI terms restated with the SAME pinned association — the ln
+    // DECOMPOSED over the four counts (ln(inc)-ln(ni)-ln(hist)+ln(nh), so
+    // no int64 product can overflow at large counts), (p-q)*ln quantized
+    // at 4dp like t13
     "dq2_drift_psi" ->
       """WITH i AS (SELECT lang, CAST(count(*) AS BIGINT) AS inc_ct
         |           FROM documents WHERE doc_id % 2 = 1 GROUP BY lang),
@@ -780,7 +782,8 @@ object SparkEntry {
         |       floor(CAST(i.inc_ct AS DOUBLE) / ni.ni * 10000.0 + 0.5) / 10000.0 AS inc_share,
         |       floor(CAST(h.hist_ct AS DOUBLE) / nh.nh * 10000.0 + 0.5) / 10000.0 AS hist_share,
         |       floor((CAST(i.inc_ct AS DOUBLE) / ni.ni - CAST(h.hist_ct AS DOUBLE) / nh.nh)
-        |             * ln(CAST(i.inc_ct * nh.nh AS DOUBLE) / (h.hist_ct * ni.ni))
+        |             * (ln(CAST(i.inc_ct AS DOUBLE)) - ln(CAST(ni.ni AS DOUBLE))
+        |                - ln(CAST(h.hist_ct AS DOUBLE)) + ln(CAST(nh.nh AS DOUBLE)))
         |             * 10000.0 + 0.5) / 10000.0 AS psi_term
         |FROM i JOIN h USING (lang) CROSS JOIN ni CROSS JOIN nh""".stripMargin,
     // dq1: each rule restated as a count; UNION ALL keeps one row per check

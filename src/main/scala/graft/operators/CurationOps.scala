@@ -132,8 +132,14 @@ object CurationOps {
     * (d17: broadcast anti-join; t15: one reused-exchange shuffle; s11:
     * d10's candidate-bounded closure); the composition adds only the
     * doc_id joins. A production pipeline materializes each stage once and
-    * reuses it across consumers (the d11 cluster-reuse pattern) — the
-    * self-contained query form re-pays lineage like d11 does.
+    * reuses it across consumers (the d11 cluster-reuse pattern); inside
+    * the one-query form the t15 tf exchange is the piece that must not
+    * run twice — see the isnotnull note at
+    * [[graft.operators.TextOps.nbQualityScore]] (measured here: the
+    * composed join's pushed null-filter de-canonicalized t15's corpus
+    * shuffle and doubled it — 17.3 MB vs the 8.2 MB stage sum — while
+    * caching the raw-text projection only ADDED time: deserialized
+    * string row cache reads lose to the columnar parquet scan).
     */
   def curatedTrainExport(docs: DataFrame): DataFrame = {
     val cleaned = graft.operators.DedupOps.boilerplateStrip(docs)

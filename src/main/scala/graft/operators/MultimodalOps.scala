@@ -665,11 +665,22 @@ object MultimodalOps {
   /** The m8 fingerprint for ONE blob — encode, REAL-decode, key the first
     * [[PrefixFrames]] frames' energies. Shared by the batch operator and the
     * streaming face so the two can never diverge at the codec seam.
+    *
+    * RANGE READ, not a full-blob read: only the RIFF header +
+    * [[PrefixSamples]] samples are materialized and decoded — the
+    * production shape (a ranged GET of header + prefix bytes per object),
+    * so fingerprint cost is O(prefix) regardless of blob length. The
+    * synthetic sample recurrence depends only on (doc_id, position), so
+    * the prefix bytes are identical to the full blob's first
+    * [[PrefixSamples]] bytes — same key, verified by the m8 oracle hash
+    * (the round-10 form encoded the WHOLE blob and keyed its prefix:
+    * O(n_chars) encode per doc for a 128-sample key — m8 was 1.8s at
+    * sf0.1 on encode alone).
     */
   private[graft] def audioPrefixKey(id: Long, n: Long): String = {
     require(n <= Int.MaxValue,
       s"audio blob for doc $id has $n samples — exceeds the Int-indexed demo codec")
-    WavCodec.decodeSamples(syntheticWav(id, n.toInt))
+    WavCodec.decodeSamples(syntheticWav(id, math.min(n, PrefixSamples.toLong).toInt))
       .take(PrefixSamples).grouped(AudioFrame)
       .map(_.map(s => math.abs(s).toLong).sum).mkString(",")
   }

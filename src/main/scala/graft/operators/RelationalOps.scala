@@ -246,8 +246,15 @@ object RelationalOps {
     def q4(c: org.apache.spark.sql.Column) = floor(c * 10000.0 + 0.5) / 10000.0
     val p = col("inc_ct").cast("double") / col("ni")
     val q = col("hist_ct").cast("double") / col("nh")
-    val lnRatio = log(
-      (col("inc_ct") * col("nh")).cast("double") / (col("hist_ct") * col("ni")))
+    // ln decomposed over the four counts, NOT ln((inc·nh)/(hist·ni)): at
+    // the 100 TB regime (1e10+ docs/side) the int64 products overflow —
+    // Spark wraps silently (NaN psi_term) where DuckDB raises, so the
+    // engines would diverge exactly where the statistic matters. Each ln
+    // argument is a single count cast to double; the four-term sum is
+    // written in the same association both engines evaluate left-to-right.
+    val lnRatio =
+      log(col("inc_ct").cast("double")) - log(col("ni").cast("double")) -
+        log(col("hist_ct").cast("double")) + log(col("nh").cast("double"))
     inc.join(hist, Seq("lang"))
       .crossJoin(broadcast(ni)).crossJoin(broadcast(nh))
       .select(col("lang"), col("inc_ct"), col("hist_ct"),

@@ -415,16 +415,18 @@ object TextOps {
     * floor-quantized at the leaf and summed as DECIMAL(18,4) — the t13
     * convention, so shuffle merge order can never move the hash.
     *
-    * Scale notes (100 TB): ONE corpus-scale shuffle — the (doc_id, word)
-    * tf aggregation with `is_pos` riding the grouping key (constant per
-    * doc; the s10 lesson — a joined-back label would re-explode the
-    * corpus). The model groups those already doc-aggregated rows
-    * (vocabulary-sized output, exchange reused) and broadcasts back;
-    * doc/token totals ride a SEPARATE LIGHT scan (projection + one-row
-    * agg — deriving them from the model table would put two broadcast
-    * branches over one subtree, which AQE reuse does not reliably dedupe).
-    * Scoring is a map-side projection. Nothing quadratic, nothing
-    * driver-side.
+    * Scale notes (100 TB): ONE corpus-scale shuffle and ONE corpus-scale
+    * explode — the (doc_id, word) tf aggregation with `is_pos` riding the
+    * grouping key (constant per doc; the s10 lesson — a joined-back label
+    * would re-explode the corpus). The model groups those already
+    * doc-aggregated rows (vocabulary-sized output, exchange reused) and
+    * broadcasts back WITH |V| riding on its rows (see the vWin note — a
+    * separate vocab-count frame gets rewritten into a second corpus
+    * explode); doc/token totals ride a SEPARATE LIGHT scan (projection +
+    * one-row agg — deriving them from the model table would put two
+    * broadcast branches over one subtree, which AQE reuse does not
+    * reliably dedupe). Scoring is a map-side projection. Nothing
+    * quadratic, nothing driver-side.
     */
   def nbQualityScore(docs: DataFrame): DataFrame = {
     val w = words(col("text"))
@@ -433,31 +435,49 @@ object TextOps {
       when(col("n_chars") >= 100, 1).otherwise(0)) >= 2
     // spread BEFORE the explode: a compacted corpus arriving as one parquet
     // split would otherwise explode its whole token stream inside 1-2 tasks
-    // (measured 11 tasks / 3.7s at sf0.1 without it)
+    // (measured 11 tasks / 3.7s at sf0.1 without it).
+    // The explicit isNotNull is LOAD-BEARING for exchange reuse, not a data
+    // filter (doc_id is a key column): when a composition joins this
+    // operator's output on doc_id (c3), Catalyst pushes isnotnull(doc_id)
+    // into the SCORING branch only, de-canonicalizing it from the model
+    // branch and silently doubling the one corpus-scale tf shuffle
+    // (measured +1.3s / +3.9 MB at sf0.1 inside c3). Filtering at the
+    // source puts the same predicate in BOTH branches, so the pushed copy
+    // is subsumed and the tf exchange canonicalizes equal → ReusedExchange.
     val toks = graft.Tables.spread(
-        docs.select(col("doc_id"), isPos.as("is_pos"), col("text")))
+        docs.filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), isPos.as("is_pos"), col("text")))
       .select(col("doc_id"), col("is_pos"), explode(words(col("text"))).as("word"))
       .filter(col("word").isNotNull)
     val dw = toks.groupBy("doc_id", "word", "is_pos")
       .agg(count(lit(1)).as("tf"))
     // per-class word counts from the per-doc aggregate (vocab-sized):
-    // conditional sums keep ONE shared exchange (the s10 bm recipe)
+    // conditional sums keep ONE shared exchange (the s10 bm recipe).
+    // |V| rides ON the model rows as an unpartitioned window count — the
+    // round-10 form computed it from a third corpus-scale explode, and a
+    // separate `model.agg(count)` frame gets REWRITTEN by Catalyst into a
+    // fresh corpus distinct (agg-over-agg collapse erases the per-doc
+    // grouping, de-canonicalizing the tf exchange → no reuse; observed in
+    // the executed plan). The window moves only the vocab-sized model rows
+    // through one partition — the frame is about to be broadcast anyway,
+    // which is equally single-point.
+    val vWin = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     val model = dw.groupBy("word").agg(
       sum(when(col("is_pos"), col("tf")).otherwise(0L)).as("cp"),
       sum(when(!col("is_pos"), col("tf")).otherwise(0L)).as("cn"))
+      .withColumn("v", count(lit(1)).over(vWin))
     // doc counts, per-class token totals, vocab size: light scans, no explode
     val totals = docs.select(isPos.as("ip"), nWords(w).as("nw"))
       .agg(sum(when(col("ip"), 1L).otherwise(0L)).as("np"),
         sum(when(!col("ip"), 1L).otherwise(0L)).as("nn"),
         sum(when(col("ip"), col("nw")).otherwise(0L)).as("tp"),
         sum(when(!col("ip"), col("nw")).otherwise(0L)).as("tn"))
-    val vq = graft.Tables.spread(docs.select(col("text")))
-      .select(explode(words(col("text"))).as("x"))
-      .agg(countDistinct(col("x")).as("v"))
     def q4(c: Column): Column =
       (floor(c * 10000.0 + 0.5) / 10000.0).cast("decimal(18,4)")
     val scored = dw.join(broadcast(model), Seq("word"))
-      .crossJoin(broadcast(totals)).crossJoin(broadcast(vq))
+      .crossJoin(broadcast(totals))
       .withColumn("term_p", q4(col("tf") * log((col("cp") + 1.0) / (col("tp") + col("v")))))
       .withColumn("term_n", q4(col("tf") * log((col("cn") + 1.0) / (col("tn") + col("v")))))
       .withColumn("prior", q4(log(col("np") / cast2d(col("nn")))))
@@ -478,11 +498,14 @@ object TextOps {
     * record count — the catalog-reconciliation kernel ("red bolt" vs
     * "red belt" style variants that exact grouping can never merge).
     * Candidates come from a character-BIGRAM posting join (names sharing
-    * ≥ 1 bigram); the q-gram count filter guarantees completeness here —
-    * k edits destroy ≤ 2k of a length-n name's n−1 bigrams, so any
-    * lev ≤ 2 pair of ≥ 6-char names still shares ≥ n−1−2k ≥ 1 — and the
-    * ORACLE proves it empirically: DuckDB brute-forces ALL pairs, so a
-    * candidate the blocking missed breaks the hash (the m7 discipline).
+    * ≥ 1 bigram) — complete whenever either name has ≥ 2·maxDist+2 chars
+    * (k edits destroy ≤ 2k of a length-n name's n−1 bigrams, so ≥ 1
+    * shared bigram survives) — UNIONED with a short-name fallback block
+    * (all pairs of sub-threshold names within the lev length window), so
+    * 1-5-char variants ("bolt"→"b0lt", single-letter codes) can no longer
+    * silently drop. The ORACLE proves completeness empirically: DuckDB
+    * brute-forces ALL pairs, so a candidate the blocking missed breaks
+    * the hash (the m7 discipline).
     * Verify is the built-in codegen `levenshtein` — an exact integer, so
     * no cross-engine drift.
     *
@@ -493,14 +516,41 @@ object TextOps {
     * all-pairs, and the per-pair verify is O(len²) on short strings.
     */
   def fuzzyNameMatch(parts: DataFrame, maxDist: Int = 2): DataFrame = {
+    // The q-gram completeness bound below is parametric in maxDist; the cap
+    // keeps the short-name fallback class (len < 2·maxDist+2) vocabulary-
+    // trivial and fails loudly on out-of-contract distances — the
+    // bandedHammingPairs discipline.
+    require(maxDist >= 1 && maxDist <= 4,
+      s"fuzzyNameMatch supports maxDist in [1,4], got $maxDist")
     val names = parts.groupBy(col("p_name").as("name"))
       .agg(count(lit(1)).as("ct"))
     val grams = names.select(col("name"), explode(array_distinct(
       expr("transform(sequence(1, length(name) - 1), i -> substring(name, i, 2))")))
       .as("g"))
+    // Bigram-blocking completeness: k ≤ maxDist edits destroy ≤ 2k of a
+    // length-n name's n−1 bigrams, so ≥ 1 shared bigram survives whenever
+    // EITHER side has n ≥ 2·maxDist+2 (the survivor is present in both
+    // names). Pairs where BOTH names are shorter — down to 1-char names,
+    // which have zero bigrams and can never collide in the posting join —
+    // need the fallback block: all short×short pairs within the lev-implied
+    // length window |len_a − len_b| ≤ maxDist, verified exactly like the
+    // bigram candidates. The short class is vocabulary-bounded and tiny
+    // (real catalogs hold few sub-6-char names), so the length-keyed join
+    // stays trivial at any corpus scale.
+    val shortLen = 2 * maxDist + 2
+    val shorts = names.select(col("name"), length(col("name")).as("len"))
+      .filter(col("len") < shortLen)
+    val fallback = shorts
+      .withColumn("lk",
+        explode(sequence(greatest(col("len") - maxDist, lit(1)),
+          col("len") + maxDist)))
+      .join(shorts.select(col("name").as("pname"), col("len").as("plen")),
+        col("lk") === col("plen") && col("name") < col("pname"))
+      .select(col("name").as("a"), col("pname").as("b"))
     val cand = grams.as("x").join(grams.as("y"),
         col("x.g") === col("y.g") && col("x.name") < col("y.name"))
       .select(col("x.name").as("a"), col("y.name").as("b"))
+      .unionByName(fallback)
       .distinct()
     cand
       .withColumn("dist", levenshtein(col("a"), col("b")).cast("long"))

@@ -222,7 +222,9 @@ object StatsStreams {
     * fingerprint swapped from md5(text) to the decoded audio prefix. Blobs
     * shorter than the prefix pass through no row (same eligibility rule as
     * batch). State is one row per distinct LIVE fingerprint, gone at the
-    * watermark horizon.
+    * watermark horizon. The non-streaming branch keeps the MIN doc_id per
+    * key — batch m8's keeper contract — rather than dropDuplicates'
+    * partition-order-dependent arbitrary row.
     */
   def audioFingerprintStream(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
@@ -236,7 +238,16 @@ object StatsStreams {
       .withColumn("event_time", timestamp_millis(col("ts")))
       .withWatermark("event_time", "1 hour")
     if (keyed.isStreaming) keyed.dropDuplicatesWithinWatermark("prefix_key")
-    else keyed.dropDuplicates("prefix_key")
+    else
+      // deterministic batch survivor: min doc_id (the m8 keeper contract) —
+      // dropDuplicates keeps an ARBITRARY partition-order-dependent row, so
+      // the batch face only matched the streaming first-arrival under
+      // coalesce(1); min_by pins it without relying on partition order
+      keyed.groupBy(col("prefix_key"))
+        .agg(min_by(struct(col("doc_id"), col("ts"), col("event_time")),
+          col("doc_id")).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.ts").as("ts"),
+          col("prefix_key"), col("r.event_time").as("event_time"))
   }
 
   /** Continuous data-quality monitoring — DQ1's streaming face: every
@@ -782,6 +793,98 @@ object StatsStreams {
         ((col("prior_dm") + col("acc")).cast("double") / 10000.0).as("log_odds"))
       .withColumn("predicted",
         when(col("log_odds") > 0, "keep").otherwise("drop"))
+  }
+
+  /** Streaming entity resolution — the incremental face of batch E2
+    * ([[graft.operators.TextOps.entityResolve]]), completing the one
+    * operator family that had no streaming form. The d19 shape at the
+    * record-linkage seam: each arriving micro-batch of (p_partkey, p_name)
+    * records is blocked ONLY for its genuinely-new names (bigram postings +
+    * the short-name length-window fallback, both BROADCAST as the probe
+    * side) against the accumulated name vocabulary, verified with the exact
+    * codegen `levenshtein`, and the verified pairs merged into the running
+    * pair graph; components recluster and the sink receives the COMPLETE
+    * refreshed canonical map (p_name, canonical_name) each batch — upsert
+    * semantics like the K3 dim sink, because a late bridge name ("red bolt"
+    * arriving after "red belt" and "red bolt" founded separate entities)
+    * legitimately REWRITES earlier assignments; an append contract would
+    * have to lie about transitivity.
+    *
+    * Parity (pinned in StatefulParitySpec): after the last batch, the map
+    * applied to all arrived records equals batch `entityResolve` on the
+    * same records — including clusters STRADDLING micro-batches and a
+    * later batch LOWERING a name's founding id (state keys pairs by NAME,
+    * not id, precisely so a smaller record id can arrive without orphaning
+    * the name's edges; ids re-derive from the vocabulary every batch).
+    *
+    * Scale notes (100 TB): per-batch cost is batch-bounded — candidate
+    * generation broadcasts the NEW names' grams (batch-sized) against the
+    * vocabulary gram stream (vocab-sized, ≪ records, never shuffled by
+    * corpus size); the component loop is d10's machinery over pair-touched
+    * vertices only. State = vocabulary + verified name-pair set, both
+    * vocabulary-bounded, held as eager localCheckpoints with the d10
+    * retire-on-supersede block lifecycle — nothing grows with record
+    * count.
+    */
+  def entityResolveStream(parts: DataFrame, maxDist: Int = 2)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var vocab: Option[DataFrame] = None   // (name, id = min record key seen)
+    var pairsByName: Option[DataFrame] = None // (name_a < name_b) verified
+    def gramsOf(df: DataFrame): DataFrame =
+      df.select(col("name"), explode(array_distinct(
+        expr("transform(sequence(1, length(name) - 1), i -> substring(name, i, 2))")))
+        .as("g"))
+    parts.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val bNames = batch.groupBy(col("p_name").as("name"))
+          .agg(min(col("p_partkey")).as("id"))
+        val merged = vocab.map(_.unionByName(bNames)
+            .groupBy("name").agg(min(col("id")).as("id")))
+          .getOrElse(bNames).localCheckpoint(true)
+        // block only names never seen before: an existing name's edges are
+        // already in the pair state (keyed by name, so id changes are inert)
+        val fresh = vocab.map(v => bNames.join(v.select("name"), Seq("name"), "left_anti"))
+          .getOrElse(bNames)
+        val shortLen = 2 * maxDist + 2
+        def shortsOf(df: DataFrame) =
+          df.select(col("name"), length(col("name")).as("len"))
+            .filter(col("len") < shortLen)
+        val candG = gramsOf(merged)
+          .join(broadcast(gramsOf(fresh).withColumnRenamed("name", "bname")), Seq("g"))
+        val candS = shortsOf(merged)
+          .join(broadcast(shortsOf(fresh)
+              .select(col("name").as("bname"), col("len").as("blen"))),
+            abs(col("len") - col("blen")) <= maxDist)
+        val cand = candG.select("name", "bname")
+          .unionByName(candS.select("name", "bname"))
+          .filter(col("name") =!= col("bname"))
+          .select(least(col("name"), col("bname")).as("name_a"),
+            greatest(col("name"), col("bname")).as("name_b"))
+          .distinct()
+        val newPairs = cand
+          .filter(levenshtein(col("name_a"), col("name_b")) <= maxDist)
+        val allPairs = pairsByName.map(_.unionByName(newPairs).distinct())
+          .getOrElse(newPairs).localCheckpoint(true)
+        val idOf = (side: String) => merged
+          .select(col("name").as(s"name_$side"), col("id").as(s"doc_$side"))
+        val clusters = graft.operators.DedupOps.connectedComponents(
+          merged.select(col("id").as("doc_id")),
+          allPairs.join(idOf("a"), Seq("name_a")).join(idOf("b"), Seq("name_b"))
+            .select("doc_a", "doc_b"))
+        val canonMap = clusters
+          .join(merged.select(col("id").as("cluster_id"),
+            col("name").as("canonical_name")), Seq("cluster_id"))
+          .join(merged.select(col("id").as("doc_id"), col("name")), Seq("doc_id"))
+          .select(col("name").as("p_name"), col("canonical_name"))
+        sink(canonMap, id)
+        // retire the superseded snapshots only AFTER the sink consumed the
+        // new map (the d10 deterministic block lifecycle)
+        vocab.foreach(graft.operators.DedupOps.unpersistCheckpoint)
+        pairsByName.foreach(graft.operators.DedupOps.unpersistCheckpoint)
+        vocab = Some(merged)
+        pairsByName = Some(allPairs)
+    }
   }
 
   /** A4/X1 — KeywordStats streaming: tokenize (whitespace UDTF replacement,

@@ -233,6 +233,43 @@ class TextOpsSpec extends SparkSpec {
       t._1 == "red bolt" && t._2 == "red belt" && t._4 == 2L))
   }
 
+  test("fuzzyNameMatch: short-name fallback block catches pairs bigrams miss (E1)") {
+    import spark.implicits._
+    // "abcd"/"axyd": lev 2, ZERO shared bigrams (ab,bc,cd vs ax,xy,yd) —
+    // bigram posting blocking alone silently dropped this class before the
+    // fallback; "q"/"r": 1-char names emit no bigrams at all; "ab" pairs
+    // with both across the lev length window. "longword"/"distinct" stay
+    // unpaired (far) and prove the fallback adds no false candidates.
+    val parts = Seq("abcd", "axyd", "q", "r", "ab", "longword", "distinct")
+      .zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("p_partkey", "p_name")
+    val got = TextOps.fuzzyNameMatch(parts).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = Seq("abcd", "axyd", "q", "r", "ab", "longword", "distinct")
+    val expected = (for {
+      a <- names; b <- names if a < b
+      d = lev(a, b) if d <= 2
+    } yield (a, b, d.toLong)).toSet
+    assert(expected.contains(("abcd", "axyd", 2L)),
+      "fixture must plant a zero-shared-bigram lev<=2 pair")
+    assert(expected.contains(("q", "r", 1L)), "fixture must plant 1-char names")
+    assert(got === expected)
+  }
+
+  test("fuzzyNameMatch rejects out-of-contract maxDist loudly (E1)") {
+    import spark.implicits._
+    val parts = Seq((1L, "abc")).toDF("p_partkey", "p_name")
+    assertThrows[IllegalArgumentException](TextOps.fuzzyNameMatch(parts, 0))
+    assertThrows[IllegalArgumentException](TextOps.fuzzyNameMatch(parts, 5))
+  }
+
   test("entityResolve merges variant CHAINS to one canonical name (E2)") {
     import spark.implicits._
     // belt~bolt~boot chain: belt-bolt d=1, bolt-boot d=1, belt-boot d=2 —

@@ -640,6 +640,43 @@ class StatefulParitySpec extends SparkSpec {
     assert(streamed.values.toSet === Set(7L, 8L))
   }
 
+  test("entityResolveStream: incremental map == batch entityResolve across mid-cluster splits (E2)") {
+    implicit val sqlCtx = spark.sqlContext
+    // the cluster STRADDLES micro-batches: bolt (b2) bridges belt (b1) and
+    // boot (b2); melt (b3) joins via belt; record 3 (b3) LOWERS boot's
+    // founding id, so the component's canonical must REVISE
+    val batch1 = Seq((10L, "red belt"), (14L, "blue gear"))
+    val batch2 = Seq((11L, "red bolt"), (12L, "red boot"))
+    val batch3 = Seq((13L, "red melt"), (3L, "red boot"))
+    val all = batch1 ++ batch2 ++ batch3
+    val input = MemoryStream[(Long, String)]
+    val maps = scala.collection.mutable.ArrayBuffer[Map[String, String]]()
+    val q = StatsStreams.entityResolveStream(
+        input.toDF().toDF("p_partkey", "p_name")) { (m, _) =>
+      maps += m.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    }.start()
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      input.addData(batch3: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(maps.size === 3)
+    assert(maps(0) === Map("red belt" -> "red belt", "blue gear" -> "blue gear"))
+    // bolt bridged belt(10)/bolt(11)/boot(12): canonical = min-id name
+    assert(maps(1)("red boot") === "red belt")
+    // id lowering revises the WHOLE component's canonical — upsert semantics
+    assert(maps(2)("red belt") === "red boot")
+    assert(maps(2)("red melt") === "red boot")
+    assert(maps(2)("blue gear") === "blue gear")
+    // parity: final map applied to every arrived record == batch e2
+    val parts = all.toDF("p_partkey", "p_name")
+    val expected = graft.operators.TextOps.entityResolve(parts).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val got = parts.collect()
+      .map(r => (r.getLong(0), r.getString(1), maps.last(r.getString(1)))).toSet
+    assert(got === expected)
+  }
+
   test("qualityMonitorStream: per-batch battery == batch checks, violations gate (DQ1)") {
     implicit val sqlCtx = spark.sqlContext
     // batch 1 is clean; batch 2 plants one violation of each kind
