@@ -54,6 +54,15 @@ object SparkEntry {
     // dq2: PSI drift between the d19 corpus halves over the lang
     // distribution — the model-monitoring statistic, engine-exact
     "dq2_drift_psi" -> (RelationalOps.driftPsi _),
+    // dq3: per-column catalog profile — rows/nulls/exact distincts/min/max,
+    // one pruned scan per column
+    "dq3_column_profile" -> ((s: SparkSession, d: String) => RelationalOps.columnProfile(s, d)),
+    // g10: cross-source shingle-overlap matrix — the subcorpus governance
+    // view of decontamination; shingle df bounded by source count
+    "g10_cross_source" -> ((s: SparkSession, d: String) => CurationOps.crossSourceContamination(s, d)),
+    // s13: exact per-stratum 10% sample by salted-hash order — integer
+    // quota compare, one lang-keyed exchange for both windows
+    "s13_stratified_sample" -> ((s: SparkSession, d: String) => CurationOps.stratifiedSample(s, d)),
     "a9_sessionize" -> (StatsOps.sessionize _),
     "a10_funnel" -> (StatsOps.funnel _),
     "a11_rfm" -> (StatsOps.rfm _),
@@ -786,6 +795,54 @@ object SparkEntry {
         |                - ln(CAST(h.hist_ct AS DOUBLE)) + ln(CAST(nh.nh AS DOUBLE)))
         |             * 10000.0 + 0.5) / 10000.0 AS psi_term
         |FROM i JOIN h USING (lang) CROSS JOIN ni CROSS JOIN nh""".stripMargin,
+    // dq3: per-column profile restated column by column; min/max compare in
+    // the column's own type, then render as VARCHAR for the uniform row
+    "dq3_column_profile" ->
+      """SELECT 'lang' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ct,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS distinct_ct,
+        |       CAST(min(lang) AS VARCHAR) AS min_val, CAST(max(lang) AS VARCHAR) AS max_val
+        |FROM documents
+        |UNION ALL
+        |SELECT 'source', CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(count(DISTINCT source) AS BIGINT),
+        |       CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(count(DISTINCT n_chars) AS BIGINT),
+        |       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        |FROM documents""".stripMargin,
+    // g10: distinct (source, 3-shingle) sets, pair overlap by shingle join,
+    // containment = shared/min quantized at 4dp
+    "g10_cross_source" ->
+      """WITH w AS (SELECT source, string_split(text, ' ') AS words FROM documents),
+        |g AS (SELECT DISTINCT source, unnest([array_to_string(words[i:i+2], ' ')
+        |                                      for i in generate_series(1, len(words) - 2)]) AS sh
+        |      FROM w WHERE len(words) >= 3),
+        |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh FROM g GROUP BY source),
+        |p AS (SELECT x.source AS source_a, y.source AS source_b,
+        |             CAST(count(*) AS BIGINT) AS shared_ct
+        |      FROM g x JOIN g y ON x.sh = y.sh AND x.source < y.source
+        |      GROUP BY 1, 2)
+        |SELECT p.source_a, p.source_b, p.shared_ct,
+        |       na.n_sh AS n_a, nb.n_sh AS n_b,
+        |       floor(CAST(p.shared_ct AS DOUBLE) / least(na.n_sh, nb.n_sh)
+        |             * 10000.0 + 0.5) / 10000.0 AS containment
+        |FROM p JOIN n na ON na.source = p.source_a
+        |       JOIN n nb ON nb.source = p.source_b""".stripMargin,
+    // s13: exact 10% per lang stratum; quota compare stays integer
+    // (rnk*10 <= n_s + 9 == rnk <= ceil(n_s/10)), order by salted md5
+    "s13_stratified_sample" ->
+      """SELECT doc_id, lang, rnk, n_s FROM (
+        |  SELECT doc_id, lang,
+        |         CAST(row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5('s13:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk,
+        |         CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_s
+        |  FROM documents)
+        |WHERE rnk * 10 <= n_s + 9""".stripMargin,
     // dq1: each rule restated as a count; UNION ALL keeps one row per check
     "dq1_quality_checks" ->
       """SELECT 'orders_custkey_not_null' AS check,

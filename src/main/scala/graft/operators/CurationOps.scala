@@ -280,6 +280,79 @@ object CurationOps {
   def collocations(spark: SparkSession, dir: String): DataFrame =
     collocations(table(spark, dir, "documents"))
 
+  /** G10 — cross-source CONTAMINATION matrix: for every pair of corpus
+    * sources, how many distinct 3-shingles they share, with each source's
+    * shingle-set size and the containment ratio shared/min(|A|,|B|) — the
+    * subcorpus-governance view of decontamination (t5/b1 ask "is the
+    * benchmark in my corpus?"; g10 asks "how much do my SOURCES overlap
+    * each other?", the question behind dataset-mixing dedup budgets and
+    * benchmark-family exclusion lists).
+    *
+    * Scale notes (100 TB): the per-source distinct shingle table is one
+    * (source, shingle)-keyed corpus shuffle (map-side partial distinct);
+    * the pair join keys on the SHINGLE, whose df is bounded by the SOURCE
+    * COUNT (a shingle appears once per source after the distinct), so the
+    * join output is ≤ sources²/2 rows per shingle — the d18 posting bound
+    * with an intrinsic cap, never corpus × corpus. Both join sides are the
+    * same frame, so the exchange is reused; per-source totals and the
+    * final ratio ride source²-sized frames. The ratio is 4-dp
+    * floor-quantized (t13 recipe) for engine-exact output.
+    */
+  def crossSourceContamination(docs: DataFrame): DataFrame = {
+    val sets = graft.Tables.spread(docs
+        .withColumn("words", split(col("text"), " "))
+        .filter(size(col("words")) >= 3)
+        .select(col("source"), col("words")))
+      .select(col("source"), explode(DedupOps.shingleExpr(col("words"))).as("sh"))
+      .distinct()
+    val totals = sets.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    val shared = sets.as("x").join(sets.as("y"),
+        col("x.sh") === col("y.sh") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("shared_ct"))
+    def q4(c: Column) = floor(c * 10000.0 + 0.5) / 10000.0
+    shared
+      .join(broadcast(totals.select(col("source").as("source_a"), col("n_sh").as("n_a"))),
+        Seq("source_a"))
+      .join(broadcast(totals.select(col("source").as("source_b"), col("n_sh").as("n_b"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("shared_ct"),
+        col("n_a"), col("n_b"),
+        q4(col("shared_ct").cast("double") / least(col("n_a"), col("n_b")))
+          .as("containment"))
+  }
+  def crossSourceContamination(spark: SparkSession, dir: String): DataFrame =
+    crossSourceContamination(table(spark, dir, "documents"))
+
+  /** S13 — exact STRATIFIED sampling: precisely ceil(n_s/10) documents per
+    * language stratum (10%), chosen by salted-hash order so the draw is
+    * uniform within each stratum, deterministic, and engine-reproducible —
+    * the evaluation-set construction that preserves subpopulation shares
+    * exactly (a corpus-wide hash threshold only hits each stratum's share
+    * in expectation; small strata can miss entirely). The quota compare is
+    * the integer form `rnk·10 ≤ n_s + 9` — no float ever enters.
+    *
+    * Scale notes (100 TB): ONE lang-keyed exchange — the rank window and
+    * the per-stratum count window share the same partitioning (the s7
+    * contract shape). The per-stratum sort is the honest cost of an exact
+    * quota; for strata too large to sort, fall back to the threshold draw
+    * (binomial-error share) or run s12's A-Res with a fixed per-stratum n
+    * — both documented trade-offs, not silent substitutions.
+    */
+  def stratifiedSample(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("skey"), col("doc_id"))
+    val cw = Window.partitionBy("lang")
+    docs.select(col("doc_id"), col("lang"))
+      .withColumn("skey", md5(concat(lit("s13:"), col("doc_id").cast("string"))))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n_s", count(lit(1)).over(cw))
+      .filter(col("rnk") * 10 <= col("n_s") + 9)
+      .select(col("doc_id"), col("lang"), col("rnk").cast("long").as("rnk"),
+        col("n_s"))
+  }
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSample(table(spark, dir, "documents"))
+
   /** S3 — context-window sequence packing: concatenate each shard's token
     * stream in deterministic doc order and slice it into fixed-length training
     * sequences; each doc gets its byte-reproducible (sequence index, offset)

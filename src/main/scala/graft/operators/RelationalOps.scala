@@ -222,11 +222,12 @@ object RelationalOps {
     * over the language distribution. Per bucket:
     * `psi_term = (p − q) · ln(p/q)` with p = incoming share, q = history
     * share; Σ terms > 0.2 is the conventional "significant drift" alarm.
-    * Exactness: ln runs over `(inc_ct·n_hist)/(hist_ct·n_inc)` — a ratio
-    * of exact integer products (≪ 2^53, so the doubles are exact) with
-    * pinned association — and each term is 4-dp floor-quantized (the t13
-    * recipe) so both engines emit identical rows; shares are floor-
-    * quantized the same way for the report columns.
+    * Exactness: ln is DECOMPOSED over the four counts
+    * (`ln(inc)−ln(n_inc)−ln(hist)+ln(n_hist)`, same association in both
+    * engines) so no int64 product can overflow at any corpus size — each
+    * ln argument is one exact count — and each term is 4-dp
+    * floor-quantized (the t13 recipe) so both engines emit identical
+    * rows; shares are floor-quantized the same way for the report columns.
     *
     * Scale notes (100 TB): two scan-aggregates (bucket counts per side,
     * map-side partial) + a bucket-keyed join of two bucket-sized frames;
@@ -261,6 +262,40 @@ object RelationalOps {
         q4(p).as("inc_share"), q4(q).as("hist_share"),
         q4((p - q) * lnRatio).as("psi_term"))
   }
+
+  /** DQ3 — column PROFILING, the other half of warehouse data quality
+    * (dq1 checks rules, dq3 describes distributions): per profiled column,
+    * row count, null count, exact distinct count, and min/max (compared in
+    * the column's own type, rendered as strings for the uniform report
+    * row) — what a catalog surfaces next to every dataset and what drift
+    * investigations (dq2) start from.
+    *
+    * Scale notes (100 TB): one scan-aggregate PER profiled column, each
+    * reading ONLY its column (columnar pruning — the per-column scans are
+    * cheaper than one fused multi-countDistinct pass, which Catalyst plans
+    * as an Expand that multiplies every corpus row by the number of
+    * distinct aggregates before the shuffle). Each scan is a count/min/max
+    * partial-agg plus one exact countDistinct (two-level agg); at 100 TB
+    * swap exact distincts for HLL (`functions.HllDistinct`) the same way
+    * g2's t-digest flag works. The report is a handful of one-row frames
+    * unioned at the end — nothing row-scale ever materializes.
+    */
+  def columnProfile(docs: DataFrame): DataFrame = {
+    def profile(name: String, c: org.apache.spark.sql.Column): DataFrame =
+      docs.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as("null_ct"),
+        countDistinct(c).as("distinct_ct"),
+        min(c).cast("string").as("min_val"),
+        max(c).cast("string").as("max_val"))
+        .select(lit(name).as("col_name"), col("n_rows"), col("null_ct"),
+          col("distinct_ct"), col("min_val"), col("max_val"))
+    Seq(profile("lang", col("lang")), profile("source", col("source")),
+      profile("n_chars", col("n_chars")))
+      .reduce(_ unionByName _)
+  }
+  def columnProfile(spark: SparkSession, dir: String): DataFrame =
+    columnProfile(table(spark, dir, "documents"))
 
   def dataQualityReport(spark: SparkSession, dir: String): DataFrame = {
     val orders = table(spark, dir, "orders")

@@ -250,4 +250,31 @@ class BatchQueriesSpec extends SparkSpec {
       .agg(sum("psi_term")).head.getDouble(0)
     assert(drifted > 0.2, s"planted drift not detected: $drifted")
   }
+
+  test("column profile measures rows/nulls/distincts/min-max per column (DQ3)") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.table(spark, sf, "documents")
+    val prof = graft.operators.RelationalOps.columnProfile(docs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(prof.keySet === Set("lang", "source", "n_chars"))
+    val n = docs.count()
+    prof.values.foreach { case (rows, nulls, distinct, _, _) =>
+      assert(rows === n)
+      assert(nulls >= 0 && distinct <= n - nulls)
+    }
+    // recompute one column independently: the profile measures, not stamps
+    assert(prof("lang")._3 === docs.select("lang").distinct().count())
+    assert(prof("n_chars")._4.toLong ===
+      docs.agg(min("n_chars")).head.getLong(0))
+    assert(prof("n_chars")._5.toLong ===
+      docs.agg(max("n_chars")).head.getLong(0))
+    // nulls are COUNTED, not crashed on: plant one
+    import spark.implicits._
+    val withNull = docs.select("doc_id", "lang", "source", "n_chars")
+      .withColumn("lang", when(col("doc_id") === 1L, lit(null)).otherwise(col("lang")))
+    val p2 = graft.operators.RelationalOps.columnProfile(withNull)
+      .filter(col("col_name") === "lang").head
+    assert(p2.getLong(2) === 1L, "planted null not counted")
+  }
 }

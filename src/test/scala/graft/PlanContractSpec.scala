@@ -169,6 +169,29 @@ class PlanContractSpec extends SparkSpec {
     assert(count(p, "SortMergeJoin") === 0, p)
   }
 
+  /** The FINAL adaptive plan (post-execution, final section only): stage
+    * reuse (ReusedExchange) is a runtime decision AQE only surfaces there —
+    * the initial plan `planOf` pins never shows it.
+    */
+  private def finalPlanOf(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("the composed curation capstone keeps t15's single tf explode (c3)") {
+    val p = finalPlanOf("c3_curated_train_export")
+    // c3's doc_id join pushes isnotnull(doc_id) into the scoring branch;
+    // without the source-side isNotNull in nbQualityScore that pushed copy
+    // de-canonicalizes the tf subtree and the corpus-scale explode+shuffle
+    // silently DOUBLES (measured +1.3s / +3.9 MB at sf0.1). Exactly one
+    // word-explode may survive; d17's segment explodes are posexplodes and
+    // don't match this pattern.
+    assert(count(p, "Generate explode\\(split\\(text") === 1,
+      s"c3 re-runs t15's corpus explode:\n$p")
+    assert(count(p, "ReusedExchange") >= 1, s"c3 lost tf exchange reuse:\n$p")
+  }
+
   test("substring-span dedup is linear: no cartesian, bounded keyed exchanges (d13)") {
     val p = planOf("d13_substring_spans")
     // seed-and-extend must never pair documents: any nested-loop/cartesian
@@ -230,10 +253,11 @@ class PlanContractSpec extends SparkSpec {
     val df = SparkEntry.queries("t15_nb_quality")(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    // the corpus explodes into words once for the tf aggregate (the model
-    // groups it through a ReusedExchange) and once for the vocab count;
-    // totals ride a no-explode projection — never a fourth pass
-    assert(count(p, "Generate explode") === 2, s"t15 re-explodes the corpus:\n$p")
+    // the corpus explodes into words exactly ONCE — the tf aggregate (the
+    // model groups it through a ReusedExchange, |V| rides the model rows as
+    // a window count); totals ride a no-explode projection — never a
+    // second pass
+    assert(count(p, "Generate explode") === 1, s"t15 re-explodes the corpus:\n$p")
     assert(count(p, "ReusedExchange") >= 1, s"t15 tf exchange not reused:\n$p")
     assert(count(p, "Scan parquet") <= 3, s"t15 corpus scan count drifted:\n$p")
     // vocab-sized model + one-row totals/vocab join back broadcast

@@ -465,4 +465,51 @@ class CurationOpsSpec extends SparkSpec {
       .sortBy { case (id, k) => (-k, id) }.take(100).map(_._1).toSet
     assert(got.map(_._2).toSet !== unweighted)
   }
+
+  test("stratifiedSample takes exactly ceil(n_s/10) per stratum, deterministically (S13)") {
+    import org.apache.spark.sql.functions._
+    val out = CurationOps.stratifiedSample(docs).cache()
+    val perStratum = out.groupBy("lang").agg(
+      count(lit(1)).as("taken"), max("n_s").as("n_s")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val truth = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perStratum.keySet === truth.keySet, "every stratum is represented")
+    perStratum.foreach { case (lang, (taken, ns)) =>
+      assert(ns === truth(lang), s"stratum size drifted for $lang")
+      assert(taken === (truth(lang) + 9) / 10,
+        s"stratum $lang took $taken of ${truth(lang)} — not ceil(n/10)")
+    }
+    // deterministic: a second run selects the identical id set
+    val again = CurationOps.stratifiedSample(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === out.select("doc_id").collect().map(_.getLong(0)).toSet)
+    out.unpersist()
+  }
+
+  test("crossSourceContamination is posting-bounded and count-consistent (G10)") {
+    import org.apache.spark.sql.functions._
+    val out = CurationOps.crossSourceContamination(docs).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty, "replicated sources must overlap")
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b, "pair orientation must be canonical")
+      val (shared, na, nb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(shared <= math.min(na, nb), s"$a x $b shares more than it has")
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
+    // per-source set sizes must equal the independent distinct count
+    val na = out.select(col("source_a").as("s"), col("n_a").as("n"))
+      .unionByName(out.select(col("source_b").as("s"), col("n_b").as("n")))
+      .distinct().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = graft.Tables.spread(docs
+        .withColumn("words", split(col("text"), " "))
+        .filter(size(col("words")) >= 3).select(col("source"), col("words")))
+      .select(col("source"), explode(DedupOps.shingleExpr(col("words"))).as("sh"))
+      .distinct().groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    na.foreach { case (s, n) => assert(n === truth(s), s"set size drifted for $s") }
+    out.unpersist()
+  }
 }
