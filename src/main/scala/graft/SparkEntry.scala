@@ -57,6 +57,12 @@ object SparkEntry {
     // dq3: per-column catalog profile — rows/nulls/exact distincts/min/max,
     // one pruned scan per column
     "dq3_column_profile" -> ((s: SparkSession, d: String) => RelationalOps.columnProfile(s, d)),
+    // dq4: k-anonymity audit over the (lang, source, len-bucket)
+    // quasi-identifier — sub-k groups flagged, one bounded keyed agg
+    "dq4_k_anonymity" -> ((s: SparkSession, d: String) => RelationalOps.kAnonymity(s, d)),
+    // l3: snapshot diff (added/removed/changed/unchanged counts) — one
+    // id-keyed full outer join of the two manifest projections
+    "l3_snapshot_diff" -> ((s: SparkSession, d: String) => RelationalOps.snapshotDiff(s, d)),
     // g10: cross-source shingle-overlap matrix — the subcorpus governance
     // view of decontamination; shingle df bounded by source count
     "g10_cross_source" -> ((s: SparkSession, d: String) => CurationOps.crossSourceContamination(s, d)),
@@ -815,6 +821,26 @@ object SparkEntry {
         |       CAST(count(DISTINCT n_chars) AS BIGINT),
         |       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
         |FROM documents""".stripMargin,
+    // dq4: same grouping, boolean stated as a comparison
+    "dq4_k_anonymity" ->
+      """SELECT lang, source, CAST(n_chars // 256 AS BIGINT) AS len_bucket,
+        |       CAST(count(*) AS BIGINT) AS group_ct,
+        |       count(*) < 10 AS at_risk
+        |FROM documents GROUP BY 1, 2, 3""".stripMargin,
+    // l3: both snapshot manifests restated with the same deterministic
+    // construction; full outer join classifies, counts only
+    "l3_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents WHERE doc_id % 5 <> 4),
+        |v2 AS (SELECT doc_id,
+        |              md5(CASE WHEN doc_id % 11 = 3 THEN text || ' rev2' ELSE text END) AS h2
+        |       FROM documents WHERE doc_id % 7 <> 6)
+        |SELECT status, CAST(count(*) AS BIGINT) AS ct FROM (
+        |  SELECT CASE WHEN h1 IS NULL THEN 'added'
+        |              WHEN h2 IS NULL THEN 'removed'
+        |              WHEN h1 <> h2 THEN 'changed'
+        |              ELSE 'unchanged' END AS status
+        |  FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+        |GROUP BY status""".stripMargin,
     // g10: distinct (source, 3-shingle) sets, pair overlap by shingle join,
     // containment = shared/min quantized at 4dp
     "g10_cross_source" ->

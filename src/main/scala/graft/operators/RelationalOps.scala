@@ -297,6 +297,61 @@ object RelationalOps {
   def columnProfile(spark: SparkSession, dir: String): DataFrame =
     columnProfile(table(spark, dir, "documents"))
 
+  /** DQ4 — k-ANONYMITY risk audit (Sweeney 2002): group the corpus by its
+    * quasi-identifier tuple — here (lang, source, 256-char length bucket),
+    * the release-metadata columns an attacker could link on — and flag
+    * every group smaller than k=10: a document in such a group is
+    * re-identifiable from its metadata alone. The per-group rows are what
+    * a privacy review acts on (suppress, generalize the bucket, or drop);
+    * `at_risk` sums to the suppression budget.
+    *
+    * Scale notes (100 TB): one quasi-identifier-keyed scan-aggregate with
+    * map-side partials — group count is bounded by the identifier domain
+    * (langs × sources × buckets), not corpus size; the risk flag is a
+    * projection over that bounded frame. All-integer, no joins.
+    */
+  def kAnonymity(docs: DataFrame, k: Int = 10): DataFrame =
+    docs.groupBy(col("lang"), col("source"),
+        (col("n_chars") / 256).cast("long").as("len_bucket"))
+      .agg(count(lit(1)).as("group_ct"))
+      .withColumn("at_risk", col("group_ct") < k)
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    kAnonymity(table(spark, dir, "documents"))
+
+  /** L3 — snapshot DIFF, the lakehouse table-history chore (Delta
+    * DESCRIBE HISTORY / Iceberg snapshot diff, reduced to its data core):
+    * given two corpus snapshots keyed by doc_id with a content hash,
+    * classify every id as added / removed / changed / unchanged and emit
+    * the per-status counts — what an incremental consumer reads to decide
+    * between incremental refresh and full rebuild, and what a data-audit
+    * trail records per publish. Snapshots are derived deterministically
+    * here (v1 = ids ≢ 4 mod 5; v2 = ids ≢ 6 mod 7, with ids ≡ 3 mod 11
+    * "edited" by hashing a revised text) so the oracle can state the same
+    * construction.
+    *
+    * Scale notes (100 TB): ONE doc_id-keyed full outer join of the two
+    * manifest projections (id + 16-byte hash — manifest-sized, not
+    * corpus-bytes-sized; at scale these are the snapshots' own metadata
+    * files) followed by a 4-group count; nothing wider than the hash ever
+    * moves.
+    */
+  def snapshotDiff(docs: DataFrame): DataFrame = {
+    val v1 = docs.filter(col("doc_id") % 5 =!= 4)
+      .select(col("doc_id"), md5(col("text")).as("h1"))
+    val v2 = docs.filter(col("doc_id") % 7 =!= 6)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 11 === 3, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text"))).as("h2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(when(col("h1").isNull, "added")
+        .when(col("h2").isNull, "removed")
+        .when(col("h1") =!= col("h2"), "changed")
+        .otherwise("unchanged").as("status"))
+      .groupBy("status").agg(count(lit(1)).as("ct"))
+  }
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame =
+    snapshotDiff(table(spark, dir, "documents"))
+
   def dataQualityReport(spark: SparkSession, dir: String): DataFrame = {
     val orders = table(spark, dir, "orders")
     val customer = table(spark, dir, "customer")

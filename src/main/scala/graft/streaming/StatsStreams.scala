@@ -795,6 +795,23 @@ object StatsStreams {
         when(col("log_odds") > 0, "keep").otherwise("drop"))
   }
 
+  /** Continuous column profiling — DQ3's streaming face, qualityMonitorStream's
+    * sibling: every arriving micro-batch gets the SAME per-column profile
+    * battery ([[graft.operators.RelationalOps.columnProfile]], shared code so
+    * the report schema cannot drift) — the per-load catalog stats a warehouse
+    * records next to each ingest (null spikes and distinct-count collapses
+    * surface at load time, feeding the dq2 drift alarm). foreachBatch, zero
+    * stream state; per-batch cost is the battery's own pruned scans over
+    * batch-sized data.
+    */
+  def profileMonitorStream(docs: DataFrame)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(graft.operators.RelationalOps.columnProfile(batch), id)
+    }
+
   /** Streaming entity resolution — the incremental face of batch E2
     * ([[graft.operators.TextOps.entityResolve]]), completing the one
     * operator family that had no streaming form. The d19 shape at the

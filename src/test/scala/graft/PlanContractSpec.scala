@@ -192,6 +192,18 @@ class PlanContractSpec extends SparkSpec {
     assert(count(p, "ReusedExchange") >= 1, s"c3 lost tf exchange reuse:\n$p")
   }
 
+  test("the multimodal capstone decodes each modality exactly once (c4)") {
+    val p = finalPlanOf("c4_multimodal_curation")
+    // one codec pass per modality: the image phash seam and the audio
+    // fingerprint seam are the only MapPartitions nodes — a third would
+    // mean a gate re-decodes inside the composition (c4 ~= m7 + m8 + t12
+    // by construction; the bench sum confirms, r11: 3.1 vs 1.1+1.7+0.1)
+    assert(count(p, "MapPartitions") === 2, s"c4 decode seam count drifted:\n$p")
+    // gate assembly stays hash joins (the dropped-image anti probe is the
+    // contract-pinned broadcast; nothing may degrade to sort-merge here)
+    assert(count(p, "SortMergeJoin") === 0, p)
+  }
+
   test("substring-span dedup is linear: no cartesian, bounded keyed exchanges (d13)") {
     val p = planOf("d13_substring_spans")
     // seed-and-extend must never pair documents: any nested-loop/cartesian

@@ -677,6 +677,27 @@ class StatefulParitySpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("profileMonitorStream: per-batch profile == batch profile (DQ3)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "en", "web", 120L), (2L, "de", "web", 300L),
+      (3L, null.asInstanceOf[String], "books", 80L))
+    val input = MemoryStream[(Long, String, String, Long)]
+    input.addData(rows: _*)
+    val got = scala.collection.mutable.ArrayBuffer[Set[Seq[Any]]]()
+    val q = StatsStreams.profileMonitorStream(
+        input.toDF().toDF("doc_id", "lang", "source", "n_chars")) { (m, _) =>
+      got += m.collect().map(_.toSeq).toSet
+    }.trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val batch = graft.operators.RelationalOps.columnProfile(
+      rows.toDF("doc_id", "lang", "source", "n_chars"))
+      .collect().map(_.toSeq).toSet
+    assert(got.size === 1 && got.head === batch)
+    // the planted null is counted, not crashed on
+    assert(batch.exists(r => r.head == "lang" && r(2) == 1L))
+  }
+
   test("qualityMonitorStream: per-batch battery == batch checks, violations gate (DQ1)") {
     implicit val sqlCtx = spark.sqlContext
     // batch 1 is clean; batch 2 plants one violation of each kind
