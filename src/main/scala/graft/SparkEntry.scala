@@ -142,6 +142,10 @@ object SparkEntry {
     // neighbors, deterministic (sim DESC, id) / (votes DESC, label) ties
     "n7_knn_label" -> ((s: SparkSession, d: String) => AnnOps.knnLabel(s, d)),
     "n4_embed_quantize" -> ((s: SparkSession, d: String) => AnnOps.quantizeStats(s, d)),
+    // n9: SQ8 search — int8-code candidate scan (cosine of the quantized
+    // vectors: scales cancel, all-integer-derived) + exact float rerank of
+    // the top-20 survivors per query
+    "n9_quantized_topk" -> ((s: SparkSession, d: String) => AnnOps.quantizedTopK(s, d)),
     "n5_cosine_sim_fn" -> (cosineSimFn _),
     // LLM-data-pipeline: corpus curation (decontamination, sampling,
     // shard shuffle, n-gram frequency)
@@ -1309,6 +1313,41 @@ object SparkEntry {
         |       len(list_filter(qv, x -> abs(x) = 127)) AS n_sat,
         |       len(list_filter(qv, x -> x = 0)) AS n_zero
         |FROM q""".stripMargin,
+    // n9: the SQ8 chain restated — int8 codes via n4's formula, candidate
+    // cosine from integer dots (scales cancel; exact below 2^53), top-20 by
+    // (approx DESC, id), exact n1 cosine rerank of the survivors
+    "n9_quantized_topk" ->
+      """WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ee
+        |            FROM embeddings),
+        |qz AS (SELECT vec_id, ee, list_max(list_transform(ee, x -> abs(x))) AS scale FROM e0),
+        |qz2 AS (SELECT vec_id, ee,
+        |               list_transform(ee, x -> CASE WHEN scale > 0
+        |                   THEN CAST(floor(x * 127.0 / scale + 0.5) AS DOUBLE)
+        |                   ELSE CAST(0 AS DOUBLE) END) AS qv
+        |        FROM qz),
+        |qz3 AS (SELECT vec_id, ee, qv, list_dot_product(qv, qv) AS qn FROM qz2),
+        |q AS (SELECT vec_id AS query_id, qv AS qq, qn AS qqn, ee AS qe
+        |      FROM qz3 WHERE vec_id < 10),
+        |cands AS (SELECT query_id, vec_id AS neighbor_id,
+        |                 CASE WHEN qqn = 0 OR qn = 0 THEN 0.0
+        |                      ELSE floor(list_dot_product(qq, qv) / sqrt(qqn * qn)
+        |                                 * 10000.0 + 0.5) / 10000.0 END AS approx_sim
+        |          FROM qz3, q WHERE vec_id <> query_id),
+        |top AS (SELECT query_id, neighbor_id, approx_sim FROM (
+        |          SELECT query_id, neighbor_id, approx_sim,
+        |                 row_number() OVER (PARTITION BY query_id
+        |                   ORDER BY approx_sim DESC, neighbor_id) AS crnk
+        |          FROM cands) WHERE crnk <= 20),
+        |rer AS (SELECT t.query_id, t.neighbor_id, t.approx_sim,
+        |               floor(list_dot_product(q.qe, e.ee) /
+        |                     (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.ee, e.ee)))
+        |                     * 10000.0 + 0.5) / 10000.0 AS sim
+        |        FROM top t JOIN qz3 e ON e.vec_id = t.neighbor_id
+        |             JOIN q ON q.query_id = t.query_id)
+        |SELECT query_id, neighbor_id, rnk, sim, approx_sim FROM (
+        |  SELECT query_id, neighbor_id, sim, approx_sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM rer) WHERE rnk <= 5""".stripMargin,
     // n5: native cosine_sim via the SQL surface — same quantize-then-compare
     // convention as n1; the zero-denominator guard mirrors CosineSimF.
     "n5_cosine_sim_fn" ->

@@ -330,6 +330,63 @@ object AnnOps {
   def quantizeStats(spark: SparkSession, dir: String): DataFrame =
     quantizeStats(table(spark, dir, "embeddings"))
 
+  /** N9 — int8-QUANTIZED search with exact rerank, the SQ8 retrieval shape
+    * (FAISS `SQ8`, the standard memory/recall trade): the corpus is scanned
+    * as n4's symmetric int8 codes (4× smaller than float32 — at 100 TB of
+    * embeddings, the difference between a scan that fits page cache and one
+    * that doesn't), candidates are ranked by the cosine OF THE QUANTIZED
+    * vectors — the per-vector scales cancel in cosine, so the score derives
+    * ENTIRELY from integer dot products (exact below 2^53; one sqrt + one
+    * divide, 4-dp-quantized → bit-identical in both engines, no float
+    * vector math on the wide scan) — and only the top-`cand` survivors per
+    * query touch float embeddings for the exact n1-contract rerank.
+    * Output carries both scores, so quantization error is visible inline.
+    *
+    * Scale notes (100 TB): the candidate pass is the n1 broadcast shape
+    * over int8 codes (map-only, two-phase top-cand — never a per-query
+    * single-reducer window); the rerank joins the CANDIDATE list
+    * (queries × cand rows, broadcast) back to the float column, so full-
+    * precision vectors are read for ~cand·|Q| rows only. A production
+    * variant composes with IVF cells (n2) the same way.
+    */
+  def quantizedTopK(e: DataFrame, k: Int = 5, cand: Int = 20): DataFrame = {
+    val ee = transform(col("embedding"), x => x.cast("double"))
+    val qz = e.select(col("vec_id"), col("embedding"), ee.as("ee"))
+      .withColumn("scale", array_max(transform(col("ee"), x => abs(x))))
+      .withColumn("qv", transform(col("ee"), x =>
+        when(col("scale") > 0, floor(x * 127.0 / col("scale") + 0.5))
+          .otherwise(lit(0L))).cast("array<bigint>"))
+      .withColumn("qn", aggregate(col("qv"), lit(0L), (a, x) => a + x * x))
+    val queries = qz.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qv").as("qq"),
+        col("qn").as("qqn"), col("embedding").as("qe"),
+        norm(col("embedding")).as("nq"))
+    val corpus = qz.select(col("vec_id"), col("qv"), col("qn"))
+    val idot = aggregate(zip_with(col("qq"), col("qv"), (a, b) => a * b),
+      lit(0L), (a, x) => a + x)
+    val approx = when(col("qqn") === 0 || col("qn") === 0, lit(0.0)).otherwise(
+      floor(idot.cast("double") / sqrt((col("qqn") * col("qn")).cast("double"))
+        * 10000.0 + 0.5) / 10000.0)
+    val cands = corpus
+      .crossJoin(broadcast(queries.select(col("query_id"), col("qq"), col("qqn"))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), approx.as("sim"))
+    val top = topKPerQuery(cands, cand, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("sim").as("approx_sim"))
+    val rer = e.select(col("vec_id").as("neighbor_id"), col("embedding"),
+        norm(col("embedding")).as("nv"))
+      .join(broadcast(top.select("query_id", "neighbor_id")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col("query_id"), col("qe"), col("nq"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePre(col("qe"), col("embedding"), col("nq"), col("nv")).as("sim"))
+    topKPerQuery(rer, k, Seq("query_id"))
+      .join(broadcast(top), Seq("query_id", "neighbor_id"))
+      .select("query_id", "neighbor_id", "rnk", "sim", "approx_sim")
+  }
+  def quantizedTopK(spark: SparkSession, dir: String): DataFrame =
+    quantizedTopK(table(spark, dir, "embeddings"))
+
   /** Coarse-quantizer training: centroid = element-wise mean vector per
     * cluster. One shuffle on (cell, dim) — dimension count is a constant, so
     * this scales as a plain aggregation of the corpus.

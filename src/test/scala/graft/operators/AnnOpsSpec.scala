@@ -454,6 +454,26 @@ class AnnOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("quantizedTopK recalls brute-force truth through the int8 candidate scan (N9)") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val brute = AnnOps.cosineTopK(e).select("query_id", "neighbor_id")
+    val sq8 = AnnOps.quantizedTopK(e).cache()
+    // exactly k results per query, ranked contiguously
+    assert(sq8.groupBy("query_id").count().filter(col("count") =!= 5).count() === 0)
+    // int8 at 64 dims barely perturbs cosine order: a 20-candidate rerank
+    // must recover (nearly) all of the true top-5 — below 80% means the
+    // quantized candidate scan is broken, not merely lossy
+    val n = brute.count()
+    val hits = sq8.join(brute, Seq("query_id", "neighbor_id")).count()
+    assert(hits * 10 >= n * 8, s"SQ8 recall $hits/$n below 0.8")
+    // the exact rerank score equals n1's score for every recovered pair
+    val exact = AnnOps.cosineTopK(e)
+      .select(col("query_id"), col("neighbor_id"), col("sim").as("bsim"))
+    assert(sq8.join(exact, Seq("query_id", "neighbor_id"))
+      .filter(col("sim") =!= col("bsim")).count() === 0)
+    sq8.unpersist()
+  }
+
   test("semDedup at the production threshold is drop-free on the fixture corpus") {
     val e = Tables.table(spark, sf, "embeddings")
     val out = AnnOps.semDedup(e) // τ = 0.95; within-cell sims top out ≈ 0.47
