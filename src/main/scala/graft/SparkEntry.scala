@@ -63,6 +63,9 @@ object SparkEntry {
     // l3: snapshot diff (added/removed/changed/unchanged counts) — one
     // id-keyed full outer join of the two manifest projections
     "l3_snapshot_diff" -> ((s: SparkSession, d: String) => RelationalOps.snapshotDiff(s, d)),
+    // l4: data-skipping effectiveness — files touched under arrival vs
+    // z-order layout for one box predicate; per-file stats in one keyed agg
+    "l4_skipping_stats" -> ((s: SparkSession, d: String) => Bucketing.skippingStats(s, d)),
     // g10: cross-source shingle-overlap matrix — the subcorpus governance
     // view of decontamination; shingle df bounded by source count
     "g10_cross_source" -> ((s: SparkSession, d: String) => CurationOps.crossSourceContamination(s, d)),
@@ -1054,6 +1057,35 @@ object SparkEntry {
          |      FROM e),
          |z AS (SELECT event_id, user_id, k, $terms AS zkey FROM c)
          |SELECT event_id, user_id, k, zkey, zkey >> 22 AS zbucket FROM z""".stripMargin
+    },
+    // l4: the same deterministic layouts restated — arrival files from
+    // dense ids, z-files from fixed zkey ranges, box-overlap on file minima
+    "l4_skipping_stats" -> {
+      val terms = (0 until 16).map { i =>
+        s"(((x >> $i) & 1) << ${2 * i + 1}) + (((y >> $i) & 1) << ${2 * i})"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT event_id, user_id,
+         |                  TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |           FROM events
+         |           WHERE TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) IS NOT NULL),
+         |c AS (SELECT event_id, user_id, k,
+         |             least(greatest(user_id, 0), 65535) AS x,
+         |             least(greatest(k, 0), 65535) AS y
+         |      FROM e),
+         |z AS (SELECT event_id, user_id, k, $terms AS zkey FROM c),
+         |f AS (SELECT layout, file_id, user_id, k FROM (
+         |        SELECT 'arrival' AS layout, event_id // 1024 AS file_id, user_id, k FROM z
+         |        UNION ALL
+         |        SELECT 'zorder', zkey >> 12, user_id, k FROM z)),
+         |s AS (SELECT layout, file_id, CAST(count(*) AS BIGINT) AS rows_ct,
+         |             min(user_id) AS u_min, min(k) AS k_min,
+         |             CAST(sum(CASE WHEN user_id <= 31 AND k <= 31 THEN 1 ELSE 0 END) AS BIGINT) AS m
+         |      FROM f GROUP BY 1, 2)
+         |SELECT layout, CAST(count(*) AS BIGINT) AS files_total,
+         |       CAST(sum(CASE WHEN u_min <= 31 AND k_min <= 31 THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+         |       CAST(sum(CASE WHEN u_min <= 31 AND k_min <= 31 THEN rows_ct ELSE 0 END) AS BIGINT) AS rows_read,
+         |       CAST(sum(m) AS BIGINT) AS rows_matched
+         |FROM s GROUP BY layout""".stripMargin
     },
     // g9: PMI replayed with the SAME pinned association —
     // ((((pair*nw)/cta)/ctb)*nw)/nb — one ln, 4dp-floor-quantized (t13's

@@ -91,6 +91,49 @@ object Bucketing {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** L4 — data-SKIPPING effectiveness audit, the number that justifies l1:
+    * for the same box predicate (`user_id ≤ uHi AND k ≤ kHi`), how many
+    * files must a scan touch under the ARRIVAL layout (event_id-contiguous
+    * 1024-row files — what a stream sink writes) versus the Z-ORDER layout
+    * (fixed zkey ranges — what [[zorderWrite]] produces)? Emits one row per
+    * layout: files_total, files_touched (file [min,max] boxes overlapping
+    * the predicate), rows_read (read amplification), rows_matched — the
+    * before/after table every OPTIMIZE ZORDER decision is argued from.
+    * Everything is integer arithmetic over deterministic file assignments,
+    * so the oracle states the identical layout.
+    *
+    * Scale notes (100 TB): per-file min/max/count is ONE keyed aggregation
+    * with map-side partials (at scale it reads footer STATS, not rows —
+    * this query derives the same numbers from rows to stay oracle-exact);
+    * the verdict rollup runs over file-count-sized frames. No global sort:
+    * arrival files come from dense ids, z-files from fixed key ranges —
+    * both pure projections.
+    */
+  def skippingStats(events: DataFrame, uHi: Long = 31L,
+      kHi: Long = 31L): DataFrame = {
+    val base = zorderEvents(events)
+    val matched = col("user_id") <= uHi && col("k") <= kHi
+    val perFile = base
+      .select(col("user_id"), col("k"),
+        explode(map(
+          lit("arrival"), expr("event_id div 1024"),
+          lit("zorder"), shiftright(col("zkey"), 12))).as(Seq("layout", "file_id")))
+      .groupBy("layout", "file_id")
+      .agg(count(lit(1)).as("rows"),
+        min(col("user_id")).as("u_min"), min(col("k")).as("k_min"),
+        sum(when(matched, 1L).otherwise(0L)).as("m"))
+    // box overlap: predicate floor is 0 and file minima are >= 0, so a file
+    // is touched iff BOTH minima sit at or below the predicate ceiling
+    val touched = col("u_min") <= uHi && col("k_min") <= kHi
+    perFile.groupBy("layout").agg(
+      count(lit(1)).as("files_total"),
+      sum(when(touched, 1L).otherwise(0L)).as("files_touched"),
+      sum(when(touched, col("rows")).otherwise(0L)).as("rows_read"),
+      sum(col("m")).as("rows_matched"))
+  }
+  def skippingStats(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    skippingStats(graft.Tables.table(spark, dir, "events"))
+
   /** L2 — compaction planning, l1's sibling for the OTHER lakehouse layout
     * chore (the small-files problem): assign each document to an output
     * file of ≈ `targetBytes`, bin-packed in id order WITHIN a

@@ -130,4 +130,28 @@ class BucketingSpec extends SparkSpec {
       "a non-final file was closed more than one document short of the target")
     plan.unpersist()
   }
+
+  test("skippingStats: z-order layout never reads more than arrival; counts reconcile (L4)") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.table(spark, sf, "events")
+    val out = Bucketing.skippingStats(events).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet === Set("arrival", "zorder"))
+    val (af, at, ar, am) = out("arrival")
+    val (zf, zt, zr, zm) = out("zorder")
+    // the predicate matches the same rows whatever the layout
+    assert(am === zm && am > 0, "predicate must select rows in the fixture")
+    // every matched row is inside a touched file (skipping is sound)
+    assert(ar >= am && zr >= zm)
+    assert(at <= af && zt <= zf)
+    // the z-order win: the clustered layout reads no more rows than the
+    // arrival layout for the same box predicate (strictly fewer once the
+    // corpus spans multiple files — at sf0.001 arrival is one file)
+    assert(zr <= ar, s"z-order read $zr rows where arrival read $ar")
+    // independent recompute of the matched-row truth
+    val truth = Bucketing.zorderEvents(events)
+      .filter(col("user_id") <= 31 && col("k") <= 31).count()
+    assert(am === truth)
+  }
 }
