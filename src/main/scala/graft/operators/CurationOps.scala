@@ -141,18 +141,27 @@ object CurationOps {
     * caching the raw-text projection only ADDED time: deserialized
     * string row cache reads lose to the columnar parquet scan).
     */
-  def curatedTrainExport(docs: DataFrame): DataFrame = {
-    val cleaned = graft.operators.DedupOps.boilerplateStrip(docs)
-    val scored = graft.operators.TextOps.nbQualityScore(docs)
-    val split = leakageSafeSplit(docs,
-      graft.operators.DedupOps.nearDupClusters(docs, 0.7))
+  /** The PIPELINE form (the `dedupByCluster` reuse pattern): pass the three
+    * stage outputs a production pipeline has already materialized — d17's
+    * cleaned frame, t15's scored frame, s11's split frame — and pay only
+    * the three doc_id-keyed joins; the standalone overload below re-derives
+    * them in one lineage for the self-contained oracle query.
+    */
+  def curatedTrainExportOf(cleaned: DataFrame, scored: DataFrame,
+      split: DataFrame): DataFrame =
     cleaned.join(scored, Seq("doc_id")).join(split, Seq("doc_id"))
       .filter(col("predicted") === "keep" &&
         col("kept_segs") * 2 > col("n_segs") &&
         col("split") === "train")
       .select(col("doc_id"), col("clean_text"), col("kept_segs"),
         col("n_segs"), col("log_odds"), col("cluster_id"))
-  }
+
+  def curatedTrainExport(docs: DataFrame): DataFrame =
+    curatedTrainExportOf(
+      cleaned = graft.operators.DedupOps.boilerplateStrip(docs),
+      scored = graft.operators.TextOps.nbQualityScore(docs),
+      split = leakageSafeSplit(docs,
+        graft.operators.DedupOps.nearDupClusters(docs, 0.7)))
   def curatedTrainExport(spark: SparkSession, dir: String): DataFrame =
     curatedTrainExport(table(spark, dir, "documents"))
 

@@ -84,6 +84,21 @@ class CurationOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("curatedTrainExportOf on materialized stages equals the standalone form (C3 pipeline)") {
+    // the production shape: each stage materialized once (localCheckpoint
+    // stands in for the pipeline's parquet write), the export pays only the
+    // three doc_id joins — and the result is row-identical to the
+    // self-contained oracle query
+    val cleaned = graft.operators.DedupOps.boilerplateStrip(docs).localCheckpoint(true)
+    val scored = graft.operators.TextOps.nbQualityScore(docs).localCheckpoint(true)
+    val split = CurationOps.leakageSafeSplit(spark, sf).localCheckpoint(true)
+    val piped = CurationOps.curatedTrainExportOf(cleaned, scored, split)
+      .collect().map(_.toSeq).toSet
+    val standalone = CurationOps.curatedTrainExport(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(piped === standalone)
+  }
+
   test("train shuffle partitions the corpus into dense per-shard sequences") {
     val s = CurationOps.trainShuffle(docs).cache()
     assert(s.count() === docs.count())
