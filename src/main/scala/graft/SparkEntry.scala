@@ -63,6 +63,12 @@ object SparkEntry {
     // l3: snapshot diff (added/removed/changed/unchanged counts) — one
     // id-keyed full outer join of the two manifest projections
     "l3_snapshot_diff" -> ((s: SparkSession, d: String) => RelationalOps.snapshotDiff(s, d)),
+    // dq5: per-stream freshness/lag/volume vs the table's own max — the
+    // ingest-SLA dashboard, one keyed scan-agg + one-row broadcast
+    "dq5_freshness" -> ((s: SparkSession, d: String) => RelationalOps.freshness(s, d)),
+    // a14: first/last-touch attribution — j1-shaped candidate join, both
+    // argmin/argmax windows on one purchase-keyed exchange, decimal revenue
+    "a14_attribution" -> (StatsOps.attribution _),
     // l4: data-skipping effectiveness — files touched under arrival vs
     // z-order layout for one box predicate; per-file stats in one keyed agg
     "l4_skipping_stats" -> ((s: SparkSession, d: String) => Bucketing.skippingStats(s, d)),
@@ -828,6 +834,40 @@ object SparkEntry {
         |       CAST(count(DISTINCT n_chars) AS BIGINT),
         |       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
         |FROM documents""".stripMargin,
+    // dq5: stream max/lag/volumes vs the table max — all integer micros
+    "dq5_freshness" ->
+      s"""WITH e AS (SELECT event_type, epoch_us($EV) AS us FROM events),
+         |r AS (SELECT max(us) AS ref_us FROM e)
+         |SELECT event_type, max(us) AS last_us,
+         |       r.ref_us - max(us) AS lag_us,
+         |       CAST(count(*) AS BIGINT) AS total_events,
+         |       CAST(sum(CASE WHEN us > r.ref_us - 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS events_last_day
+         |FROM e, r GROUP BY event_type, r.ref_us""".stripMargin,
+    // a14: the attribution chain restated — j1 candidate join, two
+    // tie-broken row_number windows, decimal revenue (the rfm convention)
+    "a14_attribution" ->
+      s"""WITH v AS (SELECT user_id, event_id AS v_id, epoch_us($EV) AS v_us,
+         |                  TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) % 5 AS channel
+         |           FROM events WHERE event_type = 'view'
+         |             AND TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) IS NOT NULL),
+         |p AS (SELECT user_id, event_id AS p_id, epoch_us($EV) AS p_us, value
+         |      FROM events WHERE event_type = 'purchase'),
+         |c AS (SELECT p.p_id, p.value, v.channel, v.v_us, v.v_id
+         |      FROM p JOIN v USING (user_id)
+         |      WHERE v.v_us <= p.p_us AND v.v_us > p.p_us - 86400000000),
+         |m AS (SELECT channel, value,
+         |             row_number() OVER (PARTITION BY p_id ORDER BY v_us, v_id) AS rnf,
+         |             row_number() OVER (PARTITION BY p_id ORDER BY v_us DESC, v_id DESC) AS rnl
+         |      FROM c)
+         |SELECT channel,
+         |       CAST(sum(CASE WHEN rnf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ft_purchases,
+         |       CAST(sum(CASE WHEN rnf = 1 THEN CAST(value AS DECIMAL(18,4))
+         |                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS ft_revenue,
+         |       CAST(sum(CASE WHEN rnl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS lt_purchases,
+         |       CAST(sum(CASE WHEN rnl = 1 THEN CAST(value AS DECIMAL(18,4))
+         |                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS lt_revenue
+         |FROM m WHERE rnf = 1 OR rnl = 1
+         |GROUP BY channel""".stripMargin,
     // dq4: same grouping, boolean stated as a comparison
     "dq4_k_anonymity" ->
       """SELECT lang, source, CAST(n_chars // 256 AS BIGINT) AS len_bucket,

@@ -318,6 +318,37 @@ object RelationalOps {
   def kAnonymity(spark: SparkSession, dir: String): DataFrame =
     kAnonymity(table(spark, dir, "documents"))
 
+  /** DQ5 — data FRESHNESS monitor, the pipeline-lag face of the dq family:
+    * per event stream (event_type), the last-seen timestamp, its lag
+    * behind the freshest stream anywhere in the table, total volume, and
+    * last-24h volume — the staleness dashboard every ingest SLA is
+    * enforced from (a stream whose lag_us grows or whose last-day count
+    * collapses is a stuck upstream, caught before consumers read stale
+    * joins). All integer microsecond arithmetic; the reference point is
+    * the table's own max, so the check needs no wall clock and stays
+    * reproducible.
+    *
+    * Scale notes (100 TB): one corpus scan-aggregate keyed by stream
+    * (map-side partials; stream cardinality ≪ rows) with the one-row
+    * global max cross-broadcast — the dq1/dq2 counts-only shape.
+    */
+  def freshness(events: DataFrame): DataFrame = {
+    val e = events.select(col("event_type"), unix_micros(col("ts")).as("us"))
+    val ref = e.agg(max(col("us")).as("ref_us"))
+    e.crossJoin(broadcast(ref))
+      .groupBy("event_type")
+      .agg(max(col("us")).as("last_us"),
+        count(lit(1)).as("total_events"),
+        sum(when(col("us") > col("ref_us") - 86400000000L, 1L).otherwise(0L))
+          .as("events_last_day"),
+        max(col("ref_us")).as("_ref"))
+      .select(col("event_type"), col("last_us"),
+        (col("_ref") - col("last_us")).as("lag_us"),
+        col("total_events"), col("events_last_day"))
+  }
+  def freshness(spark: SparkSession, dir: String): DataFrame =
+    freshness(table(spark, dir, "events"))
+
   /** L3 — snapshot DIFF, the lakehouse table-history chore (Delta
     * DESCRIBE HISTORY / Iceberg snapshot diff, reduced to its data core):
     * given two corpus snapshots keyed by doc_id with a content hash,

@@ -215,6 +215,56 @@ object StatsOps {
   def funnel(spark: SparkSession, dir: String): DataFrame =
     funnel(table(spark, dir, "events"))
 
+  /** A14 — first/last-touch ATTRIBUTION, the marketing-analytics staple the
+    * funnel (a10) feeds: every purchase is attributed to the FIRST and the
+    * LAST qualifying view within its 24 h lookback window (channel = the
+    * view's `props.k mod 5` — the campaign-bucket stand-in), and revenue
+    * rolls up per channel under both models — the table a spend-allocation
+    * decision reads. Purchases with no qualifying view are unattributed
+    * and excluded (the report is about touched conversions); a
+    * single-candidate purchase legitimately counts in BOTH models.
+    *
+    * Determinism: window ties (equal view timestamps) break by view
+    * event_id in both directions; revenue sums as DECIMAL(18,4) (the rfm
+    * convention) so merge order can never move the hash.
+    *
+    * Scale notes (100 TB): the purchase×view candidate join is the j1
+    * interval shape — ONE user-keyed equi-join with the lookback as a
+    * residual range predicate, bounded by per-user view×purchase density,
+    * never a cross join; both argmin/argmax windows share the purchase-id
+    * partitioning (one exchange of candidate rows); the channel rollup is
+    * channel-cardinality-sized.
+    */
+  def attribution(events: DataFrame): DataFrame = {
+    val winUs = 24L * 3600 * 1000000
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("v_id"),
+        unix_micros(col("ts")).as("v_us"),
+        (get_json_object(col("props"), "$.k").cast("long") % 5).as("channel"))
+      .filter(col("channel").isNotNull)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        unix_micros(col("ts")).as("p_us"), col("value"))
+    val cand = purchases.join(views, Seq("user_id"))
+      .filter(col("v_us") <= col("p_us") && col("v_us") > col("p_us") - winUs)
+    val marked = cand
+      .withColumn("rnf", row_number().over(Window.partitionBy("p_id")
+        .orderBy(col("v_us").asc, col("v_id").asc)))
+      .withColumn("rnl", row_number().over(Window.partitionBy("p_id")
+        .orderBy(col("v_us").desc, col("v_id").desc)))
+      .filter(col("rnf") === 1 || col("rnl") === 1)
+    def drev(flag: Column): Column =
+      sum(when(flag, col("value")).otherwise(0.0)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 4))).cast("double")
+    marked.groupBy("channel").agg(
+      sum(when(col("rnf") === 1, 1L).otherwise(0L)).as("ft_purchases"),
+      drev(col("rnf") === 1).as("ft_revenue"),
+      sum(when(col("rnl") === 1, 1L).otherwise(0L)).as("lt_purchases"),
+      drev(col("rnl") === 1).as("lt_revenue"))
+  }
+  def attribution(spark: SparkSession, dir: String): DataFrame =
+    attribution(table(spark, dir, "events"))
+
   /** R3 — day-cohort retention: users grouped by first-active day, retention
     * at each day offset as the share of the cohort active that day — the
     * other staple ADS-layer analytic. Day arithmetic runs on integer

@@ -251,6 +251,41 @@ class BatchQueriesSpec extends SparkSpec {
     assert(drifted > 0.2, s"planted drift not detected: $drifted")
   }
 
+  test("attribution: first/last touch, window bound, tie-break, both-model overlap (A14)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def ev(id: Long, user: Long, tpe: String, us: Long, value: Double, k: Long) =
+      (id, new java.sql.Timestamp(us / 1000), user, tpe, value, s"""{"k":$k}""")
+    val h = 3600L * 1000000
+    val rows = Seq(
+      // user 1: view(ch0) at t0, view(ch1) at t0+1h, purchase at t0+2h
+      //   -> first touch ch0, last touch ch1
+      ev(1, 1, "view", 10 * h, 0.0, 0), ev(2, 1, "view", 11 * h, 0.0, 1),
+      ev(3, 1, "purchase", 12 * h, 50.0, 9),
+      // user 2: only view is OUTSIDE the 24h lookback -> unattributed
+      ev(4, 2, "view", 10 * h, 0.0, 2), ev(5, 2, "purchase", 40 * h, 30.0, 9),
+      // user 3: single qualifying view (ch3) -> counts in BOTH models
+      ev(6, 3, "view", 20 * h, 0.0, 3), ev(7, 3, "purchase", 21 * h, 20.0, 9),
+      // user 4: two views at the SAME timestamp -> event_id breaks the tie
+      ev(8, 4, "view", 30 * h, 0.0, 4), ev(9, 4, "view", 30 * h, 0.0, 0),
+      ev(10, 4, "purchase", 31 * h, 10.0, 9))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.operators.StatsOps.attribution(rows)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))).toMap
+    // user 2's purchase appears nowhere (outside the 24h window) — three
+    // attributed purchases under each model
+    assert(out.values.map(_._1).sum === 3L, s"first-touch purchases: $out")
+    assert(out.values.map(_._3).sum === 3L, s"last-touch purchases: $out")
+    // u1: first ch0 ($50), last ch1 ($50); u4 tie at equal ts: first = lower
+    // event_id (id8, ch4), last = higher event_id (id9, ch0)
+    assert(out(0L) === ((1L, 50.0, 1L, 10.0)), s"ch0: $out")
+    assert(out(1L) === ((0L, 0.0, 1L, 50.0)), s"ch1: $out")
+    assert(out(4L) === ((1L, 10.0, 0L, 0.0)), s"ch4: $out")
+    // u3's single candidate counts in BOTH models (ch3)
+    assert(out(3L) === ((1L, 20.0, 1L, 20.0)), s"ch3: $out")
+  }
+
   test("column profile measures rows/nulls/distincts/min-max per column (DQ3)") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.table(spark, sf, "documents")
