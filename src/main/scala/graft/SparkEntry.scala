@@ -78,6 +78,15 @@ object SparkEntry {
     // s13: exact per-stratum 10% sample by salted-hash order — integer
     // quota compare, one lang-keyed exchange for both windows
     "s13_stratified_sample" -> ((s: SparkSession, d: String) => CurationOps.stratifiedSample(s, d)),
+    // dq6: per-stream daily volume z-score anomalies — one corpus
+    // scan-agg; shift-invariant integer variance (no s² overflow)
+    "dq6_volume_anomaly" -> ((s: SparkSession, d: String) => RelationalOps.volumeAnomaly(s, d)),
+    // t16: char-entropy quality signal (the compression-proxy filter) —
+    // native single-pass codegen expression, zero shuffle
+    "t16_char_entropy" -> ((s: SparkSession, d: String) => TextOps.charEntropy(s, d)),
+    // g11: item-item cosine over binary user sets (collaborative
+    // filtering) — user-keyed posting self-join, active-user bound
+    "g11_item_similarity" -> ((s: SparkSession, d: String) => StatsOps.itemSimilarity(s, d)),
     "a9_sessionize" -> (StatsOps.sessionize _),
     "a10_funnel" -> (StatsOps.funnel _),
     "a11_rfm" -> (StatsOps.rfm _),
@@ -868,6 +877,74 @@ object SparkEntry {
          |                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS lt_revenue
          |FROM m WHERE rnf = 1 OR rnl = 1
          |GROUP BY channel""".stripMargin,
+    // dq6: identical day-index / shift-invariant variance arithmetic —
+    // integer until the final two divisions + sqrt (both correctly
+    // rounded IEEE), so the z-scores are bit-equal before the 4dp round
+    "dq6_volume_anomaly" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, epoch_us($EV) // 86400000000 AS day_idx,
+         |         CAST(count(*) AS BIGINT) AS ct
+         |  FROM events GROUP BY 1, 2),
+         |w AS (
+         |  SELECT event_type, day_idx, ct,
+         |         count(*) OVER (PARTITION BY event_type) AS days,
+         |         sum(ct) OVER (PARTITION BY event_type) AS s
+         |  FROM daily),
+         |c AS (SELECT *, ct - (s // days) AS dev FROM w),
+         |v AS (SELECT *, sum(dev) OVER (PARTITION BY event_type) AS sd1,
+         |             sum(dev * dev) OVER (PARTITION BY event_type) AS sd2
+         |      FROM c)
+         |SELECT event_type, day_idx, ct,
+         |       CASE WHEN days < 2 OR days * sd2 - sd1 * sd1 <= 0 THEN 0.0
+         |            ELSE round((ct - s / days) /
+         |                       sqrt((days * sd2 - sd1 * sd1) /
+         |                            (days * (days - 1))), 4) END AS z,
+         |       abs(CASE WHEN days < 2 OR days * sd2 - sd1 * sd1 <= 0 THEN 0.0
+         |            ELSE round((ct - s / days) /
+         |                       sqrt((days * sd2 - sd1 * sd1) /
+         |                            (days * (days - 1))), 4) END) > 2.0 AS anomaly
+         |FROM v""".stripMargin,
+    // t16: the same term-quantized entropy — round(c·ln(c)·1e4) summed as
+    // an integer per doc, so summation order and ln ulp drift can't move it
+    "t16_char_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        |freq AS (
+        |  SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
+        |  FROM chars GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_cp,
+        |         CAST(count(*) AS BIGINT) AS distinct_cp,
+        |         sum(CASE WHEN c <= 1 THEN 0
+        |                  ELSE round(c * ln(c) * 10000) END) AS scaled
+        |  FROM freq GROUP BY 1)
+        |SELECT doc_id, n_cp, distinct_cp,
+        |       round(ln(n_cp) - scaled / 10000 / n_cp, 4) AS char_entropy,
+        |       round(ln(n_cp) - scaled / 10000 / n_cp, 4) < 2.0 AS low_entropy
+        |FROM agg""".stripMargin,
+    // g11: binary user-set cosine — distinct pairs, active-user bound,
+    // user-keyed self-join; the score is one integer-fed IEEE division
+    "g11_item_similarity" ->
+      """WITH ui AS (
+        |  SELECT DISTINCT user_id,
+        |         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL),
+        |b AS (
+        |  SELECT user_id, item FROM ui
+        |  QUALIFY count(*) OVER (PARTITION BY user_id) <= 1000),
+        |n AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
+        |co AS (
+        |  SELECT a.item AS item_a, c.item AS item_b,
+        |         CAST(count(*) AS BIGINT) AS co
+        |  FROM b a JOIN b c USING (user_id)
+        |  WHERE a.item < c.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT item_a, item_b, co,
+        |       co / sqrt(CAST(na.n * nb.n AS DOUBLE)) AS cosine
+        |FROM co
+        |JOIN n na ON na.item = co.item_a
+        |JOIN n nb ON nb.item = co.item_b""".stripMargin,
     // dq4: same grouping, boolean stated as a comparison
     "dq4_k_anonymity" ->
       """SELECT lang, source, CAST(n_chars // 256 AS BIGINT) AS len_bucket,

@@ -349,6 +349,51 @@ object RelationalOps {
   def freshness(spark: SparkSession, dir: String): DataFrame =
     freshness(table(spark, dir, "events"))
 
+  /** DQ6 — per-stream VOLUME-ANOMALY detection, the alerting face dq5's
+    * lag monitor pairs with: daily event counts per stream (event_type),
+    * each day z-scored against that stream's own 30-day distribution, and
+    * days with |z| > `zGate` flagged — a collapsed day is a stuck upstream,
+    * a spiked day is a replay or a bot flood, both caught from counts alone.
+    * Day = epoch-µs floor-division (integer day index — no calendar, no
+    * timezone, no wall clock).
+    *
+    * Engine-exact determinism at any count magnitude (the dq2 overflow
+    * lesson): the variance numerator is computed from deviations around the
+    * integer day-mean `s div days` — `days·Σdev² − (Σdev)²` is
+    * shift-invariant, so the engines agree even where `s²` (~10²⁴ at 10¹²
+    * events/stream) would have overflowed int64. Every value stays integer
+    * until the final two divisions and the sqrt, which are single
+    * correctly-rounded IEEE ops; bound: days·maxdev² < 2⁶³ (30 days of
+    * ±10⁸-event swings ≈ 3·10¹⁷ — three decades of headroom).
+    *
+    * Scale notes (100 TB): ONE corpus scan-aggregate keyed by
+    * (stream, day) with map-side partials — the output frame is
+    * streams × days rows, and every window below shares its single
+    * stream-keyed exchange of that tiny frame. No joins, no second scan.
+    */
+  def volumeAnomaly(events: DataFrame, zGate: Double = 2.0): DataFrame = {
+    val w = Window.partitionBy("event_type")
+    val daily = events
+      .groupBy(col("event_type"),
+        floor(unix_micros(col("ts")) / 86400000000L).cast("long").as("day_idx"))
+      .agg(count(lit(1)).as("ct"))
+    val num = col("days") * col("sd2") - col("sd1") * col("sd1")
+    daily
+      .withColumn("days", count(lit(1)).over(w))
+      .withColumn("s", sum(col("ct")).over(w))
+      .withColumn("dev", col("ct") - expr("s div days"))
+      .withColumn("sd1", sum(col("dev")).over(w))
+      .withColumn("sd2", sum(col("dev") * col("dev")).over(w))
+      .withColumn("z",
+        when(col("days") < 2 || num <= 0, lit(0.0))
+          .otherwise(round((col("ct") - col("s") / col("days")) /
+            sqrt(num / (col("days") * (col("days") - 1))), 4)))
+      .select(col("event_type"), col("day_idx"), col("ct"), col("z"),
+        (abs(col("z")) > zGate).as("anomaly"))
+  }
+  def volumeAnomaly(spark: SparkSession, dir: String): DataFrame =
+    volumeAnomaly(table(spark, dir, "events"))
+
   /** L3 — snapshot DIFF, the lakehouse table-history chore (Delta
     * DESCRIBE HISTORY / Iceberg snapshot diff, reduced to its data core):
     * given two corpus snapshots keyed by doc_id with a content hash,

@@ -560,4 +560,51 @@ object StatsOps {
         min(col("us")).as("session_start_us"),
         max(col("us")).as("session_end_us"))
   }
+
+  /** G11 — item-item COSINE similarity over binary user-interaction sets,
+    * the collaborative-filtering staple ("users who viewed X also viewed
+    * Y"): item = the view/purchase event's campaign bucket (`props.k`),
+    * user-item pairs deduplicated to presence, and for every item pair
+    * sharing ≥ `minCo` users, `cosine = |U_a ∩ U_b| / √(|U_a|·|U_b|)` —
+    * the item-similarity table a recommender or a mixture-weighting stage
+    * reads. Exactly deterministic: the score is one integer-fed division
+    * of correctly-rounded IEEE ops, so both engines produce the same bits
+    * with no quantization needed.
+    *
+    * Scale notes (100 TB): the pair generation is a USER-KEYED self-join —
+    * the d18 posting-join shape with user as the posting key — so candidate
+    * volume is Σ_u |items_u|², never |items|². The `maxUserItems` cap drops
+    * the hyperactive tail (a user with 10⁵ items contributes 10¹⁰ pairs
+    * and no signal — the standard active-user bound in published CF
+    * pipelines), enforced on ONE user-keyed exchange that the self-join
+    * then reuses. Per-item counts are item-cardinality-sized and broadcast
+    * to the candidate frame; the final agg groups pair keys with map-side
+    * partials.
+    */
+  def itemSimilarity(events: DataFrame, maxUserItems: Int = 1000,
+      minCo: Long = 2L): DataFrame = {
+    val ui = events.filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull)
+      .distinct()
+      .withColumn("u_ct", count(lit(1)).over(Window.partitionBy("user_id")))
+      .filter(col("u_ct") <= maxUserItems)
+      .select(col("user_id"), col("item"))
+    val itemCt = ui.groupBy("item").agg(count(lit(1)).as("n"))
+    val co = ui.select(col("user_id"), col("item").as("item_a"))
+      .join(ui.select(col("user_id"), col("item").as("item_b")), Seq("user_id"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minCo)
+    co.join(broadcast(itemCt.select(col("item").as("item_a"), col("n").as("n_a"))),
+        Seq("item_a"))
+      .join(broadcast(itemCt.select(col("item").as("item_b"), col("n").as("n_b"))),
+        Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("co"),
+        (col("co") / sqrt((col("n_a") * col("n_b")).cast("double"))).as("cosine"))
+  }
+  def itemSimilarity(spark: SparkSession, dir: String): DataFrame =
+    itemSimilarity(table(spark, dir, "events"))
 }

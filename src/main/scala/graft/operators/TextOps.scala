@@ -601,4 +601,33 @@ object TextOps {
   }
   def entityResolve(spark: SparkSession, dir: String): DataFrame =
     entityResolve(table(spark, dir, "part"))
+
+  /** T16 — character-ENTROPY quality signal, the compression-proxy filter
+    * (low-entropy text — boilerplate walls, key-mashing, repeated padding —
+    * compresses well and trains badly; published web-curation stacks gate on
+    * a zlib ratio, which character entropy tracks without a codec): per
+    * document, code-point count, distinct code points, Shannon entropy of
+    * the character distribution (nats, 4 dp), and the `low_entropy` flag at
+    * the 2.0-nat gate (English prose sits ≈ 3.0; a two-symbol repeat ≤ 0.7).
+    *
+    * Entropy is computed by the native single-pass
+    * [[graft.functions.CharEntropyExpr]] (term-quantized integer
+    * accumulation, so engines can't drift — see its doc); the flag compares
+    * the ROUNDED value so the gate and the displayed signal can never
+    * disagree.
+    *
+    * Scale notes (100 TB): a zero-shuffle scan-projection inside one
+    * whole-stage-codegen span — one pass per document, no array
+    * materialization, bandwidth-bound with full column pruning (reads
+    * `doc_id`, `text` only).
+    */
+  def charEntropy(d: DataFrame): DataFrame = {
+    d.select(col("doc_id"), graft.functions.CharEntropy(col("text")).as("cs"))
+      .select(col("doc_id"), col("cs.n_cp").as("n_cp"),
+        col("cs.distinct_cp").as("distinct_cp"),
+        round(col("cs.entropy"), 4).as("char_entropy"))
+      .withColumn("low_entropy", col("char_entropy") < 2.0)
+  }
+  def charEntropy(spark: SparkSession, dir: String): DataFrame =
+    charEntropy(table(spark, dir, "documents"))
 }
