@@ -249,11 +249,16 @@ object Bench {
         s.catalog.clearCache()
         // ...and clearCache drops SQL-cached TABLES but not checkpoint
         // blocks: the iterative dedup family leaves its FINAL label
-        // checkpoint persisted (the returned frame's only substance — the
-        // caller owns the release, and here the caller is done). Waiting on
-        // the async ContextCleaner instead let blocks pile up across
-        // queries: BENCH_r07 recorded d11 p2 at 7× p1 under that pressure.
+        // checkpoint persisted (the returned frame's only substance).
+        // Waiting on the async ContextCleaner instead let blocks pile up
+        // across queries: BENCH_r07 recorded d11 p2 at 7× p1 under that
+        // pressure. EXCEPT the ClusterMemo-owned label frames: those are the
+        // session-shared closure d10/d11/s11/c2/c3 reuse (pair-graph-sized
+        // by construction), and unpersisting them here would force every
+        // consumer to re-pay the closure the memo exists to share.
+        val keep = graft.operators.ClusterMemo.protectedRddIds
         s.sparkContext.getPersistentRDDs.values
+          .filterNot(r => keep.contains(r.id))
           .foreach(_.unpersist(blocking = false))
         sec
       }

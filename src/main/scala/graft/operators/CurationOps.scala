@@ -339,7 +339,9 @@ object CurationOps {
     * the evaluation-set construction that preserves subpopulation shares
     * exactly (a corpus-wide hash threshold only hits each stratum's share
     * in expectation; small strata can miss entirely). The quota compare is
-    * the integer form `rnk·10 ≤ n_s + 9` — no float ever enters.
+    * the integer form `rnk·10 ≤ n_s + 9` — no float ever enters, and the
+    * rank is widened to 64-bit BEFORE the ·10 so strata past ~214M rows
+    * (int32/10) can't overflow the quota compare at 100 TB.
     *
     * Scale notes (100 TB): ONE lang-keyed exchange — the rank window and
     * the per-stratum count window share the same partitioning (the s7
@@ -353,11 +355,10 @@ object CurationOps {
     val cw = Window.partitionBy("lang")
     docs.select(col("doc_id"), col("lang"))
       .withColumn("skey", md5(concat(lit("s13:"), col("doc_id").cast("string"))))
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .withColumn("n_s", count(lit(1)).over(cw))
       .filter(col("rnk") * 10 <= col("n_s") + 9)
-      .select(col("doc_id"), col("lang"), col("rnk").cast("long").as("rnk"),
-        col("n_s"))
+      .select(col("doc_id"), col("lang"), col("rnk"), col("n_s"))
   }
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
     stratifiedSample(table(spark, dir, "documents"))

@@ -288,9 +288,10 @@ object DedupOps {
     * pair-graph-sized blocks × up to 10 rounds for the rest of the session —
     * BENCH_r07 measured the fallout as a 7× pass-2 blowup on d11 and
     * elevated p2 on every query sharing the session with the d-cluster. The
-    * FINAL label checkpoint stays persisted: eager localCheckpoint truncates
-    * lineage, so the returned frame's blocks are its only substance — the
-    * caller (or `Bench`'s between-query sweep) owns that release.
+    * FINAL label checkpoint stays persisted and is OWNED BY [[ClusterMemo]]:
+    * eager localCheckpoint truncates lineage, so the memoized frame's blocks
+    * are its only substance — sweeps must skip [[ClusterMemo.protectedRddIds]]
+    * (Bench does), and [[ClusterMemo.clear]] releases everything.
     *
     * Only TOUCHED vertices iterate: a vertex with no incident pair can never
     * change label, and in a deduplication graph singletons are the
@@ -306,6 +307,41 @@ object DedupOps {
     */
   def connectedComponents(vertices: DataFrame, pairs: DataFrame,
       maxIter: Int = 10): DataFrame = {
+    // Converged labels are memoized per (vertices, pairs, maxIter) input —
+    // keyed on exprId-normalized canonical plans, so d10/d11/s11/c2/c3 (and
+    // e2's name graph across its own passes) pay the LSH + closure ONCE per
+    // session instead of once per consumer. The singleton rejoin below stays
+    // per-call: it is one anti-join, and keeping it out of the memo keeps
+    // the cached blocks pair-graph-sized, not corpus-sized.
+    val key = {
+      val sc = vertices.sparkSession.sparkContext
+      val vh = vertices.queryExecution.analyzed.canonicalized.semanticHash()
+      val ph = pairs.queryExecution.analyzed.canonicalized.semanticHash()
+      s"${sc.applicationId}:cc:$vh:$ph:$maxIter"
+    }
+    val labels = ClusterMemo.getOrCompute(key) {
+      ccConverge(vertices, pairs, maxIter)
+    }
+    // untouched vertices were never candidates: each is its own cluster
+    val singletons = vertices.select(col("doc_id"))
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    labels.unionByName(singletons)
+  }
+
+  /** Rounds the LAST [[ccConverge]] run took before the convergence
+    * accumulator read zero — spec-pinned so a regression in the pointer
+    * jumping (e.g. losing the path-halving step) surfaces as a round-count
+    * jump, not a silent slowdown.
+    */
+  @volatile private[graft] var lastClosureRounds: Int = -1
+
+  /** The min-label + pointer-jumping loop itself (memoized by the public
+    * face above): returns the converged (doc_id, cluster_id) frame over
+    * pair-touched vertices only, as an eager localCheckpoint.
+    */
+  private def ccConverge(vertices: DataFrame, pairs: DataFrame,
+      maxIter: Int): DataFrame = {
     val spark = vertices.sparkSession
     // undirected: propagate labels both ways
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -354,11 +390,8 @@ object DedupOps {
     }
     // the converged labels are checkpointed; the edge blocks are dead
     unpersistCheckpoint(edges)
-    // untouched vertices were never candidates: each is its own cluster
-    val singletons = vertices.select(col("doc_id"))
-      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
-    labels.unionByName(singletons)
+    lastClosureRounds = iter
+    labels
   }
 
   /** Release the MEMORY_AND_DISK blocks behind an EAGER `localCheckpoint`'d

@@ -312,7 +312,7 @@ object RelationalOps {
     */
   def kAnonymity(docs: DataFrame, k: Int = 10): DataFrame =
     docs.groupBy(col("lang"), col("source"),
-        (col("n_chars") / 256).cast("long").as("len_bucket"))
+        expr("n_chars div 256").as("len_bucket"))
       .agg(count(lit(1)).as("group_ct"))
       .withColumn("at_risk", col("group_ct") < k)
   def kAnonymity(spark: SparkSession, dir: String): DataFrame =

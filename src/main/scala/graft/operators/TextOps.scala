@@ -623,6 +623,8 @@ object TextOps {
     */
   def charEntropy(d: DataFrame): DataFrame = {
     d.select(col("doc_id"), graft.functions.CharEntropy(col("text")).as("cs"))
+      .filter(col("cs").isNotNull) // empty/null text has no distribution —
+      // match the oracle's unnest(string_split(..)), which drops such docs
       .select(col("doc_id"), col("cs.n_cp").as("n_cp"),
         col("cs.distinct_cp").as("distinct_cp"),
         round(col("cs.entropy"), 4).as("char_entropy"))

@@ -62,4 +62,45 @@ class ClusterSpec extends SparkSpec {
     assert(c.count() === df.count())
     assert(c.filter(col("cluster_id") > col("doc_id")).count() === 0)
   }
+
+  test("pointer jumping closes a 60-deep chain in <= 7 rounds (spec-pinned)") {
+    ClusterMemo.clear() // force a fresh converge so lastClosureRounds is ours
+    val vertices = (0L to 60L).toDF("doc_id")
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    DedupOps.connectedComponents(vertices, chain).count()
+    val rounds = DedupOps.lastClosureRounds
+    assert(rounds >= 1 && rounds <= 7,
+      s"path halving regressed: 60-chain took $rounds rounds (O(log D) ~ 7)")
+  }
+
+  test("session memo: a second structurally identical closure is NOT recomputed") {
+    ClusterMemo.clear()
+    val df = graft.Tables.table(spark, sf, "documents")
+    DedupOps.nearDupClusters(df, 0.9).count()
+    val after1 = ClusterMemo.computeCount
+    // a second call building the SAME plan (fresh frame, fresh exprIds) must
+    // hit the memo — this is the d10→d11→s11→c3 session-sharing contract
+    val again = DedupOps.nearDupClusters(
+      graft.Tables.table(spark, sf, "documents"), 0.9)
+    assert(again.count() === df.count())
+    assert(ClusterMemo.computeCount === after1,
+      "structurally identical closure re-ran the converge loop")
+    // ...and a DIFFERENT threshold is a different key: it must recompute
+    DedupOps.nearDupClusters(df, 0.95).count()
+    assert(ClusterMemo.computeCount === after1 + 1)
+  }
+
+  test("session memo: swept blocks are detected and the closure recomputed") {
+    ClusterMemo.clear()
+    val df = graft.Tables.table(spark, sf, "documents")
+    val first = DedupOps.nearDupClusters(df, 0.9).collect().toSet
+    val after1 = ClusterMemo.computeCount
+    // simulate a hostile sweep that ignores protectedRddIds
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val second = DedupOps.nearDupClusters(df, 0.9)
+    assert(second.collect().toSet === first, "recompute changed the labels")
+    assert(ClusterMemo.computeCount === after1 + 1,
+      "memo served a frame whose checkpoint blocks were unpersisted")
+  }
 }
