@@ -518,27 +518,47 @@ object SparkEntry {
       |         AND stop_ct >= 2 AS keep
       |FROM g""".stripMargin
 
-  /** m7's brute-force pair query — shared by the m7 entry and c4's image
-    * canonical-election gate (dropped = any doc_b position).
+  /** m7's pair query — shared by the m7 entry and c4's image
+    * canonical-election gate (dropped = any doc_b position). BAND-BOUNDED
+    * like the operator itself (and like d8's oracle): 4 bands × 16 bits is
+    * pigeonhole-complete for hamming ≤ 3 (3 differing bits can dirty at most
+    * 3 of 4 bands, so every qualifying pair shares a clean band), so the
+    * candidate join replaces the former all-pairs per-bit GROUP BY exactly —
+    * same rows, oracle cost follows candidates, not n². (The brute-force
+    * form spilled >78 GB in DuckDB at the 4×-replica scale gate; this one
+    * rides the same replication math as the operator.)
     */
-  private val m7PhashPairsSql =
-    """WITH ids AS (SELECT doc_id, CAST(1 + doc_id % 64 AS BIGINT) AS w,
-      |                    CAST(1 + doc_id % 48 AS BIGINT) AS h FROM documents),
-      |s AS (SELECT doc_id, (i * w) // 8 AS x, (j * h) // 8 AS y, j * 8 + i AS k
-      |      FROM ids, unnest(generate_series(0, 7)) u(i),
-      |                unnest(generate_series(0, 7)) v(j)),
-      |p AS (SELECT doc_id, k, (x * 31 + y * 17 + doc_id) % 16777216 AS pv FROM s),
-      |q AS (SELECT doc_id, k,
-      |             (pv // 65536) + ((pv // 256) % 256) + (pv % 256) AS gray FROM p),
-      |t AS (SELECT doc_id, sum(gray) AS total FROM q GROUP BY doc_id),
-      |bits AS (SELECT q.doc_id, q.k,
-      |                CASE WHEN q.gray * 64 > t.total THEN 1 ELSE 0 END AS bit
-      |         FROM q JOIN t USING (doc_id)),
-      |ham AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-      |               CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
-      |        FROM bits x JOIN bits y ON x.k = y.k AND x.doc_id < y.doc_id
-      |        GROUP BY 1, 2)
-      |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3""".stripMargin
+  private val m7PhashPairsSql = {
+    val hamming64 = (1 to 64).map(i =>
+      s"CASE WHEN substr(a.ph, $i, 1) <> substr(b.ph, $i, 1) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val bandKeys = (0 until 4).map(b => s"substr(ph, ${1 + 16 * b}, 16)").mkString(", ")
+    s"""WITH ids AS (SELECT doc_id, CAST(1 + doc_id % 64 AS BIGINT) AS w,
+       |                    CAST(1 + doc_id % 48 AS BIGINT) AS h FROM documents),
+       |s AS (SELECT doc_id, (i * w) // 8 AS x, (j * h) // 8 AS y, j * 8 + i AS k
+       |      FROM ids, unnest(generate_series(0, 7)) u(i),
+       |                unnest(generate_series(0, 7)) v(j)),
+       |p AS (SELECT doc_id, k, (x * 31 + y * 17 + doc_id) % 16777216 AS pv FROM s),
+       |q AS (SELECT doc_id, k,
+       |             (pv // 65536) + ((pv // 256) % 256) + (pv % 256) AS gray FROM p),
+       |t AS (SELECT doc_id, sum(gray) AS total FROM q GROUP BY doc_id),
+       |bits AS (SELECT q.doc_id, q.k,
+       |                CASE WHEN q.gray * 64 > t.total THEN 1 ELSE 0 END AS bit
+       |         FROM q JOIN t USING (doc_id)),
+       |ph AS (SELECT doc_id,
+       |              string_agg(CAST(bit AS VARCHAR), '' ORDER BY k) AS ph
+       |       FROM bits GROUP BY doc_id),
+       |bands AS (SELECT doc_id, unnest([0, 1, 2, 3]) AS band,
+       |                 unnest([$bandKeys]) AS bkey FROM ph),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM (
+       |  SELECT cand.doc_a, cand.doc_b, CAST($hamming64 AS BIGINT) AS hamming
+       |  FROM cand JOIN ph a ON a.doc_id = cand.doc_a
+       |            JOIN ph b ON b.doc_id = cand.doc_b)
+       |WHERE hamming <= 3""".stripMargin
+  }
 
   /** m8's fingerprint-group query — shared by the m8 entry and c4's audio
     * keeper gate.
@@ -2662,9 +2682,11 @@ object SparkEntry {
         |       CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS dup_ct
         |FROM hb""".stripMargin,
     // m7: the 64-bit hash replayed bit-by-bit (8x8 grid, gray*64 > total),
-    // then BRUTE-FORCE all-pairs hamming via a per-bit join — complete by
-    // construction, so it proves the Spark side's banded candidates missed
-    // nothing (pigeonhole contract) and the verify arithmetic is exact
+    // then band-bounded candidates (4×16-bit pigeonhole, complete for
+    // hamming <= 3 — the same independently-stated contract as the
+    // operator's) verified per-bit over the hash strings;
+    // DedupPropertiesSpec pins banded pigeonhole completeness so the shared
+    // assumption cannot silently break
     "m7_phash_pairs" -> m7PhashPairsSql,
     // m8: the 2x64-sample energy-prefix key replayed from the recurrence,
     // then d1's group-to-keeper; string_agg ORDER BY frame mirrors the
