@@ -281,22 +281,29 @@ object Bench {
     // left_semi from the truth side: duplicate (query_id, neighbor_id) pairs
     // in the ivf result can't multiply matches, so recall stays <= 1.
     // Untimed by design: runs after the timed loop, outside any job group.
-    val n2bRecall: Option[Double] = try {
+    def recallVsBrute(name: String): Option[Double] = try {
       val brute = SparkEntry.queries("n1_ann_cosine_topk")(spark, sfDir)
         .select("query_id", "neighbor_id")
-      val ivf = SparkEntry.queries("n2b_ann_ivf_trained")(spark, sfDir)
+      val approx = SparkEntry.queries(name)(spark, sfDir)
         .select("query_id", "neighbor_id")
       val truth = brute.count()
       if (truth == 0) None
-      else Some(brute.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+      else Some(brute.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
         .count().toDouble / truth)
     } catch { case _: Throwable => None }
     // the bound lives WHERE THE NUMBER IS PRODUCED: recall below the pinned
-    // minimum puts n2b in the driver-visible `failed` list of both emitters
-    // (timing kept — this is a quality failure, not a crash)
-    val n2bRecallMin = 0.5
-    val recallFailed: Seq[String] =
-      if (n2bRecall.exists(_ < n2bRecallMin)) Seq("n2b_ann_ivf_trained") else Nil
+    // minimum puts the query in the driver-visible `failed` list of both
+    // emitters (timing kept — a quality failure, not a crash). n2b = trained
+    // IVF at 3/8 probes spill=2; n10 = label-seeded geometrically-reassigned
+    // IVF×SQ8 at 3/10 probes with exact rerank (AnnOpsSpec pins its bound
+    // at sf0.1 too).
+    val recallMins: Seq[(String, Double)] = Seq(
+      "n2b_ann_ivf_trained" -> 0.5, "n10_ivf_sq8_topk" -> 0.5)
+    val recalls: Map[String, Option[Double]] =
+      recallMins.map { case (n, _) => n -> recallVsBrute(n) }.toMap
+    val recallFailed: Seq[String] = recallMins.collect {
+      case (n, min) if recalls(n).exists(_ < min) => n
+    }
 
     val dropped = try org.apache.spark.GraftSparkInternals
       .listenerEventsDropped(spark.sparkContext)
@@ -304,15 +311,14 @@ object Bench {
 
     val json = Json.full(passes,
       name => Option(groups.get(s"$name#p2")), sfDir,
-      extraOf = n =>
-        if (n == "n2b_ann_ivf_trained")
-          n2bRecall.toSeq.flatMap(r => Seq(
-            "recall" ->
-              String.format(java.util.Locale.ROOT, "%.3f", Double.box(r)),
-            "recall_min" ->
-              String.format(java.util.Locale.ROOT, "%.2f", Double.box(n2bRecallMin)),
-            "recall_ok" -> (r >= n2bRecallMin).toString))
-        else Nil,
+      extraOf = n => recallMins.toMap.get(n).toSeq.flatMap { min =>
+        recalls(n).toSeq.flatMap(r => Seq(
+          "recall" ->
+            String.format(java.util.Locale.ROOT, "%.3f", Double.box(r)),
+          "recall_min" ->
+            String.format(java.util.Locale.ROOT, "%.2f", Double.box(min)),
+          "recall_ok" -> (r >= min).toString))
+      },
       listenerDropped = dropped,
       extraFailed = recallFailed)
     // machine-readable channel: a file the driver can read verbatim (sbt

@@ -164,6 +164,10 @@ object SparkEntry {
     // vectors: scales cancel, all-integer-derived) + exact float rerank of
     // the top-20 survivors per query
     "n9_quantized_topk" -> ((s: SparkSession, d: String) => AnnOps.quantizedTopK(s, d)),
+    // n10: IVF probe-bounded SQ8 — the int8 scan touches only the 3 probed
+    // cells per query (n2 x n9 composition); deterministic 6-dp centroid
+    // means + 4-dp-quantized probe scores keep every stage oracle-stateable
+    "n10_ivf_sq8_topk" -> ((s: SparkSession, d: String) => AnnOps.ivfQuantizedTopK(s, d)),
     "n5_cosine_sim_fn" -> (cosineSimFn _),
     // LLM-data-pipeline: corpus curation (decontamination, sampling,
     // shard shuffle, n-gram frequency)
@@ -1502,6 +1506,70 @@ object SparkEntry {
         |                      ELSE floor(list_dot_product(qq, qv) / sqrt(qqn * qn)
         |                                 * 10000.0 + 0.5) / 10000.0 END AS approx_sim
         |          FROM qz3, q WHERE vec_id <> query_id),
+        |top AS (SELECT query_id, neighbor_id, approx_sim FROM (
+        |          SELECT query_id, neighbor_id, approx_sim,
+        |                 row_number() OVER (PARTITION BY query_id
+        |                   ORDER BY approx_sim DESC, neighbor_id) AS crnk
+        |          FROM cands) WHERE crnk <= 20),
+        |rer AS (SELECT t.query_id, t.neighbor_id, t.approx_sim,
+        |               floor(list_dot_product(q.qe, e.ee) /
+        |                     (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.ee, e.ee)))
+        |                     * 10000.0 + 0.5) / 10000.0 AS sim
+        |        FROM top t JOIN qz3 e ON e.vec_id = t.neighbor_id
+        |             JOIN q ON q.query_id = t.query_id)
+        |SELECT query_id, neighbor_id, rnk, sim, approx_sim FROM (
+        |  SELECT query_id, neighbor_id, sim, approx_sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM rer) WHERE rnk <= 5""".stripMargin,
+    // n10: the IVF×SQ8 pipeline stated verbatim — 6-dp exact-mean centroids
+    // seeded from labels (n6's integer-sum convention), every vector
+    // geometrically reassigned to its nearest centroid (4-dp-quantized
+    // scores, min-cell ties), 4-dp-quantized probe selection, then n9's
+    // integer-dot candidate scan restricted to the 3 probed cells and the
+    // n1 float rerank. Candidate cost follows probed-cell membership.
+    "n10_ivf_sq8_topk" ->
+      """WITH e0 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ee
+        |            FROM embeddings),
+        |ex AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+        |              unnest(embedding) AS v
+        |       FROM embeddings),
+        |cm AS (SELECT label AS cell, dim,
+        |              floor(CAST(sum(CAST(floor(CAST(v AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |                    / count(*) + 0.5) / 1000000.0 AS m
+        |       FROM ex GROUP BY label, dim),
+        |cents AS (SELECT cell, list(m ORDER BY dim) AS c FROM cm GROUP BY cell),
+        |asg AS (SELECT vec_id, cell FROM (
+        |          SELECT e0.vec_id, cents.cell,
+        |                 row_number() OVER (PARTITION BY e0.vec_id
+        |                   ORDER BY floor((2*list_dot_product(e0.ee, cents.c)
+        |                                   - list_dot_product(cents.c, cents.c))
+        |                                  * 10000.0 + 0.5) DESC, cents.cell) AS r
+        |          FROM e0, cents) WHERE r = 1),
+        |qz AS (SELECT vec_id, ee, list_max(list_transform(ee, x -> abs(x))) AS scale FROM e0),
+        |qz2 AS (SELECT vec_id, ee,
+        |               list_transform(ee, x -> CASE WHEN scale > 0
+        |                   THEN CAST(floor(x * 127.0 / scale + 0.5) AS DOUBLE)
+        |                   ELSE CAST(0 AS DOUBLE) END) AS qv
+        |        FROM qz),
+        |qz3 AS (SELECT q2.vec_id, a.cell, q2.ee, q2.qv,
+        |               list_dot_product(q2.qv, q2.qv) AS qn
+        |        FROM qz2 q2 JOIN asg a ON a.vec_id = q2.vec_id),
+        |q AS (SELECT vec_id AS query_id, ee AS qe, qv AS qq, qn AS qqn
+        |      FROM qz3 WHERE vec_id < 10),
+        |pr AS (SELECT query_id, cell FROM (
+        |         SELECT q.query_id, cents.cell,
+        |                row_number() OVER (PARTITION BY q.query_id
+        |                  ORDER BY floor((2*list_dot_product(q.qe, cents.c)
+        |                                  - list_dot_product(cents.c, cents.c))
+        |                                 * 10000.0 + 0.5) DESC, cents.cell) AS r
+        |         FROM q, cents) WHERE r <= 3),
+        |cands AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |                 CASE WHEN q.qqn = 0 OR e.qn = 0 THEN 0.0
+        |                      ELSE floor(list_dot_product(q.qq, e.qv) / sqrt(q.qqn * e.qn)
+        |                                 * 10000.0 + 0.5) / 10000.0 END AS approx_sim
+        |          FROM pr JOIN q USING (query_id)
+        |               JOIN qz3 e ON e.cell = pr.cell
+        |          WHERE e.vec_id <> q.query_id),
         |top AS (SELECT query_id, neighbor_id, approx_sim FROM (
         |          SELECT query_id, neighbor_id, approx_sim,
         |                 row_number() OVER (PARTITION BY query_id

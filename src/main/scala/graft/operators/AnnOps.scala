@@ -387,6 +387,132 @@ object AnnOps {
   def quantizedTopK(spark: SparkSession, dir: String): DataFrame =
     quantizedTopK(table(spark, dir, "embeddings"))
 
+  /** N10 — PROBE-BOUNDED quantized search: IVF cell probing (n2's shape)
+    * composed with the SQ8 int8 candidate scan + exact rerank (n9's shape).
+    * n9 alone is honest but scans the WHOLE int8 corpus per query — correct,
+    * linear, and still a full-corpus read at 100 TB. Here the int8 scan
+    * touches only the members of each query's `nProbe` nearest cells, so the
+    * candidate row count is bounded by the probed fraction of the corpus —
+    * the standard IVF×SQ composition (FAISS `IVFx,SQ8`).
+    *
+    * Determinism across engines: cell centroids are SEEDED from the
+    * fixture's `label` groups via the 6-dp exact-mean convention n6's
+    * codebooks use (integer 1e6-scaled sums — order-free — then ONE
+    * divide+floor); every vector is then geometrically REASSIGNED to its
+    * nearest centroid (one deterministic Lloyd assignment half-step — the
+    * labels alone are a weak quantizer, measured below); assignment and
+    * probe scores (argmin L2 ⇔ argmax 2·q·c − ‖c‖²) are 4-dp-quantized
+    * BEFORE ranking so sub-ulp fold jitter can't flip a choice; candidate
+    * scores are pure integer dot products (exact below 2^53); the rerank is
+    * the n1 float contract. Every stage is therefore oracle-stateable —
+    * unlike n2b, whose iterative Lloyd's TRAINING is not.
+    *
+    * Scale notes (100 TB): centroid derivation is one (cell, dim) shuffle of
+    * the corpus — paid at INDEX time, amortized across queries (a real
+    * deployment persists the codebook with the index; the one-lineage form
+    * here is the self-contained oracle query). The codebook collects to the
+    * driver (cells × dims doubles, the IVF/PQ codebook pattern), so cell
+    * assignment is a LITERAL per-row argmax — no join, no corpus shuffle,
+    * streaming-safe (the assignCellsLit contract). The search: probes are
+    * a literal per-query argsort; the candidate scan is an equi-join on
+    * `cell` against broadcast probes — reading int8 codes only (4× less
+    * I/O than float), never a corpus shuffle and never a full scan; the
+    * rerank touches float vectors for ≤ cand·|Q| rows. The plan contract
+    * (PlanContractSpec) pins the broadcast + no-cartesian shape.
+    */
+  def ivfQuantizedTopK(e: DataFrame, k: Int = 5, cand: Int = 20,
+      nProbe: Int = 3): DataFrame = {
+    // coarse centroids SEEDED by the fixture's label cells — n6's exact-mean
+    // pattern: per-dim integer 1e6 sums (order-free), one divide, one floor
+    val cents = e
+      .select(col("label").as("cell"),
+        posexplode(transform(col("embedding"), x => x.cast("double")))
+          .as(Seq("dim", "v")))
+      .withColumn("iv", floor(col("v") * 1000000.0 + 0.5).cast("long"))
+      .groupBy("cell", "dim")
+      .agg(sum(col("iv")).as("s"), count(lit(1)).as("n"))
+      .withColumn("m",
+        floor(col("s").cast("double") / col("n") + 0.5) / 1000000.0)
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("cell"), transform(col("dm"), x => x.getField("m")).as("centroid"))
+    // the codebook materializes driver-side (cells × dims doubles — the
+    // same bounded collect as IVF/PQ codebooks) so BOTH cell assignment and
+    // probe selection run as literal per-row argmax/argsort inside one
+    // codegen'd projection: zero joins, zero corpus shuffle — the
+    // assignCellsLit contract, with the 4-dp score quantization that makes
+    // the choice oracle-stateable.
+    val centArr: Array[(Int, Seq[Double])] = cents.collect().map { r =>
+      (r.getAs[Number]("cell").intValue(), r.getSeq[Double](1))
+    }.sortBy(_._1)
+    require(centArr.nonEmpty, "ivfQuantizedTopK needs at least one cell")
+    // floor((2·v·c − ‖c‖²)·1e4 + 0.5): argmin L2 as a 4-dp integer score —
+    // sub-ulp fold jitter cannot flip an assignment or a probe choice
+    def ddot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (s, x) => s + x)
+    val scoredCells = array(centArr.map { case (cell, c) =>
+      val cnorm2 = c.foldLeft(0.0)((a, x) => a + x * x)
+      struct(
+        floor((ddot(col("embedding"), typedlit(c)) * 2.0 - lit(cnorm2))
+          * 10000.0 + 0.5).as("sc"),
+        lit(-cell).as("negcell"), lit(cell).as("cell"))
+    }.toIndexedSeq: _*)
+    // GEOMETRIC cell membership: every vector reassigned to its nearest
+    // seeded centroid (one deterministic Lloyd assignment half-step). The
+    // fixture labels alone are a weak quantizer — measured 3-probe recall
+    // 0.38 ≈ the probed fraction; reassignment aligns membership with the
+    // metric and lifts it to 0.56 at the same probe budget (sf0.1,
+    // spec-pinned ≥ 0.5 in AnnOpsSpec and recall_ok in the bench record).
+    val ee = transform(col("embedding"), x => x.cast("double"))
+    val qz = e.select(col("vec_id"), col("embedding"), ee.as("ee"),
+        array_max(scoredCells).getField("cell").as("cell"))
+      .withColumn("scale", array_max(transform(col("ee"), x => abs(x))))
+      .withColumn("qv", transform(col("ee"), x =>
+        when(col("scale") > 0, floor(x * 127.0 / col("scale") + 0.5))
+          .otherwise(lit(0L))).cast("array<bigint>"))
+      .withColumn("qn", aggregate(col("qv"), lit(0L), (a, x) => a + x * x))
+    val queries = qz.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qv").as("qq"),
+        col("qn").as("qqn"), col("embedding").as("qe"),
+        norm(col("embedding")).as("nq"))
+    // probe selection: nProbe best cells by the same literal scores —
+    // descending sort on (sc, negcell) keeps the min-cell tie-break
+    val probes = qz.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        explode(slice(reverse(array_sort(scoredCells)), 1, nProbe)).as("pc"))
+      .select(col("query_id"), col("pc.cell").as("cell"))
+    // int8 candidate scan over probed cells only — integer dots, exact
+    val qside = probes.join(
+      broadcast(queries.select(col("query_id"), col("qq"), col("qqn"))),
+      Seq("query_id"))
+    val idot = aggregate(zip_with(col("qq"), col("qv"), (a, b) => a * b),
+      lit(0L), (a, x) => a + x)
+    val approx = when(col("qqn") === 0 || col("qn") === 0, lit(0.0)).otherwise(
+      floor(idot.cast("double") / sqrt((col("qqn") * col("qn")).cast("double"))
+        * 10000.0 + 0.5) / 10000.0)
+    val cands = qz.select(col("cell"), col("vec_id"), col("qv"), col("qn"))
+      .join(broadcast(qside), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        approx.as("sim"))
+    val top = topKPerQuery(cands, cand, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("sim").as("approx_sim"))
+    // exact rerank — identical tail to quantizedTopK (the n1 contract)
+    val rer = e.select(col("vec_id").as("neighbor_id"), col("embedding"),
+        norm(col("embedding")).as("nv"))
+      .join(broadcast(top.select("query_id", "neighbor_id")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col("query_id"), col("qe"), col("nq"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePre(col("qe"), col("embedding"), col("nq"), col("nv")).as("sim"))
+    topKPerQuery(rer, k, Seq("query_id"))
+      .join(broadcast(top), Seq("query_id", "neighbor_id"))
+      .select("query_id", "neighbor_id", "rnk", "sim", "approx_sim")
+  }
+  def ivfQuantizedTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfQuantizedTopK(table(spark, dir, "embeddings"))
+
   /** Coarse-quantizer training: centroid = element-wise mean vector per
     * cluster. One shuffle on (cell, dim) — dimension count is a constant, so
     * this scales as a plain aggregation of the corpus.

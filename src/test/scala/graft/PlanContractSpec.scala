@@ -64,6 +64,22 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("sortmergejoin"), p)
   }
 
+  test("n10 candidate scan is probe-bounded: broadcast equi-join on cell, no cartesian (n10)") {
+    val p = planOf("n10_ivf_sq8_topk")
+    // the int8 candidate pass joins corpus codes to BROADCAST probes on the
+    // cell key — candidates follow probed-cell membership, never n²; the
+    // rerank joins are broadcast too (candidate lists are query-sized);
+    // cell assignment is a literal argmax — no join form can appear for it
+    assert(count(p, "BroadcastHashJoin") >= 3, p)
+    assert(count(p, "CartesianProduct") === 0, p)
+    assert(count(p, "BroadcastNestedLoopJoin") === 0, p)
+    assert(count(p, "SortMergeJoin") === 0, p)
+    // keyed exchanges: centroid derivation (cell,dim → cell — index-time
+    // cost, 2) and the two-phase top-k merges (2×2); the corpus itself
+    // never hash-partitions on vec_id
+    assert(count(p, "Exchange hashpartitioning") <= 6, p)
+  }
+
   test("signature extraction is scan-side: no shuffle before the fingerprint (d2, d4)") {
     Seq("d2_minhash_signature", "d4_simhash").foreach { q =>
       val p = planOf(q)

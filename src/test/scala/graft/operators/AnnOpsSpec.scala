@@ -305,6 +305,34 @@ class AnnOpsSpec extends SparkSpec {
       s"spill=2 3/8-probe recall $spillRecalled/$truth at sf0.1")
   }
 
+  test("n10 IVF×SQ8: probe-bounded candidates, exact rerank, recall >= 50% AT SF0.1") {
+    val dir = "/root/testdata/sf0.1"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists(),
+      "sf0.1 fixtures not present")
+    val e = Tables.table(spark, dir, "embeddings")
+    val brute = AnnOps.cosineTopK(e).select("query_id", "neighbor_id", "sim")
+    val n10 = AnnOps.ivfQuantizedTopK(e)
+    // reranked sims are the n1 float contract: any (query, neighbor) pair
+    // present in both must carry the IDENTICAL 4-dp similarity
+    val joined = n10.select(col("query_id"), col("neighbor_id"),
+        col("sim").as("n10_sim"))
+      .join(brute, Seq("query_id", "neighbor_id"))
+    assert(joined.filter(col("n10_sim") =!= col("sim")).count() === 0,
+      "rerank sim drifted from the brute-force contract")
+    val truth = brute.count()
+    val recalled = joined.count()
+    assert(truth === 50)
+    assert(recalled * 2 >= truth,
+      s"3-probe IVF×SQ8 recall $recalled/$truth at sf0.1")
+    // widening the probes can only add candidates: recall is monotone, and
+    // probing every cell makes the candidate pass exhaustive
+    val nCells = e.select("label").distinct().count().toInt
+    val all = AnnOps.ivfQuantizedTopK(e, nProbe = nCells)
+      .select("query_id", "neighbor_id")
+      .join(brute, Seq("query_id", "neighbor_id")).count()
+    assert(all >= recalled, s"all-probe recall $all under 3-probe $recalled")
+  }
+
   test("sample-trained quantizer: full cell coverage, searchable, recall survives (100 TB train path)") {
     val e = Tables.table(spark, sf, "embeddings")
     // train on ~40% of vectors, assign and search EVERYTHING
