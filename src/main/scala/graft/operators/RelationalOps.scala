@@ -371,12 +371,23 @@ object RelationalOps {
     * streams × days rows, and every window below shares its single
     * stream-keyed exchange of that tiny frame. No joins, no second scan.
     */
-  def volumeAnomaly(events: DataFrame, zGate: Double = 2.0): DataFrame = {
-    val w = Window.partitionBy("event_type")
-    val daily = events
-      .groupBy(col("event_type"),
+  def volumeAnomaly(events: DataFrame, zGate: Double = 2.0): DataFrame =
+    volumeAnomalyOfDaily(dailyCounts(events), zGate)
+
+  /** The (stream, day) count frame dq6 z-scores — factored out because it is
+    * ALSO the exact-parity streaming state: per-day counts are sufficient
+    * statistics for the whole anomaly battery, so
+    * [[graft.streaming.StatsStreams.volumeAnomalyStream]] folds arriving
+    * batches into this frame and reuses [[volumeAnomalyOfDaily]] verbatim.
+    */
+  def dailyCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"),
         floor(unix_micros(col("ts")) / 86400000000L).cast("long").as("day_idx"))
       .agg(count(lit(1)).as("ct"))
+
+  /** dq6's finisher over a prepared (event_type, day_idx, ct) frame. */
+  def volumeAnomalyOfDaily(daily: DataFrame, zGate: Double = 2.0): DataFrame = {
+    val w = Window.partitionBy("event_type")
     val num = col("days") * col("sd2") - col("sd1") * col("sd1")
     daily
       .withColumn("days", count(lit(1)).over(w))

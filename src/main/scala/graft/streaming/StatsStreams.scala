@@ -812,6 +812,101 @@ object StatsStreams {
         sink(graft.operators.RelationalOps.columnProfile(batch), id)
     }
 
+  /** Continuous freshness monitoring — DQ5's streaming face, and the one
+    * member of the dq family that is INHERENTLY continuous (a staleness
+    * dashboard refreshed per ingest, not per audit). Per micro-batch the
+    * sink receives the full [[graft.operators.RelationalOps.freshness]]
+    * report over EVERYTHING seen so far, computed from compacted state
+    * that stays exact by construction: the reference point is the running
+    * global max timestamp, which only ADVANCES, so any event older than
+    * ref − 24h can never re-enter the last-day window — such rows fold
+    * irreversibly into two per-stream scalars (total count, last-seen) and
+    * only the trailing-day rows are retained raw. A stream that stops
+    * sending keeps appearing in every report (its lag growing) — exactly
+    * the alert dq5 exists for; an outer join over the scalar state makes
+    * silence visible instead of dropping the row.
+    *
+    * Scale notes (100 TB): state = one trailing day of (stream, ts) pairs
+    * (16 bytes/event — the day's ingest, the natural state floor for an
+    * exact 24h-window count) + streams×2 scalars; each batch pays one
+    * union + filter + two stream-keyed aggregations of batch∪state, all
+    * map-side-combinable. Parity is spec-pinned: the final report equals
+    * the batch operator over the union of all arrived events, bit-exact.
+    */
+  def freshnessStream(events: DataFrame)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var recent: Option[DataFrame] = None // (event_type, us), us > ref − 24h
+    var older: Option[DataFrame] = None  // (event_type, old_total, old_last)
+    val dayUs = 86400000000L
+    events.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val b = batch.select(col("event_type"), unix_micros(col("ts")).as("us"))
+        val live = recent.map(_.unionByName(b)).getOrElse(b)
+        val refRow = live.agg(max(col("us")).as("ref_us"))
+        val withRef = live.crossJoin(broadcast(refRow))
+        val keep = withRef.filter(col("us") > col("ref_us") - dayUs)
+          .select("event_type", "us").localCheckpoint(true)
+        val aged = withRef.filter(col("us") <= col("ref_us") - dayUs)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("old_total"), max(col("us")).as("old_last"))
+        val mergedOld = older.map(_.unionByName(aged).groupBy("event_type")
+            .agg(sum(col("old_total")).as("old_total"),
+              max(col("old_last")).as("old_last")))
+          .getOrElse(aged).localCheckpoint(true)
+        recent.foreach(graft.operators.DedupOps.unpersistCheckpoint)
+        older.foreach(graft.operators.DedupOps.unpersistCheckpoint)
+        recent = Some(keep)
+        older = Some(mergedOld)
+        val fresh = keep.groupBy("event_type")
+          .agg(max(col("us")).as("r_last"), count(lit(1)).as("r_ct"))
+        val report = fresh.join(mergedOld, Seq("event_type"), "full_outer")
+          .crossJoin(broadcast(keep.agg(max(col("us")).as("ref_us"))))
+          .select(col("event_type"),
+            greatest(col("r_last"), col("old_last")).as("last_us"),
+            (col("ref_us") - greatest(col("r_last"), col("old_last")))
+              .as("lag_us"),
+            (coalesce(col("r_ct"), lit(0L)) +
+              coalesce(col("old_total"), lit(0L))).as("total_events"),
+            coalesce(col("r_ct"), lit(0L)).as("events_last_day"))
+        sink(report, id)
+    }
+  }
+
+  /** Continuous volume-anomaly detection — DQ6's streaming face, dq5's
+    * alerting sibling: per micro-batch the sink receives the full z-score
+    * battery ([[graft.operators.RelationalOps.volumeAnomalyOfDaily]], the
+    * SAME finisher as batch dq6 so the report schema and arithmetic cannot
+    * drift) over everything seen so far. The state is the (stream, day)
+    * count frame itself — per-day counts are SUFFICIENT STATISTICS for the
+    * whole battery, so folding each batch's micro-counts into the running
+    * frame loses nothing: parity with the batch operator over the union of
+    * all arrived events is exact (spec-pinned), unlike a windowed
+    * approximation.
+    *
+    * Scale notes (100 TB): state is streams × days rows of integers —
+    * bounded by the key domain, not the corpus; each batch pays one
+    * map-side-combinable (stream, day) count of ITS OWN rows plus a merge
+    * with the tiny state frame, and the finisher's windows all share the
+    * one stream-keyed exchange of that frame (the batch plan's own shape).
+    */
+  def volumeAnomalyStream(events: DataFrame, zGate: Double = 2.0)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var daily: Option[DataFrame] = None // (event_type, day_idx, ct)
+    events.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val b = graft.operators.RelationalOps.dailyCounts(batch)
+        val merged = daily.map(_.unionByName(b)
+            .groupBy("event_type", "day_idx").agg(sum(col("ct")).as("ct")))
+          .getOrElse(b).localCheckpoint(true)
+        daily.foreach(graft.operators.DedupOps.unpersistCheckpoint)
+        daily = Some(merged)
+        sink(graft.operators.RelationalOps.volumeAnomalyOfDaily(merged, zGate),
+          id)
+    }
+  }
+
   /** Streaming entity resolution — the incremental face of batch E2
     * ([[graft.operators.TextOps.entityResolve]]), completing the one
     * operator family that had no streaming form. The d19 shape at the

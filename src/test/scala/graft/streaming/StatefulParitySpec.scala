@@ -698,6 +698,70 @@ class StatefulParitySpec extends SparkSpec {
     assert(batch.exists(r => r.head == "lang" && r(2) == 1L))
   }
 
+  test("freshnessStream: compacted state stays exact — final report == batch dq5 (DQ5)") {
+    implicit val sqlCtx = spark.sqlContext
+    val day = 86400000000L
+    // batch 2 advances the global ref by 3 days: stream b goes stale and
+    // its rows compact irreversibly into the per-stream scalars — yet it
+    // must keep appearing in every report (growing lag, zero last-day)
+    val b1 = Seq(("a", 1L * day), ("a", 1L * day + 5L), ("b", 1L * day + 10L))
+    val b2 = Seq(("a", 4L * day), ("a", 4L * day - 100L))
+    val input = MemoryStream[(String, Long)]
+    def asEvents(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("_1").as("event_type"), timestamp_micros(col("_2")).as("ts"))
+    val got = scala.collection.mutable.ArrayBuffer[Set[Seq[Any]]]()
+    val q = StatsStreams.freshnessStream(asEvents(input.toDF())) { (df, _) =>
+      got += df.collect().map(_.toSeq).toSet
+    }.start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.size === 2)
+    // batch parity at each prefix of the arrival order
+    val exp1 = graft.operators.RelationalOps.freshness(asEvents(b1.toDF()))
+      .collect().map(_.toSeq).toSet
+    val exp2 = graft.operators.RelationalOps.freshness(
+        asEvents((b1 ++ b2).toDF()))
+      .collect().map(_.toSeq).toSet
+    assert(got(0) === exp1)
+    assert(got(1) === exp2)
+    // the stale stream is still reported: compacted scalars, not dropped
+    assert(got(1).exists(r =>
+      r.head == "b" && r(4) == 0L && r(2) == 3L * day - 10L))
+  }
+
+  test("volumeAnomalyStream: daily-count state is sufficient — final report == batch dq6 (DQ6)") {
+    implicit val sqlCtx = spark.sqlContext
+    val day = 86400000000L
+    // day 1 of stream x STRADDLES the two micro-batches: the state merge
+    // must sum the split counts, not keep two rows
+    val b1 = Seq(("x", 1L), ("x", 2L), ("x", day + 1L), ("y", 5L))
+    val b2 = Seq(("x", day + 2L), ("x", 2 * day + 1L), ("x", 2 * day + 2L),
+      ("x", 2 * day + 3L), ("y", day + 5L))
+    val input = MemoryStream[(String, Long)]
+    def asEvents(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("_1").as("event_type"), timestamp_micros(col("_2")).as("ts"))
+    val got = scala.collection.mutable.ArrayBuffer[Set[Seq[Any]]]()
+    val q = StatsStreams.volumeAnomalyStream(asEvents(input.toDF())) { (df, _) =>
+      got += df.collect().map(_.toSeq).toSet
+    }.start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.size === 2)
+    val exp1 = graft.operators.RelationalOps.volumeAnomaly(asEvents(b1.toDF()))
+      .collect().map(_.toSeq).toSet
+    val exp2 = graft.operators.RelationalOps.volumeAnomaly(
+        asEvents((b1 ++ b2).toDF()))
+      .collect().map(_.toSeq).toSet
+    assert(got(0) === exp1)
+    assert(got(1) === exp2)
+    // the straddled day merged: exactly one row for (x, day 1), count 2
+    assert(got(1).exists(r => r.head == "x" && r(1) == 1L && r(2) == 2L))
+  }
+
   test("qualityMonitorStream: per-batch battery == batch checks, violations gate (DQ1)") {
     implicit val sqlCtx = spark.sqlContext
     // batch 1 is clean; batch 2 plants one violation of each kind
