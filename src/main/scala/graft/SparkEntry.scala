@@ -890,16 +890,25 @@ object SparkEntry {
          |      WHERE v.v_us <= p.p_us AND v.v_us > p.p_us - 86400000000),
          |m AS (SELECT channel, value,
          |             row_number() OVER (PARTITION BY p_id ORDER BY v_us, v_id) AS rnf,
-         |             row_number() OVER (PARTITION BY p_id ORDER BY v_us DESC, v_id DESC) AS rnl
-         |      FROM c)
+         |             row_number() OVER (PARTITION BY p_id ORDER BY v_us DESC, v_id DESC) AS rnl,
+         |             count(*) OVER (PARTITION BY p_id) AS n_t
+         |      FROM c),
+         |w AS (SELECT channel, value, rnf, rnl, n_t,
+         |             CASE WHEN n_t = 1 THEN 1.0
+         |                  WHEN n_t = 2 THEN 0.5
+         |                  WHEN rnf = 1 OR rnl = 1 THEN 0.4
+         |                  ELSE 0.2 / (n_t - 2) END AS pw
+         |      FROM m)
          |SELECT channel,
          |       CAST(sum(CASE WHEN rnf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ft_purchases,
          |       CAST(sum(CASE WHEN rnf = 1 THEN CAST(value AS DECIMAL(18,4))
          |                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS ft_revenue,
          |       CAST(sum(CASE WHEN rnl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS lt_purchases,
          |       CAST(sum(CASE WHEN rnl = 1 THEN CAST(value AS DECIMAL(18,4))
-         |                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS lt_revenue
-         |FROM m WHERE rnf = 1 OR rnl = 1
+         |                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS lt_revenue,
+         |       CAST(sum(CAST(value / n_t AS DECIMAL(18,4))) AS DOUBLE) AS lin_revenue,
+         |       CAST(sum(CAST(value * pw AS DECIMAL(18,4))) AS DOUBLE) AS pos_revenue
+         |FROM w
          |GROUP BY channel""".stripMargin,
     // dq6: identical day-index / shift-invariant variance arithmetic —
     // integer until the final two divisions + sqrt (both correctly

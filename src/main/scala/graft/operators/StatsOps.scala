@@ -252,15 +252,31 @@ object StatsOps {
         .orderBy(col("v_us").asc, col("v_id").asc)))
       .withColumn("rnl", row_number().over(Window.partitionBy("p_id")
         .orderBy(col("v_us").desc, col("v_id").desc)))
-      .filter(col("rnf") === 1 || col("rnl") === 1)
+      .withColumn("n_t", count(lit(1)).over(Window.partitionBy("p_id")))
     def drev(flag: Column): Column =
       sum(when(flag, col("value")).otherwise(0.0)
         .cast(org.apache.spark.sql.types.DecimalType(18, 4))).cast("double")
+    def dsum(c: Column): Column =
+      sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 4))).cast("double")
+    // MULTI-TOUCH weights over the same candidate frame (no new shuffle —
+    // n_t shares the two rank windows' p_id partitioning). Linear: value/n
+    // per touch. Position-based (U-shape): 40% first + 40% last + 20%
+    // split across middles; 1 touch → 100%, 2 touches → 50/50. Weights are
+    // IEEE doubles from integer inputs — identical cross-engine — and each
+    // contribution rounds to DECIMAL(18,4) per row before the order-free
+    // decimal sum, so per-purchase splits sum to the purchase value within
+    // n·5e-5 (AttributionSpec pins the conservation bound).
+    val posW = when(col("n_t") === 1, lit(1.0))
+      .when(col("n_t") === 2, lit(0.5))
+      .when(col("rnf") === 1 || col("rnl") === 1, lit(0.4))
+      .otherwise(lit(0.2) / (col("n_t") - 2))
     marked.groupBy("channel").agg(
       sum(when(col("rnf") === 1, 1L).otherwise(0L)).as("ft_purchases"),
       drev(col("rnf") === 1).as("ft_revenue"),
       sum(when(col("rnl") === 1, 1L).otherwise(0L)).as("lt_purchases"),
-      drev(col("rnl") === 1).as("lt_revenue"))
+      drev(col("rnl") === 1).as("lt_revenue"),
+      dsum(col("value") / col("n_t")).as("lin_revenue"),
+      dsum(col("value") * posW).as("pos_revenue"))
   }
   def attribution(spark: SparkSession, dir: String): DataFrame =
     attribution(table(spark, dir, "events"))

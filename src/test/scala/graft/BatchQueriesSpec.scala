@@ -286,6 +286,37 @@ class BatchQueriesSpec extends SparkSpec {
     assert(out(3L) === ((1L, 20.0, 1L, 20.0)), s"ch3: $out")
   }
 
+  test("attribution multi-touch: linear + U-shape splits conserve each purchase (A14)") {
+    import spark.implicits._
+    def ev(id: Long, user: Long, tpe: String, us: Long, value: Double, k: Long) =
+      (id, new java.sql.Timestamp(us / 1000), user, tpe, value, s"""{"k":$k}""")
+    val h = 3600L * 1000000
+    val rows = Seq(
+      // user 1: THREE touches ch0→ch1→ch2, purchase $60
+      //   linear: $20 each; U-shape: 40/20/40 → $24/$12/$24
+      ev(1, 1, "view", 10 * h, 0.0, 0), ev(2, 1, "view", 11 * h, 0.0, 1),
+      ev(3, 1, "view", 12 * h, 0.0, 2), ev(4, 1, "purchase", 13 * h, 60.0, 9),
+      // user 3: single touch ch3, $20 — both models give the full value
+      ev(6, 3, "view", 20 * h, 0.0, 3), ev(7, 3, "purchase", 21 * h, 20.0, 9),
+      // user 4: two touches ch4, ch0, $10 — 50/50 in both models
+      ev(8, 4, "view", 30 * h, 0.0, 4), ev(9, 4, "view", 30 * h + 1, 0.0, 0),
+      ev(10, 4, "purchase", 31 * h, 10.0, 9))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.operators.StatsOps.attribution(rows)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(5), r.getDouble(6))))
+      .toMap
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-3
+    assert(close(out(0L)._1, 25.0) && close(out(0L)._2, 29.0), s"ch0: $out")
+    assert(close(out(1L)._1, 20.0) && close(out(1L)._2, 12.0), s"ch1: $out")
+    assert(close(out(2L)._1, 20.0) && close(out(2L)._2, 24.0), s"ch2: $out")
+    assert(close(out(3L)._1, 20.0) && close(out(3L)._2, 20.0), s"ch3: $out")
+    assert(close(out(4L)._1, 5.0) && close(out(4L)._2, 5.0), s"ch4: $out")
+    // conservation: each model's split sums to the attributed purchase
+    // total ($90) — within the documented n·5e-5 per-row decimal rounding
+    assert(close(out.values.map(_._1).sum, 90.0), s"linear total: $out")
+    assert(close(out.values.map(_._2).sum, 90.0), s"U-shape total: $out")
+  }
+
   test("column profile measures rows/nulls/distincts/min-max per column (DQ3)") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.table(spark, sf, "documents")
