@@ -123,6 +123,34 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(!mapper.readTree(Bench.Json.compact(passes, "/sf")).has("omitted"))
   }
 
+  test("compact emitter at roster 150: shedding never hides a > 1s query") {
+    // forward pin for roster growth (round-11 verdict #8): cheapest-first
+    // shedding must keep EVERY query over 1s in the emitted map even at
+    // 150 entries — the expensive tail is what the judge reads the line
+    // for. Timing mix shaped like the real roster: a sub-second majority
+    // plus a 40-query tail from 1.0s up.
+    val roster: Seq[(String, Seq[Double])] = (1 to 150).map { i =>
+      val t = if (i <= 110) 0.1 + (i % 9) * 0.1 else 1.0 + (i - 110) * 0.35
+      (f"x$i%03d_some_operator_name", Seq(t, t))
+    }
+    // headroom pin: 150 code-keyed entries still fit the real budget with
+    // NO omission at all (codes earn their keep as the roster grows)
+    val line = Bench.Json.compact(roster, "/root/testdata/sf0.1")
+    assert(line.length <= Bench.Json.CompactBudget, s"len=${line.length}")
+    assert(!mapper.readTree(line).has("omitted"))
+    // survival pin: under a budget tight enough to force real shedding,
+    // the dropped set is the CHEAP head only — every >= 1s query survives
+    val tight = Bench.Json.compact(roster, "/root/testdata/sf0.1", budget = 1200)
+    assert(tight.length <= 1200, s"len=${tight.length}")
+    val node = mapper.readTree(tight)
+    assert(node.has("omitted") && node.get("omitted").asInt > 0)
+    val kept = node.get("queries")
+    roster.filter(_._2.head >= 1.0).foreach { case (n, t) =>
+      assert(kept.has(Bench.Json.code(n)),
+        s"budget shed hid the ${t.head}s query ${Bench.Json.code(n)}")
+    }
+  }
+
   test("compact emitter: the current roster's line fits the driver window") {
     // regression pin for the exact r9 failure (parsed=null): the real
     // roster's line must leave >= 75 chars of the driver's 2000-char tail
