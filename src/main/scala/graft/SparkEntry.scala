@@ -81,12 +81,16 @@ object SparkEntry {
     // dq6: per-stream daily volume z-score anomalies — one corpus
     // scan-agg; shift-invariant integer variance (no s² overflow)
     "dq6_volume_anomaly" -> ((s: SparkSession, d: String) => RelationalOps.volumeAnomaly(s, d)),
+    // dq7: FK-graph referential integrity — orphan counts per relation
+    "dq7_referential_integrity" -> ((s: SparkSession, d: String) => RelationalOps.referentialIntegrity(s, d)),
     // t16: char-entropy quality signal (the compression-proxy filter) —
     // native single-pass codegen expression, zero shuffle
     "t16_char_entropy" -> ((s: SparkSession, d: String) => TextOps.charEntropy(s, d)),
     // g11: item-item cosine over binary user sets (collaborative
     // filtering) — user-keyed posting self-join, active-user bound
     "g11_item_similarity" -> ((s: SparkSession, d: String) => StatsOps.itemSimilarity(s, d)),
+    // g12: doc-level source-overlap matrix (g10's shingle-level complement)
+    "g12_source_overlap" -> ((s: SparkSession, d: String) => StatsOps.sourceOverlap(s, d)),
     "a9_sessionize" -> (StatsOps.sessionize _),
     "a10_funnel" -> (StatsOps.funnel _),
     "a11_rfm" -> (StatsOps.rfm _),
@@ -141,6 +145,8 @@ object SparkEntry {
     // d19: incremental batch-vs-history dedup triage (exact | near | novel);
     // history is never shuffled — batch side broadcast at every join
     "d19_incremental_dedup" -> ((s: SparkSession, d: String) => DedupOps.incrementalDedup(s, d)),
+    // d20: duplicate-cluster size spectrum over the session-shared closure
+    "d20_cluster_spectrum" -> ((s: SparkSession, d: String) => DedupOps.clusterSizeSpectrum(s, d)),
     "g5_dup_rate_by_source" -> ((s: SparkSession, d: String) => DedupOps.dupRateBySource(s, d)),
     // LLM-data-pipeline: similarity search
     "n1_ann_cosine_topk" -> ((s: SparkSession, d: String) => AnnOps.cosineTopK(s, d)),
@@ -955,6 +961,50 @@ object SparkEntry {
         |       round(ln(n_cp) - scaled / 10000 / n_cp, 4) AS char_entropy,
         |       round(ln(n_cp) - scaled / 10000 / n_cp, 4) < 2.0 AS low_entropy
         |FROM agg""".stripMargin,
+    // g12: doc-level source overlap — distinct (source, fp) projection,
+    // fp-keyed pair join (fanout bounded by source count), integer until
+    // the final 4-dp floor division
+    "g12_source_overlap" ->
+      """WITH fps AS (SELECT DISTINCT source, md5(text) AS fp FROM documents),
+        |cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_fps
+        |        FROM fps GROUP BY source),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |             CAST(count(*) AS BIGINT) AS shared_fps
+        |      FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT ca.source AS source_a, cb.source AS source_b,
+        |       coalesce(p.shared_fps, 0) AS shared_fps,
+        |       ca.n_fps AS fps_a, cb.n_fps AS fps_b,
+        |       floor(coalesce(p.shared_fps, 0) * 10000.0 /
+        |             (ca.n_fps + cb.n_fps - coalesce(p.shared_fps, 0)) + 0.5)
+        |       / 10000.0 AS jaccard
+        |FROM cnt ca JOIN cnt cb ON ca.source < cb.source
+        |LEFT JOIN p ON p.source_a = ca.source AND p.source_b = cb.source""".stripMargin,
+    // dq7: per-relation orphan counts — a NULL FK references nothing and
+    // counts as an orphan on both sides
+    "dq7_referential_integrity" -> {
+      def rel(name: String, fact: String, fk: String, dim: String,
+          pk: String): String =
+        s"""SELECT '$name' AS relation,
+           |       CAST(count(*) AS BIGINT) AS fact_rows,
+           |       CAST(sum(CASE WHEN d.$pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphans,
+           |       CAST(sum(CASE WHEN d.$pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) = 0 AS ok
+           |FROM $fact f LEFT JOIN $dim d ON f.$fk = d.$pk""".stripMargin
+      Seq(
+        rel("orders.o_custkey->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        rel("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        rel("lineitem.l_partkey->part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        rel("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        rel("customer.c_nationkey->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        rel("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+          "nation", "n_nationkey")
+      ).mkString("\nUNION ALL\n")
+    },
     // g11: binary user-set cosine — distinct pairs, active-user bound,
     // user-keyed self-join; the score is one integer-fed IEEE division
     "g11_item_similarity" ->
@@ -1806,6 +1856,14 @@ object SparkEntry {
     // are "min doc_id in my connected component", so they hash-match.
     "d10_neardup_clusters" ->
       clusterSql("SELECT doc_id, cluster_id FROM cl"),
+    // d20: integer spectrum over the same recursive closure as d10/d11
+    "d20_cluster_spectrum" ->
+      clusterSql(
+        """SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+          |       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+          |FROM (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+          |      FROM cl GROUP BY cluster_id)
+          |GROUP BY cluster_size""".stripMargin),
     // d11: cluster-keeper dedup — keep exactly the min-id doc per cluster.
     "d11_dedup_by_cluster" ->
       clusterSql(

@@ -415,6 +415,29 @@ object DedupOps {
       case _ => ()
     }
 
+  /** D20 — duplicate-cluster SIZE SPECTRUM, the dedup report every corpus
+    * card carries (how much of the corpus is duplicated how many times):
+    * per cluster size, the number of clusters of that size and the number
+    * of documents they hold. A heavy tail here (a few thousand-wide
+    * clusters) is boilerplate or a crawler trap; the singleton row is the
+    * unique share. All-integer, so the oracle compares exactly.
+    *
+    * Scale notes (100 TB): runs on the (doc_id, cluster_id) label frame —
+    * the expensive closure is [[nearDupClusters]]'s, paid once per session
+    * (ClusterMemo) and shared with d10/d11/s11/c2/c3; the spectrum itself
+    * is two integer aggregations, the second over cluster-count-sized
+    * rows. `n_docs = size × clusters` stays a projection, not a rescan.
+    */
+  def clusterSizeSpectrum(clusters: DataFrame): DataFrame =
+    clusters.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+  def clusterSizeSpectrum(spark: SparkSession, dir: String): DataFrame =
+    clusterSizeSpectrum(nearDupClusters(table(spark, dir, "documents"), 0.7))
+
   /** Cluster-aware corpus dedup against PRECOMPUTED clusters (the output of
     * [[nearDupClusters]]): keep exactly one document (the minimum id) per
     * transitive near-dup cluster. This is the form a real pipeline uses —

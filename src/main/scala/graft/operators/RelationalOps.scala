@@ -405,6 +405,59 @@ object RelationalOps {
   def volumeAnomaly(spark: SparkSession, dir: String): DataFrame =
     volumeAnomaly(table(spark, dir, "events"))
 
+  /** DQ7 — REFERENTIAL-INTEGRITY audit over the warehouse's FK graph, the
+    * classic load-time check the dq battery was missing: for each foreign-
+    * key relation, the fact-row count and the number of ORPHANS (fact rows
+    * whose key matches no dimension row; a NULL key is an orphan — it
+    * references nothing). A nonzero row means a partial load, an
+    * out-of-order ingest, or a retention job that dropped parents before
+    * children — caught before every downstream join silently loses rows.
+    *
+    * Scale notes (100 TB): one left join per relation, each keyed on its
+    * own FK — small dims (nation) broadcast, big ones (orders at 1.5B
+    * rows/TB) stay keyed equi-joins with map-side-combinable count
+    * aggregates on top; the output is six rows. No orphan LIST is
+    * materialized here — the count is the alert; the listing query is the
+    * same join with a filter, run on demand.
+    */
+  /** One FK relation's audit row — public so tests can exercise orphan and
+    * NULL-key semantics on synthetic frames; the six-relation battery
+    * below unions these.
+    */
+  def fkCheck(rel: String, fact: DataFrame, fk: String,
+      dim: DataFrame, pk: String): DataFrame =
+    fact.select(col(fk).as("_fk"))
+      .join(dim.select(col(pk).as("_pk")).distinct(),
+        col("_fk") === col("_pk"), "left")
+      .agg(count(lit(1)).as("fact_rows"),
+        sum(when(col("_pk").isNull, 1L).otherwise(0L)).as("orphans"))
+      .select(lit(rel).as("relation"), col("fact_rows"), col("orphans"),
+        (col("orphans") === 0L).as("ok"))
+
+  def referentialIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    def check(rel: String, fact: DataFrame, fk: String,
+        dim: DataFrame, pk: String): DataFrame =
+      fkCheck(rel, fact, fk, dim, pk)
+    val orders = table(spark, dir, "orders")
+    val lineitem = table(spark, dir, "lineitem")
+    val customer = table(spark, dir, "customer")
+    val nation = table(spark, dir, "nation")
+    Seq(
+      check("orders.o_custkey->customer", orders, "o_custkey",
+        customer, "c_custkey"),
+      check("lineitem.l_orderkey->orders", lineitem, "l_orderkey",
+        orders, "o_orderkey"),
+      check("lineitem.l_partkey->part", lineitem, "l_partkey",
+        table(spark, dir, "part"), "p_partkey"),
+      check("lineitem.l_suppkey->supplier", lineitem, "l_suppkey",
+        table(spark, dir, "supplier"), "s_suppkey"),
+      check("customer.c_nationkey->nation", customer, "c_nationkey",
+        nation, "n_nationkey"),
+      check("supplier.s_nationkey->nation", table(spark, dir, "supplier"),
+        "s_nationkey", nation, "n_nationkey")
+    ).reduce(_.unionByName(_))
+  }
+
   /** L3 — snapshot DIFF, the lakehouse table-history chore (Delta
     * DESCRIBE HISTORY / Iceberg snapshot diff, reduced to its data core):
     * given two corpus snapshots keyed by doc_id with a content hash,

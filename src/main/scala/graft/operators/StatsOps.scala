@@ -597,6 +597,46 @@ object StatsOps {
     * to the candidate frame; the final agg groups pair keys with map-side
     * partials.
     */
+  /** G12 — pairwise SOURCE-OVERLAP matrix by exact content fingerprint:
+    * for every source pair, the count of distinct document fingerprints
+    * present in both, with per-source totals and the 4-dp Jaccard — the
+    * doc-level provenance complement of g10's shingle-level contamination
+    * (g10 answers "did source B copy text FROM A"; this answers "how much
+    * of A and B is the SAME document"). The standard report before mixing
+    * sources into a training run: a high-overlap pair means the mixture
+    * weights double-count that content.
+    *
+    * Scale notes (100 TB): one fingerprint-keyed exchange of the DISTINCT
+    * (source, fp) projection; per-fp fanout is bounded by the source count
+    * (a constant ≤ dozens), so the pair expansion is ≤ sources²/2 rows per
+    * fingerprint, never corpus²; per-source totals come back as a
+    * broadcast of a source-cardinality frame. All-integer until the final
+    * 4-dp floor division.
+    */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val fps = docs.select(col("source"), md5(col("text")).as("fp")).distinct()
+    val counts = fps.groupBy("source").agg(count(lit(1)).as("n_fps"))
+    val shared = fps
+      .join(fps.select(col("source").as("source_b"), col("fp")), Seq("fp"))
+      .filter(col("source") < col("source_b"))
+      .groupBy(col("source").as("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+    // the full matrix, zero-overlap pairs included: a mixing review reads
+    // the zeros as evidence, and the frame stays sources²/2 rows
+    counts.select(col("source").as("source_a"), col("n_fps").as("fps_a"))
+      .join(broadcast(counts.select(col("source").as("source_b"),
+        col("n_fps").as("fps_b"))), col("source_a") < col("source_b"))
+      .join(broadcast(shared), Seq("source_a", "source_b"), "left")
+      .withColumn("shared_fps", coalesce(col("shared_fps"), lit(0L)))
+      .select(col("source_a"), col("source_b"), col("shared_fps"),
+        col("fps_a"), col("fps_b"),
+        (floor(col("shared_fps") * 10000.0 /
+          (col("fps_a") + col("fps_b") - col("shared_fps")) + 0.5) / 10000.0)
+          .as("jaccard"))
+  }
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlap(table(spark, dir, "documents"))
+
   def itemSimilarity(events: DataFrame, maxUserItems: Int = 1000,
       minCo: Long = 2L): DataFrame = {
     val ui = events.filter(col("event_type").isin("view", "purchase"))

@@ -317,6 +317,67 @@ class BatchQueriesSpec extends SparkSpec {
     assert(close(out.values.map(_._2).sum, 90.0), s"U-shape total: $out")
   }
 
+  test("cluster size spectrum partitions the corpus; sizes from known clusters (D20)") {
+    import spark.implicits._
+    // clusters: {1,2,3} one triple, {4,5} one pair, {6},{7} singletons
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 6L), (7L, 7L)).toDF("doc_id", "cluster_id")
+    val spec = graft.operators.DedupOps.clusterSizeSpectrum(clusters)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(spec === Map(3L -> ((1L, 3L)), 2L -> ((1L, 2L)), 1L -> ((2L, 2L))))
+    // and on the real fixture: n_docs over all sizes == corpus size
+    val docs = graft.Tables.table(spark, sf, "documents")
+    val real = graft.operators.DedupOps.clusterSizeSpectrum(
+      graft.operators.DedupOps.nearDupClusters(docs, 0.7))
+    assert(real.agg(org.apache.spark.sql.functions.sum("n_docs"))
+      .head.getLong(0) === docs.count())
+  }
+
+  test("source overlap counts shared fingerprints per source pair (G12)") {
+    import spark.implicits._
+    // t1 in A and B; t2 in A, B, C; t3 only A; t4 only C; D disjoint.
+    // Duplicate rows of the same (source, text) must not double-count
+    // (distinct projection), and zero-overlap pairs must still emit.
+    val docs = Seq(
+      (1L, "A", "t1"), (2L, "A", "t2"), (3L, "A", "t3"),
+      (4L, "B", "t1"), (5L, "B", "t2"), (6L, "B", "t1"),
+      (7L, "C", "t2"), (8L, "C", "t4"), (9L, "D", "t9"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.operators.StatsOps.sourceOverlap(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // full matrix: C(4,2) pairs, disjoint ones included with zeros
+    assert(out.size === 6)
+    // A∩B = {t1,t2}: |A|=3, |B|=2 → j = 2/3; A∩C = {t2}: j = 1/4; B∩C = 1/3
+    assert(out(("A", "B")) === ((2L, 3L, 2L, 0.6667)))
+    assert(out(("A", "C")) === ((1L, 3L, 2L, 0.25)))
+    assert(out(("B", "C")) === ((1L, 2L, 2L, 0.3333)))
+    assert(out(("A", "D")) === ((0L, 3L, 1L, 0.0)))
+  }
+
+  test("referential integrity: fixture FK graph is clean; orphans and NULL keys counted (DQ7)") {
+    import spark.implicits._
+    val rows = graft.operators.RelationalOps.referentialIntegrity(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(rows.size === 6)
+    rows.foreach { case (rel, (total, orphans, ok)) =>
+      assert(total > 0, s"$rel scanned nothing")
+      assert(orphans === 0L && ok, s"$rel has orphans in pristine fixtures")
+    }
+    assert(rows("lineitem.l_orderkey->orders")._1 ===
+      graft.Tables.table(spark, sf, "lineitem").count())
+    // orphan semantics on a synthetic relation: a dangling key and a NULL
+    // key both count as orphans
+    val fact = Seq(Some(1L), Some(2L), Some(99L), None)
+      .toDF("fk")
+    val dim = Seq(1L, 2L, 3L).toDF("pk")
+    val bad = graft.operators.RelationalOps
+      .fkCheck("fact.fk->dim", fact, "fk", dim, "pk")
+      .head
+    assert(bad.getLong(1) === 4L && bad.getLong(2) === 2L && !bad.getBoolean(3))
+  }
+
   test("column profile measures rows/nulls/distincts/min-max per column (DQ3)") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.table(spark, sf, "documents")

@@ -95,8 +95,13 @@ class ClusterSpec extends SparkSpec {
     val df = graft.Tables.table(spark, sf, "documents")
     val first = DedupOps.nearDupClusters(df, 0.9).collect().toSet
     val after1 = ClusterMemo.computeCount
-    // simulate a hostile sweep that ignores protectedRddIds
+    // simulate a hostile sweep of the MEMO'S blocks specifically — scoped
+    // to protectedRddIds so this cannot race other suites' caches in the
+    // shared session (an unscoped sweep flaked the d3 plan contract)
+    val memoIds = ClusterMemo.protectedRddIds
+    assert(memoIds.nonEmpty, "memo holds no live blocks to sweep")
     spark.sparkContext.getPersistentRDDs.values
+      .filter(r => memoIds.contains(r.id))
       .foreach(_.unpersist(blocking = true))
     val second = DedupOps.nearDupClusters(df, 0.9)
     assert(second.collect().toSet === first, "recompute changed the labels")
