@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 
 /** Native dot product of two float-array columns, accumulated in double,
@@ -149,6 +149,126 @@ case class CosineSimF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native integer dot product of two ARRAY<BIGINT> columns — the hot scalar
+  * of the quantized (SQ8) candidate scans (n9/n10): per candidate pair one
+  * codegen'd loop of long multiply-adds over columnar `ArrayData`, replacing
+  * an interpreted `aggregate(zip_with(...))` lambda chain. Bit-identical to
+  * that fold on null-free arrays (the quantizer emits none — every lane is
+  * `floor(...)` or literal 0); null elements are skipped like
+  * [[DotProductF]]. Exact below 2^53 products by construction (int8 codes).
+  */
+case class DotProductL(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<BIGINT> arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_product_l"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i))
+        acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductL =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native mixed dot product ARRAY<FLOAT> × ARRAY<DOUBLE> → DOUBLE — the
+  * probe/assignment scalar of n10 (float vectors against the 6-dp DOUBLE
+  * centroids, which are not float-representable): strictly left-to-right
+  * `(double) a[i] * b[i]` accumulation, bit-identical to the
+  * `aggregate(zip_with(a, b, (x, y) -> double(x) * y), 0d, acc + v)` fold it
+  * replaces, with no per-element lambda dispatch. Null elements skipped like
+  * [[DotProductF]]; length mismatch uses zip semantics.
+  */
+case class DotProductFD(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) => true
+      case _ => false
+    }
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT>, ARRAY<DOUBLE> arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product_fd"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i))
+        acc += a.getFloat(i).toDouble * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += (double) $a.getFloat($i) * $b.getDouble($i);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductFD =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points for the native vector expressions. */
 object VectorFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -159,6 +279,12 @@ object VectorFunctions {
     import org.apache.spark.sql.functions.sqrt
     sqrt(dot_f(a, a))
   }
+  def dot_l(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotProductL(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def dot_fd(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotProductFD(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def cosine_sim(a: Column, b: Column): Column =
     ColumnBridge.column(
       CosineSimF(ColumnBridge.expression(a), ColumnBridge.expression(b)))

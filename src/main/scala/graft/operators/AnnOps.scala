@@ -356,14 +356,16 @@ object AnnOps {
       .withColumn("qv", transform(col("ee"), x =>
         when(col("scale") > 0, floor(x * 127.0 / col("scale") + 0.5))
           .otherwise(lit(0L))).cast("array<bigint>"))
-      .withColumn("qn", aggregate(col("qv"), lit(0L), (a, x) => a + x * x))
+      .withColumn("qn",
+        graft.functions.VectorFunctions.dot_l(col("qv"), col("qv")))
     val queries = qz.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("qv").as("qq"),
         col("qn").as("qqn"), col("embedding").as("qe"),
         norm(col("embedding")).as("nq"))
     val corpus = qz.select(col("vec_id"), col("qv"), col("qn"))
-    val idot = aggregate(zip_with(col("qq"), col("qv"), (a, b) => a * b),
-      lit(0L), (a, x) => a + x)
+    // native codegen'd long dot — bit-identical to the zip_with fold it
+    // replaces (integer adds are order-free and exact below 2^53)
+    val idot = graft.functions.VectorFunctions.dot_l(col("qq"), col("qv"))
     val approx = when(col("qqn") === 0 || col("qn") === 0, lit(0.0)).otherwise(
       floor(idot.cast("double") / sqrt((col("qqn") * col("qn")).cast("double"))
         * 10000.0 + 0.5) / 10000.0)
@@ -447,10 +449,12 @@ object AnnOps {
     }.sortBy(_._1)
     require(centArr.nonEmpty, "ivfQuantizedTopK needs at least one cell")
     // floor((2·v·c − ‖c‖²)·1e4 + 0.5): argmin L2 as a 4-dp integer score —
-    // sub-ulp fold jitter cannot flip an assignment or a probe choice
+    // sub-ulp fold jitter cannot flip an assignment or a probe choice. The
+    // float×double dot is the native codegen'd DotProductFD (bit-identical
+    // to the lambda fold; centroids are DOUBLE — 6-dp means are not
+    // float-representable — so dot_f cannot apply).
     def ddot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (s, x) => s + x)
+      graft.functions.VectorFunctions.dot_fd(a, b)
     val scoredCells = array(centArr.map { case (cell, c) =>
       val cnorm2 = c.foldLeft(0.0)((a, x) => a + x * x)
       struct(
@@ -471,7 +475,8 @@ object AnnOps {
       .withColumn("qv", transform(col("ee"), x =>
         when(col("scale") > 0, floor(x * 127.0 / col("scale") + 0.5))
           .otherwise(lit(0L))).cast("array<bigint>"))
-      .withColumn("qn", aggregate(col("qv"), lit(0L), (a, x) => a + x * x))
+      .withColumn("qn",
+        graft.functions.VectorFunctions.dot_l(col("qv"), col("qv")))
     val queries = qz.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("qv").as("qq"),
         col("qn").as("qqn"), col("embedding").as("qe"),
@@ -486,8 +491,8 @@ object AnnOps {
     val qside = probes.join(
       broadcast(queries.select(col("query_id"), col("qq"), col("qqn"))),
       Seq("query_id"))
-    val idot = aggregate(zip_with(col("qq"), col("qv"), (a, b) => a * b),
-      lit(0L), (a, x) => a + x)
+    // native codegen'd long dot — bit-identical to the zip_with fold
+    val idot = graft.functions.VectorFunctions.dot_l(col("qq"), col("qv"))
     val approx = when(col("qqn") === 0 || col("qn") === 0, lit(0.0)).otherwise(
       floor(idot.cast("double") / sqrt((col("qqn") * col("qn")).cast("double"))
         * 10000.0 + 0.5) / 10000.0)

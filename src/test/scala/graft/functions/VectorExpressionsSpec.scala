@@ -33,6 +33,58 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("dot_l matches the integer zip_with fold exactly; codegen'd") {
+    val df = Seq(
+      (Array(1L, -2L, 3L), Array(4L, 5L, 127L)),
+      (Array(127L, -127L), Array(127L, 127L)),
+      (Array.empty[Long], Array.empty[Long]))
+      .toDF("a", "b")
+    val got = df.select(
+      VectorFunctions.dot_l(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v).as("fold"))
+    got.collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    assert(got.head.getLong(0) === 4L - 10L + 381L)
+    // codegen participation on a parquet-backed frame (a local relation
+    // constant-folds to LocalTableScan and shows no codegen stage)
+    val e = graft.Tables.table(spark, sf, "embeddings")
+      .select(transform(col("embedding"), x => x.cast("long")).as("q"))
+    val plan = e.select(VectorFunctions.dot_l(col("q"), col("q")))
+      .queryExecution.executedPlan.toString
+    // the input transform's higher-order lambda splits the stage, so the
+    // dot lands in a later codegen'd span — any starred Project proves it
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(plan).isDefined, plan)
+    intercept[Exception] {
+      Seq((Array(1.0f), Array(1L))).toDF("a", "b")
+        .select(VectorFunctions.dot_l(col("a"), col("b"))).collect()
+    }
+  }
+
+  test("dot_fd matches the float×double cast fold bit-for-bit; codegen'd") {
+    val df = Seq(
+      (Array(1.5f, -0.25f, 3.1f), Array(0.123456, 2.0, -7.5)),
+      (Array(0.1f), Array(1.0 / 3.0)),
+      (Array.empty[Float], Array.empty[Double]))
+      .toDF("a", "b")
+    val got = df.select(
+      VectorFunctions.dot_fd(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v).as("fold"))
+    got.collect().foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // codegen participation pinned structurally: the expression implements
+    // doGenCode (not CodegenFallback) — a same-stage higher-order lambda
+    // (the transform building the double side) can demote the WHOLE stage,
+    // which is the lambda's cost, not this expression's
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val expr = ColumnBridge.expression(
+      VectorFunctions.dot_fd(col("a"), col("b")))
+    assert(!expr.isInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback])
+  }
+
   test("expression participates in whole-stage codegen") {
     val e = graft.Tables.table(spark, sf, "embeddings")
     val plan = e.select(VectorFunctions.dot_f(col("embedding"), col("embedding")))
