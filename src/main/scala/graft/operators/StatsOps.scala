@@ -235,49 +235,89 @@ object StatsOps {
     * partitioning (one exchange of candidate rows); the channel rollup is
     * channel-cardinality-sized.
     */
-  def attribution(events: DataFrame): DataFrame = {
-    val winUs = 24L * 3600 * 1000000
-    val views = events.filter(col("event_type") === "view")
+  def attribution(events: DataFrame): DataFrame =
+    attributionFinish(attributionPartials(
+      attributionMarkedPre(attributionPre(events))))
+
+  private[graft] val AttribWinUs = 24L * 3600 * 1000000
+
+  /** The candidate-input projection a14 and its streaming face share: one
+    * row per view (channel resolved, null channels dropped) or purchase —
+    * ALSO the streaming face's retained-state schema.
+    */
+  private[graft] def attributionPre(events: DataFrame): DataFrame =
+    events.filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        (get_json_object(col("props"), "$.k").cast("long") % 5).as("channel"),
+        col("value"))
+      .filter(col("event_type") === "purchase" || col("channel").isNotNull)
+
+  /** purchase×view candidates within the lookback, first/last ranks and the
+    * per-purchase touch count — all three windows on ONE p_id exchange.
+    */
+  private[graft] def attributionMarkedPre(pre: DataFrame): DataFrame = {
+    val views = pre.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("v_id"),
-        unix_micros(col("ts")).as("v_us"),
-        (get_json_object(col("props"), "$.k").cast("long") % 5).as("channel"))
-      .filter(col("channel").isNotNull)
-    val purchases = events.filter(col("event_type") === "purchase")
+        col("us").as("v_us"), col("channel"))
+    val purchases = pre.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("p_id"),
-        unix_micros(col("ts")).as("p_us"), col("value"))
-    val cand = purchases.join(views, Seq("user_id"))
-      .filter(col("v_us") <= col("p_us") && col("v_us") > col("p_us") - winUs)
-    val marked = cand
+        col("us").as("p_us"), col("value"))
+    purchases.join(views, Seq("user_id"))
+      .filter(col("v_us") <= col("p_us") &&
+        col("v_us") > col("p_us") - AttribWinUs)
       .withColumn("rnf", row_number().over(Window.partitionBy("p_id")
         .orderBy(col("v_us").asc, col("v_id").asc)))
       .withColumn("rnl", row_number().over(Window.partitionBy("p_id")
         .orderBy(col("v_us").desc, col("v_id").desc)))
       .withColumn("n_t", count(lit(1)).over(Window.partitionBy("p_id")))
+  }
+
+  /** Per-channel DECIMAL partials over a marked frame. Kept in decimal (not
+    * cast to double) so the streaming face can MERGE partials across
+    * micro-batches losslessly — decimal sums are order-free and
+    * partition-associative, so done ⊕ live equals the one-shot batch sum
+    * bit-for-bit. Widened to DECIMAL(38,4) so the merged state's type is
+    * stable across batches (Spark caps widening at 38 anyway).
+    *
+    * MULTI-TOUCH weights over the same candidate frame (no new shuffle —
+    * n_t shares the two rank windows' p_id partitioning). Linear: value/n
+    * per touch. Position-based (U-shape): 40% first + 40% last + 20%
+    * split across middles; 1 touch → 100%, 2 touches → 50/50. Weights are
+    * IEEE doubles from integer inputs — identical cross-engine — and each
+    * contribution rounds to DECIMAL(18,4) per row before the order-free
+    * decimal sum, so per-purchase splits sum to the purchase value within
+    * n·5e-5 (the conservation bound pinned in BatchQueriesSpec).
+    */
+  private[graft] def attributionPartials(marked: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+    val wide = org.apache.spark.sql.types.DecimalType(38, 4)
     def drev(flag: Column): Column =
-      sum(when(flag, col("value")).otherwise(0.0)
-        .cast(org.apache.spark.sql.types.DecimalType(18, 4))).cast("double")
-    def dsum(c: Column): Column =
-      sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 4))).cast("double")
-    // MULTI-TOUCH weights over the same candidate frame (no new shuffle —
-    // n_t shares the two rank windows' p_id partitioning). Linear: value/n
-    // per touch. Position-based (U-shape): 40% first + 40% last + 20%
-    // split across middles; 1 touch → 100%, 2 touches → 50/50. Weights are
-    // IEEE doubles from integer inputs — identical cross-engine — and each
-    // contribution rounds to DECIMAL(18,4) per row before the order-free
-    // decimal sum, so per-purchase splits sum to the purchase value within
-    // n·5e-5 (AttributionSpec pins the conservation bound).
+      sum(when(flag, col("value")).otherwise(0.0).cast(dec)).cast(wide)
     val posW = when(col("n_t") === 1, lit(1.0))
       .when(col("n_t") === 2, lit(0.5))
       .when(col("rnf") === 1 || col("rnl") === 1, lit(0.4))
       .otherwise(lit(0.2) / (col("n_t") - 2))
     marked.groupBy("channel").agg(
       sum(when(col("rnf") === 1, 1L).otherwise(0L)).as("ft_purchases"),
-      drev(col("rnf") === 1).as("ft_revenue"),
+      drev(col("rnf") === 1).as("ft_rev_d"),
       sum(when(col("rnl") === 1, 1L).otherwise(0L)).as("lt_purchases"),
-      drev(col("rnl") === 1).as("lt_revenue"),
-      dsum(col("value") / col("n_t")).as("lin_revenue"),
-      dsum(col("value") * posW).as("pos_revenue"))
+      drev(col("rnl") === 1).as("lt_rev_d"),
+      sum((col("value") / col("n_t")).cast(dec)).cast(wide).as("lin_rev_d"),
+      sum((col("value") * posW).cast(dec)).cast(wide).as("pos_rev_d"))
   }
+
+  /** Merge one or more partial frames per channel and surface the report
+    * schema (revenues to DOUBLE only here, after all exact decimal math).
+    */
+  private[graft] def attributionFinish(partials: DataFrame): DataFrame =
+    partials.groupBy("channel").agg(
+      sum(col("ft_purchases")).as("ft_purchases"),
+      sum(col("ft_rev_d")).cast("double").as("ft_revenue"),
+      sum(col("lt_purchases")).as("lt_purchases"),
+      sum(col("lt_rev_d")).cast("double").as("lt_revenue"),
+      sum(col("lin_rev_d")).cast("double").as("lin_revenue"),
+      sum(col("pos_rev_d")).cast("double").as("pos_revenue"))
   def attribution(spark: SparkSession, dir: String): DataFrame =
     attribution(table(spark, dir, "events"))
 

@@ -873,6 +873,82 @@ object StatsStreams {
     }
   }
 
+  /** Continuous marketing attribution — A14's streaming face, completing
+    * the analytics family's continuous story (funnel/transitions/retention
+    * already stream): per micro-batch the sink receives the COMPLETE
+    * refreshed per-channel report (first/last/linear/U-shape), equal to the
+    * batch operator over every event seen so far. Upsert semantics like
+    * entityResolveStream: a late view inside a live purchase's lookback
+    * legitimately REVISES that purchase's touch count and weights, so the
+    * report rewrites rather than appends.
+    *
+    * Exact compacted state under the in-horizon arrival contract (events
+    * arrive within one 24h lookback of the running max — the same
+    * watermark-shaped promise every stateful face here makes): the
+    * reference only ADVANCES, so a purchase older than ref − 24h can gain
+    * no further in-horizon views — its attribution is frozen and folds
+    * irreversibly into per-channel DECIMAL accumulators (decimal partials
+    * are order-free and partition-associative, so done ⊕ live equals the
+    * one-shot batch sum bit-for-bit; see
+    * [[graft.operators.StatsOps.attributionPartials]]). A view retires at
+    * TWO windows (it can only touch purchases up to one window after it,
+    * which finalize at most one window after that). State is therefore two
+    * trailing windows of projected events plus channels×6 scalars.
+    *
+    * Scale notes (100 TB): each batch pays the batch operator's own
+    * user-keyed candidate join over WINDOW-BOUNDED rows (two days of
+    * events, not history), one channel-sized state merge, and the p_id
+    * windows the batch plan already shares. Nothing corpus-scale persists.
+    */
+  def attributionStream(events: DataFrame)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val winUs = graft.operators.StatsOps.AttribWinUs
+    var live: Option[DataFrame] = None    // projected events, two windows
+    var doneAgg: Option[DataFrame] = None // per-channel decimal partials
+    events.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val b = graft.operators.StatsOps.attributionPre(batch)
+        val all = live.map(_.unionByName(b)).getOrElse(b)
+        val refRow = all.agg(max(col("us")).as("ref_us"))
+        val withRef = all.crossJoin(broadcast(refRow))
+        // frozen purchases: their whole lookback is still retained (views
+        // live two windows), so attribution computes complete, ONCE
+        val finalizing = withRef
+          .filter(col("event_type") === "purchase" &&
+            col("us") < col("ref_us") - winUs)
+          .drop("ref_us")
+        val frozen = graft.operators.StatsOps.attributionPartials(
+          graft.operators.StatsOps.attributionMarkedPre(
+            finalizing.unionByName(
+              all.filter(col("event_type") === "view"))))
+        val mergedDone = doneAgg.map(_.unionByName(frozen))
+          .getOrElse(frozen)
+          .groupBy("channel").agg(
+            sum(col("ft_purchases")).as("ft_purchases"),
+            sum(col("ft_rev_d")).as("ft_rev_d"),
+            sum(col("lt_purchases")).as("lt_purchases"),
+            sum(col("lt_rev_d")).as("lt_rev_d"),
+            sum(col("lin_rev_d")).as("lin_rev_d"),
+            sum(col("pos_rev_d")).as("pos_rev_d"))
+          .localCheckpoint(true)
+        val keep = withRef.filter(
+            (col("event_type") === "purchase" &&
+              col("us") >= col("ref_us") - winUs) ||
+            (col("event_type") === "view" &&
+              col("us") > col("ref_us") - 2 * winUs))
+          .drop("ref_us").localCheckpoint(true)
+        live.foreach(graft.operators.DedupOps.unpersistCheckpoint)
+        doneAgg.foreach(graft.operators.DedupOps.unpersistCheckpoint)
+        live = Some(keep)
+        doneAgg = Some(mergedDone)
+        val report = graft.operators.StatsOps.attributionFinish(
+          mergedDone.unionByName(graft.operators.StatsOps.attributionPartials(
+            graft.operators.StatsOps.attributionMarkedPre(keep))))
+        sink(report, id)
+    }
+  }
+
   /** Continuous volume-anomaly detection — DQ6's streaming face, dq5's
     * alerting sibling: per micro-batch the sink receives the full z-score
     * battery ([[graft.operators.RelationalOps.volumeAnomalyOfDaily]], the

@@ -698,6 +698,50 @@ class StatefulParitySpec extends SparkSpec {
     assert(batch.exists(r => r.head == "lang" && r(2) == 1L))
   }
 
+  test("attributionStream: frozen + live partials == batch a14 across finalization (A14)") {
+    implicit val sqlCtx = spark.sqlContext
+    val h = 3600L * 1000000
+    def ev(id: Long, user: Long, tpe: String, us: Long, value: Double, k: Long) =
+      (id, new java.sql.Timestamp(us / 1000), user, tpe, value, s"""{"k":$k}""")
+    // batch 1: user 1's journey completes (2 touches + purchase);
+    // batch 2: a LATE view lands inside user 2's live purchase lookback
+    //   (revises its touch count) and the ref advances 3 days, freezing
+    //   user 1's purchase into the decimal accumulators;
+    // batch 3: a new journey for user 3 after the freeze
+    val b1 = Seq(
+      ev(1, 1, "view", 10 * h, 0.0, 0), ev(2, 1, "view", 11 * h, 0.0, 1),
+      ev(3, 1, "purchase", 12 * h, 50.0, 9),
+      ev(4, 2, "view", 13 * h, 0.0, 2), ev(5, 2, "purchase", 14 * h, 30.0, 9))
+    val b2 = Seq(
+      ev(6, 2, "view", 13 * h + 1, 0.0, 3), // late view, revises user 2
+      ev(7, 9, "view", 84 * h, 0.0, 4))     // ref -> 84h: user 1 freezes
+    val b3 = Seq(
+      ev(8, 3, "view", 85 * h, 0.0, 0), ev(9, 3, "purchase", 86 * h, 20.0, 9))
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    def asEvents(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = scala.collection.mutable.ArrayBuffer[Map[Long, Seq[Any]]]()
+    val q = StatsStreams.attributionStream(asEvents(input.toDF())) { (df, _) =>
+      got += df.collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    }.start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      input.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.size === 3)
+    def batchOf(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]) =
+      graft.operators.StatsOps.attribution(asEvents(rows.toDF()))
+        .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    // parity at every arrival prefix — including the batch where user 2's
+    // attribution is REVISED by the late view and user 1's is frozen
+    assert(got(0) === batchOf(b1))
+    assert(got(1) === batchOf(b1 ++ b2))
+    assert(got(2) === batchOf(b1 ++ b2 ++ b3))
+    // the late view took half of user 2's purchase from ch2 to ch3
+    assert(got(1)(2L) !== got(0)(2L))
+  }
+
   test("freshnessStream: compacted state stays exact — final report == batch dq5 (DQ5)") {
     implicit val sqlCtx = spark.sqlContext
     val day = 86400000000L
