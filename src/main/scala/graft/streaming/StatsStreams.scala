@@ -873,6 +873,28 @@ object StatsStreams {
     }
   }
 
+  /** Continuous referential-integrity monitoring — DQ7's streaming face,
+    * and the member of the dq family that is MOST naturally per-load: each
+    * arriving micro-batch of fact rows is audited against the dimension
+    * (orphan/NULL-key counts via the SAME
+    * [[graft.operators.RelationalOps.fkCheck]] the batch battery runs, so
+    * the report schema and semantics cannot drift) — the ingest gate that
+    * catches an out-of-order load BEFORE downstream joins silently drop
+    * rows. `dim` is by-name, re-read per batch (the d19 / J3b static-index
+    * shape), so a dimension refreshed between triggers is picked up.
+    * Zero stream state; per-batch cost is one keyed (or broadcast) left
+    * join of batch-sized rows.
+    */
+  def fkMonitorStream(facts: DataFrame, fk: String, dim: => DataFrame,
+      pk: String, rel: String)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    facts.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(graft.operators.RelationalOps.fkCheck(rel, batch, fk, dim, pk),
+          id)
+    }
+
   /** Continuous marketing attribution — A14's streaming face, completing
     * the analytics family's continuous story (funnel/transitions/retention
     * already stream): per micro-batch the sink receives the COMPLETE

@@ -698,6 +698,24 @@ class StatefulParitySpec extends SparkSpec {
     assert(batch.exists(r => r.head == "lang" && r(2) == 1L))
   }
 
+  test("fkMonitorStream: per-batch orphan audit == fkCheck; dim refresh picked up (DQ7)") {
+    implicit val sqlCtx = spark.sqlContext
+    var dim = Seq(1L, 2L).toDF("pk")
+    val input = MemoryStream[Long]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Boolean)]()
+    val q = StatsStreams.fkMonitorStream(
+        input.toDF().toDF("fk"), "fk", dim, "pk", "fact.fk->dim") { (df, _) =>
+      val r = df.head
+      got += ((r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    }.start()
+    try {
+      input.addData(1L, 2L, 7L); q.processAllAvailable() // 7 is an orphan
+      dim = Seq(1L, 2L, 7L).toDF("pk")                   // dim refreshed
+      input.addData(7L, 2L); q.processAllAvailable()     // 7 now resolves
+    } finally q.stop()
+    assert(got.toSeq === Seq((3L, 1L, false), (2L, 0L, true)))
+  }
+
   test("attributionStream: frozen + live partials == batch a14 across finalization (A14)") {
     implicit val sqlCtx = spark.sqlContext
     val h = 3600L * 1000000
