@@ -27,8 +27,27 @@ import org.apache.spark.storage.StorageLevel
   * pair-TOUCHED vertices only, the non-singleton minority of any real corpus.
   */
 private[graft] object ClusterMemo {
+  /** Entry cap with LRU eviction: a long-lived STREAMING session computes a
+    * fresh closure per micro-batch (new checkpointed inputs → new key —
+    * entityResolveStream's shape), and without eviction every batch's label
+    * blocks would stay protected-and-persisted for the session's lifetime.
+    * Eviction unpersists the evictee's blocks; 32 keeps every batch/bench
+    * consumer comfortably shared while bounding a stream to the last 32
+    * closures' worth of pair-graph-sized frames.
+    */
+  private val MaxEntries = 32
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, DataFrame]): Boolean = {
+        val evict = size() > MaxEntries
+        if (evict) {
+          try liveRdds(e.getValue).foreach(_.unpersist(blocking = false))
+          catch { case _: Throwable => () }
+        }
+        evict
+      }
+    }
 
   /** Number of times a compute (closure loop) actually ran — specs pin reuse
     * by asserting this does NOT advance on a second structurally identical
@@ -52,7 +71,7 @@ private[graft] object ClusterMemo {
     } catch { case _: Throwable => false }
 
   /** Block ids Bench's between-query sweep must leave alone. */
-  def protectedRddIds: Set[Int] = {
+  def protectedRddIds: Set[Int] = memo.synchronized {
     import scala.jdk.CollectionConverters._
     memo.values.asScala.flatMap(df =>
       try liveRdds(df).map(_.id) catch { case _: Throwable => Nil }
@@ -60,7 +79,7 @@ private[graft] object ClusterMemo {
   }
 
   /** Drop every entry and release its blocks — test teardown hook. */
-  def clear(): Unit = {
+  def clear(): Unit = memo.synchronized {
     import scala.jdk.CollectionConverters._
     memo.values.asScala.foreach { df =>
       try liveRdds(df).foreach(_.unpersist(blocking = false))
@@ -69,24 +88,22 @@ private[graft] object ClusterMemo {
     memo.clear()
   }
 
-  def getOrCompute(key: String)(compute: => DataFrame): DataFrame = {
-    val cached = memo.get(key)
-    if (cached != null && stillLive(cached)) cached
-    else {
-      // Serialize per-JVM: the compute runs Spark jobs, and two concurrent
-      // misses for the same key would double-pay the closure. Bench/Verify
-      // are single-threaded; this lock is for test suites running parallel
-      // sessions.
-      memo.synchronized {
-        val again = memo.get(key)
-        if (again != null && stillLive(again)) again
-        else {
-          val fresh = compute
-          computeCount += 1
-          memo.put(key, fresh)
-          fresh
-        }
+  /** Live entry count — spec hook for the eviction bound. */
+  def size: Int = memo.synchronized(memo.size())
+
+  // All access serializes on `memo` (LinkedHashMap's access-order bookkeeping
+  // is not thread-safe, and the compute runs Spark jobs that two concurrent
+  // misses for the same key would double-pay). Bench/Verify are
+  // single-threaded; the lock is for test suites with parallel sessions.
+  def getOrCompute(key: String)(compute: => DataFrame): DataFrame =
+    memo.synchronized {
+      val cached = memo.get(key)
+      if (cached != null && stillLive(cached)) cached
+      else {
+        val fresh = compute
+        computeCount += 1
+        memo.put(key, fresh)
+        fresh
       }
     }
-  }
 }

@@ -90,6 +90,24 @@ class ClusterSpec extends SparkSpec {
     assert(ClusterMemo.computeCount === after1 + 1)
   }
 
+  test("session memo: LRU eviction bounds entries and releases evicted blocks") {
+    ClusterMemo.clear()
+    val vertices = (0L to 10L).toDF("doc_id")
+    // 40 distinct keys (different pair frames) — a streaming session's shape
+    (1 to 40).foreach { i =>
+      // the second (out-of-vertex, inert) pair makes every plan distinct
+      val pairs = Seq((0L, i.toLong % 10 + 1L),
+        (1000L + i, 2000L + i)).toDF("doc_a", "doc_b")
+      DedupOps.connectedComponents(vertices, pairs).count()
+    }
+    assert(ClusterMemo.size <= 32, s"memo grew to ${ClusterMemo.size}")
+    // protected ids track only LIVE entries — evicted blocks are released,
+    // so the protected set stays bounded too
+    assert(ClusterMemo.protectedRddIds.size <= 32 * 2)
+    ClusterMemo.clear()
+    assert(ClusterMemo.size === 0)
+  }
+
   test("session memo: swept blocks are detected and the closure recomputed") {
     ClusterMemo.clear()
     val df = graft.Tables.table(spark, sf, "documents")
