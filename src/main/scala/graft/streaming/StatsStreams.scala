@@ -873,6 +873,42 @@ object StatsStreams {
     }
   }
 
+  /** Continuous distribution monitoring over CONSTANT sketch state — the
+    * streaming face of the KLL quantile sketch, completing the sketch
+    * family's deployment story (HLL counts distincts, count-min counts
+    * frequencies, KLL tracks the distribution): each micro-batch is
+    * sketched DISTRIBUTED (the kll_sketch aggregator — raw rows never
+    * reach the driver), merged into the running sketch (a few KB,
+    * regardless of stream length), and the sink receives the tracked
+    * quantiles plus the EXACT total count (weight-preserving compaction
+    * recovers N exactly even though values are approximate). This is the
+    * length-distribution drift monitor that pairs with dq2/dq3: a median
+    * that walks or a p99 that collapses at ingest time is a upstream
+    * change caught before it poisons training mixes.
+    *
+    * Error contract: quantile VALUES carry the sketch's rank error (~1.5%
+    * empirical at K=200, 3% spec bound — KllQuantileSpec); `n` is exact.
+    */
+  def quantileMonitorStream(docs: DataFrame, valueCol: String,
+      qs: Seq[Double] = Seq(0.25, 0.5, 0.9))(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var sketch: Array[Array[Double]] = graft.functions.Kll.empty
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val b = batch.agg(graft.functions.KllFunctions
+            .kll_sketch(col(valueCol).cast("double")).as("sk"))
+          .head.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("sk")
+        sketch = graft.functions.Kll.merge(sketch, b.map(_.toArray).toArray)
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val n = graft.functions.Kll.totalWeight(sketch)
+        sink(qs.map(q =>
+          (q, graft.functions.Kll.quantile(sketch, q), n)).toDF("q", "value", "n"),
+          id)
+    }
+  }
+
   /** Continuous referential-integrity monitoring — DQ7's streaming face,
     * and the member of the dq family that is MOST naturally per-load: each
     * arriving micro-batch of fact rows is audited against the dimension

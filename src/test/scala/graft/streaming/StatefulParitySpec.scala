@@ -698,6 +698,37 @@ class StatefulParitySpec extends SparkSpec {
     assert(batch.exists(r => r.head == "lang" && r(2) == 1L))
   }
 
+  test("quantileMonitorStream: exact N, quantiles within the sketch bound (KLL)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(42L)
+    val b1 = (0 until 4000).map(_ => rnd.nextGaussian() * 50.0 + 200.0)
+    val b2 = (0 until 4000).map(_ => rnd.nextGaussian() * 50.0 + 500.0) // drift
+    val input = MemoryStream[Double]
+    val got = scala.collection.mutable.ArrayBuffer[Seq[(Double, Double, Long)]]()
+    val q = StatsStreams.quantileMonitorStream(
+        input.toDF().toDF("x"), "x") { (df, _) =>
+      got += df.collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2))).toSeq
+    }.start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.size === 2)
+    // N is EXACT at every batch despite constant sketch state
+    assert(got(0).forall(_._3 === 4000L) && got(1).forall(_._3 === 8000L))
+    // quantile values within the 3% rank bound of the exact union
+    val all = (b1 ++ b2).sorted
+    got(1).foreach { case (qq, est, _) =>
+      val rank = all.count(_ < est)
+      assert(math.abs(rank - qq * all.size) <= 0.03 * all.size,
+        s"q=$qq est=$est rank=$rank")
+    }
+    // the drift is VISIBLE: the median moved up after batch 2
+    val med1 = got(0).find(_._1 == 0.5).get._2
+    val med2 = got(1).find(_._1 == 0.5).get._2
+    assert(med2 > med1 + 50.0, s"median $med1 -> $med2 missed the drift")
+  }
+
   test("fkMonitorStream: per-batch orphan audit == fkCheck; dim refresh picked up (DQ7)") {
     implicit val sqlCtx = spark.sqlContext
     var dim = Seq(1L, 2L).toDF("pk")
