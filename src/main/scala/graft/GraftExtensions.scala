@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
-import graft.functions.{CosineSimF, DotProductF, DupSpansExpr, IntersectCountExpr, MinHashSigExpr, SimHashBitsExpr, SrpSigExpr, WinnowMinsExpr}
+import graft.functions.{CosineSimF, DotProductF, DotProductFD, DotProductL, DupSpansExpr, IntersectCountExpr, MinHashSigExpr, SimHashBitsExpr, SrpSigExpr, WinnowMinsExpr}
 
 /** Session extension wiring: registers the engine's native expressions for
   * SQL use. Install with
@@ -22,6 +22,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product_f"),
       new ExpressionInfo(classOf[DotProductF].getName, "dot_product_f"),
       GraftExtensions.dotBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product_l"),
+      new ExpressionInfo(classOf[DotProductL].getName, "dot_product_l"),
+      GraftExtensions.dotLBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product_fd"),
+      new ExpressionInfo(classOf[DotProductFD].getName, "dot_product_fd"),
+      GraftExtensions.dotFDBuilder))
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
@@ -77,6 +85,16 @@ object GraftExtensions {
   private[graft] val cosineBuilder: Seq[Expression] => Expression = {
     case Seq(a, b) => CosineSimF(a, b)
     case children => wrongArgs("cosine_sim", 2, children.length)
+  }
+
+  private[graft] val dotLBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => DotProductL(a, b)
+    case children => wrongArgs("dot_product_l", 2, children.length)
+  }
+
+  private[graft] val dotFDBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => DotProductFD(a, b)
+    case children => wrongArgs("dot_product_fd", 2, children.length)
   }
 
   private[graft] val minhashBuilder: Seq[Expression] => Expression = {
@@ -162,6 +180,8 @@ object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val bridge = org.apache.spark.sql.graftbridge.ColumnBridge
     bridge.registerFunction(spark, "dot_product_f", dotBuilder)
+    bridge.registerFunction(spark, "dot_product_l", dotLBuilder)
+    bridge.registerFunction(spark, "dot_product_fd", dotFDBuilder)
     bridge.registerFunction(spark, "minhash_sig", minhashBuilder)
     bridge.registerFunction(spark, "simhash_bits", simhashBuilder)
     bridge.registerFunction(spark, "srp_sig", srpBuilder)

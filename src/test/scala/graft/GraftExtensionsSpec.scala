@@ -11,6 +11,17 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r === 11.0)
   }
 
+  test("dot_product_l / dot_product_fd callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    assert(spark.sql(
+      "SELECT dot_product_l(array(2L, 3L), array(5L, 7L)) AS d")
+      .head.getLong(0) === 31L)
+    val fd = spark.sql(
+      "SELECT dot_product_fd(array(CAST(1.5 AS FLOAT)), array(CAST(2.0 AS DOUBLE))) AS d")
+      .head.getDouble(0)
+    assert(fd === 3.0)
+  }
+
   test("minhash_sig and hll aggregators callable from SQL after registration") {
     GraftExtensions.register(spark)
     // native expression: same first family as md5("0:" ++ s) sliced to 8 hex
