@@ -57,6 +57,9 @@ object SparkEntry {
     // dq3: per-column catalog profile — rows/nulls/exact distincts/min/max,
     // one pruned scan per column
     "dq3_column_profile" -> ((s: SparkSession, d: String) => RelationalOps.columnProfile(s, d)),
+    // dq8: profile drift between l3's snapshots — dq3's battery per side,
+    // report-sized join, integer cross-product thresholds, drifted verdict
+    "dq8_profile_drift" -> ((s: SparkSession, d: String) => RelationalOps.profileDrift(s, d)),
     // dq4: k-anonymity audit over the (lang, source, len-bucket)
     // quasi-identifier — sub-k groups flagged, one bounded keyed agg
     "dq4_k_anonymity" -> ((s: SparkSession, d: String) => RelationalOps.kAnonymity(s, d)),
@@ -86,6 +89,9 @@ object SparkEntry {
     // t16: char-entropy quality signal (the compression-proxy filter) —
     // native single-pass codegen expression, zero shuffle
     "t16_char_entropy" -> ((s: SparkSession, d: String) => TextOps.charEntropy(s, d)),
+    // t17: the FULL Gopher Table-A1 repetition battery — top-{2,3,4}-gram
+    // and dup-{5..10}-gram character fractions, integer-compared thresholds
+    "t17_gopher_repetition" -> ((s: SparkSession, d: String) => TextOps.gopherRepetition(s, d)),
     // g11: item-item cosine over binary user sets (collaborative
     // filtering) — user-keyed posting self-join, active-user bound
     "g11_item_similarity" -> ((s: SparkSession, d: String) => StatsOps.itemSimilarity(s, d)),
@@ -621,6 +627,25 @@ object SparkEntry {
     * mirror of the m1/v1/m3 fake decoder's digest arithmetic (ONE
     * definition; three queries share it, so the convention cannot drift).
     */
+  /** dq3's per-column profile battery over an arbitrary relation — the ONE
+    * oracle definition of the profile shape; dq8 applies it to both l3
+    * snapshots, so the profile convention cannot drift between the two.
+    */
+  private def profileSql(rel: String): String = {
+    def one(c: String, named: Boolean) = {
+      def as(a: String) = if (named) s" AS $a" else ""
+      s"""SELECT '$c'${as("col_name")}, CAST(count(*) AS BIGINT)${as("n_rows")},
+         |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)${as("null_ct")},
+         |       CAST(count(DISTINCT $c) AS BIGINT)${as("distinct_ct")},
+         |       CAST(min($c) AS VARCHAR)${as("min_val")},
+         |       CAST(max($c) AS VARCHAR)${as("max_val")}
+         |FROM $rel""".stripMargin
+    }
+    val cols = Seq("lang", "source", "n_chars")
+    (one(cols.head, named = true) +: cols.tail.map(one(_, named = false)))
+      .mkString("\nUNION ALL\n")
+  }
+
   private def hexByteSql(i: Int): String =
     s"((strpos('0123456789abcdef', substr(md5(text), ${2 * i + 1}, 1)) - 1) * 16 + " +
       s"(strpos('0123456789abcdef', substr(md5(text), ${2 * i + 2}, 1)) - 1))"
@@ -673,6 +698,60 @@ object SparkEntry {
        |),
        |cl AS (SELECT root AS doc_id, min(node) AS cluster_id FROM reach GROUP BY root)
        |$select""".stripMargin
+
+  /** t17's oracle, generated from the SAME threshold tables the operator
+    * folds from ([[graft.operators.TextOps.TopGramThresholds]] /
+    * [[DupGramThresholds]]) so the two sides cannot drift: per n, DuckDB
+    * restates the gram window (`ws[i:i+n-1]` space-joined), per-(doc, gram)
+    * counts, then either the top gram by (ct DESC, gram ASC) × its length
+    * (top rows) or Σ ct·len over grams with ct ≥ 2 (dup rows); docs whose
+    * gram list is empty LEFT-JOIN back as 0, matching the operator's fold
+    * over an empty array.
+    */
+  private def t17Sql: String = {
+    import graft.operators.TextOps.{DupGramThresholds, TopGramThresholds}
+    val gramCte = (n: Int) =>
+      s"""c$n AS (SELECT doc_id, gram, count(*) AS ct FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - $n + 2),
+         |         i -> array_to_string(ws[i:i+${n - 1}], ' '))) AS gram FROM w)
+         |  GROUP BY 1, 2)""".stripMargin
+    val topCtes = TopGramThresholds.map { case (n, _) =>
+      s"""${gramCte(n)},
+         |t$n AS (SELECT doc_id, CAST(ct * len(gram) AS BIGINT) AS top${n}_chars FROM (
+         |  SELECT doc_id, gram, ct,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY ct DESC, gram ASC) AS rn
+         |  FROM c$n) WHERE rn = 1)""".stripMargin
+    }
+    val dupCtes = DupGramThresholds.map { case (n, _) =>
+      s"""${gramCte(n)},
+         |d$n AS (SELECT doc_id,
+         |  CAST(COALESCE(SUM(CASE WHEN ct >= 2 THEN ct * len(gram) END), 0) AS BIGINT)
+         |    AS dup${n}_chars
+         |  FROM c$n GROUP BY 1)""".stripMargin
+    }
+    val prefixes = TopGramThresholds.map(t => s"top${t._1}") ++
+      DupGramThresholds.map(t => s"dup${t._1}")
+    val charCols = prefixes
+      .map(p => s"CAST(COALESCE(${p}_chars, 0) AS BIGINT) AS ${p}_chars")
+    val fracCols = prefixes.map(p =>
+      s"floor(COALESCE(${p}_chars, 0) * 10000.0 / n_chars + 0.5) / 10000.0 AS ${p}_frac")
+    val flag = (TopGramThresholds ++ DupGramThresholds)
+      .zip(prefixes)
+      .map { case ((_, thr), p) => s"COALESCE(${p}_chars, 0) * 100 > n_chars * $thr" }
+      .mkString("(", " OR ", ") AS flagged")
+    val joins = (TopGramThresholds.map(t => s"t${t._1}") ++
+      DupGramThresholds.map(t => s"d${t._1}"))
+      .map(a => s"LEFT JOIN $a USING (doc_id)").mkString("\n")
+    s"""WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS ws
+       |           FROM documents WHERE n_chars > 0),
+       |base AS (SELECT doc_id, n_chars, CAST(len(ws) AS BIGINT) AS n_words FROM w),
+       |${(topCtes ++ dupCtes).mkString(",\n")}
+       |SELECT doc_id, n_words, n_chars,
+       |${(charCols ++ fracCols).mkString(",\n")},
+       |$flag
+       |FROM base
+       |$joins""".stripMargin
+  }
 
   private val cosineCommon =
     """q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
@@ -855,24 +934,31 @@ object SparkEntry {
         |FROM i JOIN h USING (lang) CROSS JOIN ni CROSS JOIN nh""".stripMargin,
     // dq3: per-column profile restated column by column; min/max compare in
     // the column's own type, then render as VARCHAR for the uniform row
-    "dq3_column_profile" ->
-      """SELECT 'lang' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
-        |       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ct,
-        |       CAST(count(DISTINCT lang) AS BIGINT) AS distinct_ct,
-        |       CAST(min(lang) AS VARCHAR) AS min_val, CAST(max(lang) AS VARCHAR) AS max_val
-        |FROM documents
-        |UNION ALL
-        |SELECT 'source', CAST(count(*) AS BIGINT),
-        |       CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-        |       CAST(count(DISTINCT source) AS BIGINT),
-        |       CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
-        |FROM documents
-        |UNION ALL
-        |SELECT 'n_chars', CAST(count(*) AS BIGINT),
-        |       CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-        |       CAST(count(DISTINCT n_chars) AS BIGINT),
-        |       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
-        |FROM documents""".stripMargin,
+    "dq3_column_profile" -> profileSql("documents"),
+    // dq8: per-column profile drift between l3's two snapshots — dq3's
+    // battery over each side (ONE profileSql definition serves both
+    // oracles), report-sized join, integer cross-product thresholds
+    "dq8_profile_drift" ->
+      s"""WITH v1 AS (SELECT * FROM documents WHERE doc_id % 5 != 4),
+         |v2 AS (SELECT * FROM documents WHERE doc_id % 7 != 6),
+         |p1 AS (${profileSql("v1")}),
+         |p2 AS (${profileSql("v2")})
+         |SELECT col_name, p1.n_rows AS rows_v1, p2.n_rows AS rows_v2,
+         |       p2.n_rows - p1.n_rows AS row_delta,
+         |       floor(p1.null_ct * 10000.0 / p1.n_rows + 0.5) / 10000.0 AS null_rate_v1,
+         |       floor(p2.null_ct * 10000.0 / p2.n_rows + 0.5) / 10000.0 AS null_rate_v2,
+         |       p1.distinct_ct AS distinct_v1, p2.distinct_ct AS distinct_v2,
+         |       floor(p2.distinct_ct * 10000.0 / p1.distinct_ct + 0.5) / 10000.0
+         |         AS distinct_ratio,
+         |       p1.min_val != p2.min_val AS min_changed,
+         |       p1.max_val != p2.max_val AS max_changed,
+         |       (p2.distinct_ct * 2 < p1.distinct_ct
+         |        OR p2.distinct_ct > p1.distinct_ct * 2
+         |        OR abs(p2.null_ct * p1.n_rows - p1.null_ct * p2.n_rows) * 10
+         |           > p1.n_rows * p2.n_rows
+         |        OR p1.min_val != p2.min_val
+         |        OR p1.max_val != p2.max_val) AS drifted
+         |FROM p1 JOIN p2 USING (col_name)""".stripMargin,
     // dq5: stream max/lag/volumes vs the table max — all integer micros
     "dq5_freshness" ->
       s"""WITH e AS (SELECT event_type, epoch_us($EV) AS us FROM events),
@@ -964,6 +1050,7 @@ object SparkEntry {
     // g12: doc-level source overlap — distinct (source, fp) projection,
     // fp-keyed pair join (fanout bounded by source count), integer until
     // the final 4-dp floor division
+    "t17_gopher_repetition" -> t17Sql,
     "g12_source_overlap" ->
       """WITH fps AS (SELECT DISTINCT source, md5(text) AS fp FROM documents),
         |cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_fps

@@ -492,6 +492,60 @@ object RelationalOps {
   def snapshotDiff(spark: SparkSession, dir: String): DataFrame =
     snapshotDiff(table(spark, dir, "documents"))
 
+  /** DQ8 — PROFILE DRIFT between table snapshots, closing the dq family's
+    * loop: l3 tells a consumer *that* rows changed, dq2 tracks one chosen
+    * distribution — dq8 is the catalog-level answer to "did the SHAPE of
+    * the table move between publishes?". It composes dq3's per-column
+    * profile (rows / nulls / exact distincts / typed min-max) over l3's two
+    * deterministic snapshots and diffs them per column: row delta, 4-dp
+    * null rates, the v2:v1 distinct-cardinality ratio, and min/max-bound
+    * movement, plus a `drifted` verdict (cardinality halved/doubled, null
+    * rate moved > 0.1, or a bound changed) — the alert a schema-registry /
+    * data-contract monitor raises before consumers read a reshaped table.
+    *
+    * Both stages reuse the existing conventions VERBATIM (dq3's profile
+    * shape, l3's snapshot construction), so drift here would break those
+    * oracles too. Threshold compares are integer cross-products
+    * (`10·|nulls₂·rows₁ − nulls₁·rows₂| > rows₁·rows₂`), never float
+    * ratios; displayed ratios are 4-dp floor(+0.5) quantized.
+    *
+    * Scale notes (100 TB): two dq3 scan-aggregate batteries (each pruned to
+    * its own column, map-side partials) and a join of two REPORT-sized
+    * frames (rows = profiled columns) — nothing row-scale survives the
+    * aggregates; at 100 TB swap the exact distincts for HLL exactly as
+    * dq3's note prescribes.
+    */
+  def profileDrift(docs: DataFrame): DataFrame = {
+    // 4-dp quantized ratio a/b, stated as floor(a·10⁴/b + ½)/10⁴ on BOTH
+    // engines so the double arithmetic associates identically
+    def r4(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      floor(a * 10000.0 / b + 0.5) / 10000.0
+    def side(snap: DataFrame, tag: String): DataFrame =
+      columnProfile(snap).select(col("col_name"),
+        col("n_rows").as(s"rows_$tag"), col("null_ct").as(s"nulls_$tag"),
+        col("distinct_ct").as(s"distinct_$tag"),
+        col("min_val").as(s"min_$tag"), col("max_val").as(s"max_$tag"))
+    val p1 = side(docs.filter(col("doc_id") % 5 =!= 4), "v1") // l3's v1
+    val p2 = side(docs.filter(col("doc_id") % 7 =!= 6), "v2") // l3's v2
+    p1.join(p2, Seq("col_name"))
+      .select(col("col_name"), col("rows_v1"), col("rows_v2"),
+        (col("rows_v2") - col("rows_v1")).as("row_delta"),
+        r4(col("nulls_v1"), col("rows_v1")).as("null_rate_v1"),
+        r4(col("nulls_v2"), col("rows_v2")).as("null_rate_v2"),
+        col("distinct_v1"), col("distinct_v2"),
+        r4(col("distinct_v2"), col("distinct_v1")).as("distinct_ratio"),
+        (col("min_v1") =!= col("min_v2")).as("min_changed"),
+        (col("max_v1") =!= col("max_v2")).as("max_changed"),
+        (col("distinct_v2") * 2 < col("distinct_v1") ||
+          col("distinct_v2") > col("distinct_v1") * 2 ||
+          abs(col("nulls_v2") * col("rows_v1") - col("nulls_v1") * col("rows_v2")) * 10 >
+            col("rows_v1") * col("rows_v2") ||
+          col("min_v1") =!= col("min_v2") || col("max_v1") =!= col("max_v2"))
+          .as("drifted"))
+  }
+  def profileDrift(spark: SparkSession, dir: String): DataFrame =
+    profileDrift(table(spark, dir, "documents"))
+
   def dataQualityReport(spark: SparkSession, dir: String): DataFrame = {
     val orders = table(spark, dir, "orders")
     val customer = table(spark, dir, "customer")

@@ -632,4 +632,91 @@ object TextOps {
   }
   def charEntropy(spark: SparkSession, dir: String): DataFrame =
     charEntropy(table(spark, dir, "documents"))
+
+  /** One run-length fold over a doc's SORTED word n-gram array, yielding
+    * `top_chars` (occurrences × string length of the most frequent n-gram,
+    * ties → lexicographically smallest) and `dup_chars` (Σ over n-grams with
+    * count ≥ 2 of count × string length — every occurrence counted, no
+    * interval union: the NeMo-Curator character convention). The gram array
+    * is guarded to empty when the doc has fewer than n words, because
+    * Spark's `sequence(0, negative)` would step BACKWARD, not return empty.
+    */
+  private def gramFold(n: Int): String = {
+    val grams =
+      s"""IF(size(split(text, ' ')) >= $n,
+         |   transform(sequence(0, size(split(text, ' ')) - $n),
+         |             i -> concat_ws(' ', slice(split(text, ' '), i + 1, $n))),
+         |   CAST(array() AS ARRAY<STRING>))""".stripMargin
+    s"""aggregate(
+       |  array_sort($grams),
+       |  named_struct('prev', '', 'run', 0L, 'bestct', 0L, 'bestg', '', 'dup', 0L),
+       |  (acc, x) -> named_struct(
+       |    'prev', x,
+       |    'run', IF(x = acc.prev, acc.run + 1L, 1L),
+       |    'bestct', IF(IF(x = acc.prev, acc.run + 1L, 1L) > acc.bestct,
+       |                 IF(x = acc.prev, acc.run + 1L, 1L), acc.bestct),
+       |    'bestg', IF(IF(x = acc.prev, acc.run + 1L, 1L) > acc.bestct, x, acc.bestg),
+       |    'dup', acc.dup + IF(x != acc.prev AND acc.run >= 2L,
+       |                        acc.run * length(acc.prev), 0L)),
+       |  acc -> named_struct(
+       |    'top_chars', acc.bestct * length(acc.bestg),
+       |    'dup_chars', acc.dup + IF(acc.run >= 2L, acc.run * length(acc.prev), 0L)))""".stripMargin
+  }
+
+  /** Gopher Table-A1 repetition thresholds, in integer percent: fraction of
+    * characters in the top {2,3,4}-gram > {20,18,16}%; fraction of
+    * characters in duplicated {5..10}-grams > {15,14,13,12,11,10}%.
+    */
+  val TopGramThresholds: Seq[(Int, Int)] = Seq(2 -> 20, 3 -> 18, 4 -> 16)
+  val DupGramThresholds: Seq[(Int, Int)] =
+    Seq(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
+
+  /** T17 — the FULL published Gopher/MassiveText repetition battery (Rae et
+    * al. 2021, Table A1), completing t7's two summary signals and t12's
+    * document rules with the per-n-gram filters production curation stacks
+    * actually sweep: the character fraction of the most frequent
+    * {2,3,4}-gram and the character fraction of duplicated {5..10}-grams,
+    * each against its published threshold, plus `flagged` = any rule fires.
+    * (The paper's line/paragraph rules live in t12's bullet/ellipsis row —
+    * this fixture is single-line by construction, so those signals
+    * degenerate there, not here.)
+    *
+    * Conventions pinned so engines hash-match bit-for-bit: grams are
+    * space-joined word windows; "characters in" counts every occurrence ×
+    * the gram's string length (overlaps counted, no interval union — the
+    * NeMo-Curator convention); top-gram ties break lexicographically
+    * smallest (sorted fold keeps the first strict maximum; the oracle
+    * orders `ct DESC, gram ASC`); rules compare in INTEGER arithmetic
+    * (`100·chars > thr·n_chars`); surfaced fractions are 4-dp floor(+0.5)
+    * quantized AFTER the integer compare so the gate and the displayed
+    * signal derive from the same counts. Empty docs are excluded (t16's
+    * unnest-eligibility convention).
+    *
+    * Scale notes (100 TB): all nine statistics come from per-row folds over
+    * the doc's own gram arrays — a zero-shuffle scan-projection in one
+    * whole-stage-codegen span, bandwidth-bound with full column pruning
+    * like t1-t9/t12; per-doc cost is O(words · log words) per n for the
+    * sort, independent of corpus size.
+    */
+  def gopherRepetition(d: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val base = d.filter(col("n_chars") > 0)
+      .select(Seq(col("doc_id"), nWords(w).as("n_words"), col("n_chars")) ++
+        TopGramThresholds.map { case (n, _) =>
+          expr(gramFold(n)).getField("top_chars").as(s"top${n}_chars") } ++
+        DupGramThresholds.map { case (n, _) =>
+          expr(gramFold(n)).getField("dup_chars").as(s"dup${n}_chars") }: _*)
+    val prefixes = TopGramThresholds.map(t => s"top${t._1}") ++
+      DupGramThresholds.map(t => s"dup${t._1}")
+    val withFrac = prefixes.foldLeft(base) { (df, p) =>
+      df.withColumn(s"${p}_frac",
+        floor(col(s"${p}_chars") * 10000.0 / col("n_chars") + 0.5) / 10000.0)
+    }
+    val rules = (TopGramThresholds.map { case (n, t) => (s"top${n}_chars", t) } ++
+      DupGramThresholds.map { case (n, t) => (s"dup${n}_chars", t) })
+      .map { case (c, t) => col(c) * 100 > col("n_chars") * t }
+    withFrac.withColumn("flagged", rules.reduce(_ || _))
+  }
+  def gopherRepetition(spark: SparkSession, dir: String): DataFrame =
+    gopherRepetition(table(spark, dir, "documents"))
 }

@@ -404,4 +404,33 @@ class BatchQueriesSpec extends SparkSpec {
       .filter(col("col_name") === "lang").head
     assert(p2.getLong(2) === 1L, "planted null not counted")
   }
+
+  test("profile drift diffs dq3's battery over l3's snapshots (DQ8)") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.table(spark, sf, "documents")
+    val drift = graft.operators.RelationalOps.profileDrift(docs)
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(drift.keySet === Set("lang", "source", "n_chars"))
+    // row counts must equal independent recomputation of l3's snapshots
+    val v1 = docs.filter(col("doc_id") % 5 =!= 4).count()
+    val v2 = docs.filter(col("doc_id") % 7 =!= 6).count()
+    drift.values.foreach { r =>
+      assert(r.getAs[Long]("rows_v1") === v1)
+      assert(r.getAs[Long]("rows_v2") === v2)
+      assert(r.getAs[Long]("row_delta") === v2 - v1)
+    }
+    // plant a drifting column: an empty-string lang on a doc only v2 keeps
+    // (doc_id 4: dropped by v1's %5, kept by v2's %7) moves v2's min bound
+    import spark.implicits._
+    val planted = docs.withColumn("lang",
+      when(col("doc_id") === 4L, lit("")).otherwise(col("lang")))
+    val d2 = graft.operators.RelationalOps.profileDrift(planted)
+      .filter(col("col_name") === "lang").head
+    assert(d2.getAs[Boolean]("min_changed"), "planted v2-only min not seen")
+    assert(d2.getAs[Boolean]("drifted"))
+    // and an undisturbed numeric column stays quiet on the real corpus
+    assert(!drift("n_chars").getAs[Boolean]("min_changed") ||
+      drift("n_chars").getAs[Boolean]("drifted"),
+      "min_changed must imply drifted")
+  }
 }

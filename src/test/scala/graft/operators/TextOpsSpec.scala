@@ -292,4 +292,81 @@ class TextOpsSpec extends SparkSpec {
     // both 'red bolt' records landed on the same canonical name
     assert(out.filter(_._2 == "red bolt").map(_._3).distinct.length === 1)
   }
+
+  test("t17 gopher repetition battery matches hand-computed gram counts") {
+    import spark.implicits._
+    val fixtures = Seq(
+      // "a b" x3 among bigrams (vs "b a" x2): top2 = 3 * len("a b") = 9
+      // chars over n_chars 11 -> 0.8182 > 20% threshold -> flagged
+      (1L, "a b a b a b"),
+      // tie: "a b" x2 and "b c" x2 -> lexicographically smallest wins,
+      // top2 = 2 * 3 = 6; dup2 counts BOTH duplicated bigrams: 2*3+2*3=12
+      (2L, "a b c a b c"),
+      // no repeated gram at any n: every top_k = ct-1 x the gram the
+      // sorted fold meets first (the lexicographically smallest), dup_k = 0
+      (3L, "one two three four five"),
+      // 30 distinct words, no repeats, long enough that no single gram
+      // clears any threshold: the genuinely clean document
+      (6L, (1 to 30).map(i => f"w$i%02d").mkString(" ")),
+      // 12 words = two copies of a 6-word sentence: every 5-gram window
+      // inside a copy repeats (2 windows dup'd at n=5 over the joint),
+      // dup6 catches the full sentence
+      (4L, "v w x y z u v w x y z u"),
+      // fewer words than n: gram list empty -> 0, not backward sequence
+      (5L, "solo"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val r = TextOps.gopherRepetition(fixtures).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Long]("top2_chars") === 9L)
+    assert(r(1L).getAs[Double]("top2_frac") === 0.8182)
+    assert(r(1L).getAs[Boolean]("flagged"))
+    // tie-break: ct=2 for both "a b" and "b c" — the sorted fold keeps the
+    // lexicographically smallest ("a b"), 2 occurrences x len 3
+    assert(r(2L).getAs[Long]("top2_chars") === 6L)
+    // all-distinct grams: top_k = 1 x len(lexicographically smallest
+    // k-gram) — "four five" (9), "one two three" (13), "one two three
+    // four" (18); dup_k all 0. The doc still flags (9/23 chars in the top
+    // bigram > 20%): Gopher rules are meant for long docs, and the battery
+    // reports what the counts say
+    assert(r(3L).getAs[Long]("top2_chars") === 9L)
+    assert(r(3L).getAs[Long]("top3_chars") === 13L)
+    assert(r(3L).getAs[Long]("top4_chars") === 18L)
+    Seq(5, 6, 7, 8, 9, 10).foreach(n =>
+      assert(r(3L).getAs[Long](s"dup${n}_chars") === 0L))
+    assert(r(3L).getAs[Boolean]("flagged"))
+    // the long all-distinct doc clears every rule: nothing fires
+    assert(!r(6L).getAs[Boolean]("flagged"))
+    Seq(5, 6, 7, 8, 9, 10).foreach(n =>
+      assert(r(6L).getAs[Long](s"dup${n}_chars") === 0L))
+    // doc 4: "v w x y z u" repeats; its 11-char 6-gram appears twice ->
+    // dup6_chars = 2 * 11 = 22; and the max 5-gram ct is 2
+    assert(r(4L).getAs[Long]("dup6_chars") === 22L)
+    // EVERY occurrence of EVERY duplicated gram counts (no interval
+    // union): "v w x y z"x2 + "w x y z u"x2 at n=5 -> 2x9 + 2x9
+    assert(r(4L).getAs[Long]("dup5_chars") === 36L)
+    assert(r(4L).getAs[Boolean]("flagged"))
+    // 1-word doc: no n-gram of any battery size exists
+    (Seq("top2", "top3", "top4") ++ Seq(5, 6, 7, 8, 9, 10).map("dup" + _))
+      .foreach(p => assert(r(5L).getAs[Long](s"${p}_chars") === 0L, p))
+  }
+
+  test("t17 gate derives from INTEGER char counts, fracs are 4-dp quantized") {
+    // recompute `flagged` and every `*_frac` from the surfaced counts with
+    // the documented integer / quantization conventions — if the operator
+    // ever switched to comparing the rounded fraction (or float division)
+    // this drifts at threshold-boundary docs
+    val r = TextOps.gopherRepetition(docs)
+    val prefixes = TextOps.TopGramThresholds.map("top" + _._1) ++
+      TextOps.DupGramThresholds.map("dup" + _._1)
+    val gate = (TextOps.TopGramThresholds ++ TextOps.DupGramThresholds)
+      .zip(prefixes)
+      .map { case ((_, thr), p) => col(s"${p}_chars") * 100 > col("n_chars") * thr }
+      .reduce(_ || _)
+    assert(r.filter(col("flagged") =!= gate).count() === 0)
+    prefixes.foreach { p =>
+      val q = floor(col(s"${p}_chars") * 10000.0 / col("n_chars") + 0.5) / 10000.0
+      assert(r.filter(col(s"${p}_frac") =!= q).count() === 0, p)
+    }
+  }
 }
