@@ -154,6 +154,25 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("Scan parquet"), p)
   }
 
+  test("gopher REPETITION battery stays a zero-shuffle single scan (t17)") {
+    // nine per-n gram folds must all ride ONE corpus scan as row-local
+    // expressions — a regression to explode + groupBy per n would cost
+    // nine corpus shuffles at 100 TB
+    val p = planOf("t17_gopher_repetition")
+    assert(count(p, "Exchange") === 0, s"t17 grew a shuffle:\n$p")
+    assert(count(p, "BroadcastHashJoin") === 0 && count(p, "SortMergeJoin") === 0, p)
+    assert(count(p, "Scan parquet") === 1, s"t17 scans the corpus twice:\n$p")
+  }
+
+  test("profile drift is two pruned scan batteries joined report-sized (dq8)") {
+    val p = planOf("dq8_profile_drift")
+    // each side is dq3's per-column battery (one scan per profiled column
+    // per snapshot = 6 scans); the join input is report-sized (3 rows per
+    // side), so nothing corpus-scale may reach a join exchange
+    assert(count(p, "CartesianProduct") === 0, p)
+    assert(count(p, "Scan parquet") <= 6, s"dq8 scan count drifted:\n$p")
+  }
+
   test("boilerplate strip anti-joins a BROADCAST set; the corpus is never join-shuffled (d17)") {
     val p = planOf("d17_boilerplate_strip")
     // the >=minDf set is small by construction: its anti-join and the base
