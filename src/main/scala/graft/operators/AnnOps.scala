@@ -65,22 +65,34 @@ object AnnOps {
         (col("i") + 1).cast("long").as("rnk"), col("it.sim").as("sim")): _*)
   }
 
-  /** N1 — brute-force cosine top-k: the exact baseline. Queries = vec_id < 10,
-    * k = 5, self-pairs excluded; ties broken by neighbor id.
+  /** The n1 scoring core over an ARBITRARY corpus/query split: each query
+    * (`query_id`, `qe`) scored against every corpus vector except itself,
+    * exact 4-dp-quantized cosine, two-phase top-k, ties by neighbor id.
+    * n1 rides this verbatim; [[graft.streaming.StatsStreams.vectorSearchStream]]
+    * applies it per micro-batch so the streaming contract cannot drift.
+    *
+    * Scale notes (100 TB): the query side BROADCASTS (standing queries are
+    * report-sized); the corpus is scored map-side in one pass with no
+    * corpus shuffle — the top-k merge moves ≤ k·partitions rows per query.
     */
-  def cosineTopK(e: DataFrame): DataFrame = {
-    val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        norm(col("embedding")).as("nq"))
-    val corpus = e.select(col("vec_id"), col("embedding"),
+  def searchTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("query_id"), col("qe"), norm(col("qe")).as("nq"))
+    val c = corpus.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nv")) // norm once per vector, below the join
-    val sims = corpus.crossJoin(broadcast(q))
+    val sims = c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosinePre(col("qe"), col("embedding"), col("nq"), col("nv")).as("sim"))
-    topKPerQuery(sims, 5, Seq("query_id"))
+    topKPerQuery(sims, k, Seq("query_id"))
       .select("query_id", "neighbor_id", "rnk", "sim")
   }
+
+  /** N1 — brute-force cosine top-k: the exact baseline. Queries = vec_id < 10,
+    * k = 5, self-pairs excluded; ties broken by neighbor id.
+    */
+  def cosineTopK(e: DataFrame): DataFrame =
+    searchTopK(e, e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe")), 5)
   def cosineTopK(spark: SparkSession, dir: String): DataFrame =
     cosineTopK(table(spark, dir, "embeddings"))
 

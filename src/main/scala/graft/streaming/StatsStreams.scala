@@ -1133,6 +1133,55 @@ object StatsStreams {
     }
   }
 
+  /** Continuous vector search — the ANN family's streaming face: STANDING
+    * queries (`query_id`, `qe` — the registered-alert / recommendation-feed
+    * shape) watch a corpus of vectors ARRIVING as a stream, and each
+    * micro-batch refreshes every query's running exact top-k. Per batch the
+    * arriving vectors are scored through the SAME
+    * [[graft.operators.AnnOps.searchTopK]] core n1 runs (broadcast queries,
+    * map-side 4-dp cosine, two-phase top-k — contracts cannot drift), then
+    * merged into the held per-query list: top-k is merge-associative
+    * (top-k(A ∪ B) = top-k(top-k(A) ∪ top-k(B))) and every vector arrives
+    * once, so after any arrival split the report equals the one-shot batch
+    * search bit-for-bit — ordering ties and all (sim desc, neighbor asc,
+    * the n1 contract).
+    *
+    * Scale notes (100 TB): per batch the corpus-side work is one map-side
+    * scoring pass over BATCH-sized rows (no corpus shuffle, queries
+    * broadcast); state is queries × k (report-sized) scalars on the driver
+    * — nothing corpus-scale is retained, so an unbounded stream holds
+    * constant memory. At production query counts the same merge runs as a
+    * keyed state-store fold; the contract (associative bounded merge) is
+    * what this face pins.
+    */
+  def vectorSearchStream(vectors: DataFrame, queries: DataFrame, k: Int = 5)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // query_id -> k best (sim desc, neighbor_id asc); sims are 4-dp
+    // quantized upstream so the driver-side Double compare is exact
+    var state = Map.empty[Long, List[(Double, Long)]]
+    val ord = Ordering.by[(Double, Long), (Double, Long)] {
+      case (sim, nid) => (-sim, nid)
+    }
+    vectors.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val batchTop = graft.operators.AnnOps.searchTopK(batch, queries, k)
+          .select("query_id", "neighbor_id", "sim")
+          .collect().map(r => (r.getLong(0), (r.getDouble(2), r.getLong(1))))
+        state = batchTop.groupBy(_._1).foldLeft(state) {
+          case (st, (qid, rows)) =>
+            st.updated(qid, (st.getOrElse(qid, Nil) ++ rows.map(_._2))
+              .sorted(ord).take(k))
+        }
+        sink(state.toSeq.sortBy(_._1).flatMap { case (qid, lst) =>
+          lst.zipWithIndex.map { case ((sim, nid), i) =>
+            (qid, nid, (i + 1).toLong, sim) }
+        }.toDF("query_id", "neighbor_id", "rnk", "sim"), id)
+    }
+  }
+
   /** A4/X1 — KeywordStats streaming: tokenize (whitespace UDTF replacement,
     * app/function/SplitFunction.java:12-28) + 10s window count.
     * Input columns: full_word string, ts (millis).

@@ -187,6 +187,41 @@ class StatefulParitySpec extends SparkSpec {
     assert(streamed.count(_._1 == 3L) === 1)
   }
 
+  test("vectorSearchStream: standing-query top-k merge == one-shot batch search (N1)") {
+    implicit val sqlCtx = spark.sqlContext
+    // the REAL corpus, arriving in three uneven prefixes; standing queries
+    // are n1's (vec_id < 10) so the final report must equal cosineTopK
+    val all = graft.Tables.table(spark, sf, "embeddings")
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray))
+    assert(all.length > 30, "fixture too small to split meaningfully")
+    val queries = all.filter(_._1 < 10).toSeq
+      .toDF("query_id", "qe")
+    val splits = Seq(all.take(7), all.slice(7, 29), all.drop(29))
+    val input = MemoryStream[(Long, Array[Float])]
+    val reports = scala.collection.mutable.ArrayBuffer[Set[(Long, Long, Long, Double)]]()
+    val q = StatsStreams.vectorSearchStream(
+        input.toDF().toDF("vec_id", "embedding"), queries) { (df, _) =>
+      reports += df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    }.start()
+    try {
+      splits.foreach { s => input.addData(s.toIndexedSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    assert(reports.size === 3)
+    val batch = graft.operators.AnnOps
+      .cosineTopK(all.toIndexedSeq.toDF("vec_id", "embedding"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(reports.last === batch,
+      "incremental top-k diverged from the one-shot search")
+    // intermediate reports are the exact search over their own prefix
+    val prefix = graft.operators.AnnOps.searchTopK(
+        splits.take(2).flatten.toSeq.toDF("vec_id", "embedding"), queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(reports(1) === prefix, "mid-stream report is not the prefix-exact answer")
+  }
+
   test("embeddingDedupStream: stream (AvailableNow) == batch, first arrival survives") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(11)
