@@ -295,10 +295,12 @@ object Bench {
     // minimum puts the query in the driver-visible `failed` list of both
     // emitters (timing kept — a quality failure, not a crash). n2b = trained
     // IVF at 3/8 probes spill=2; n10 = label-seeded geometrically-reassigned
-    // IVF×SQ8 at 3/10 probes with exact rerank (AnnOpsSpec pins its bound
-    // at sf0.1 too).
+    // IVF×SQ8 at 3/10 probes with exact rerank; n11 = IVFADC (residual PQ,
+    // Lloyd-refined codebook) at 4/10 probes with a 150-candidate rerank
+    // (AnnOpsSpec pins each bound at sf0.1 too).
     val recallMins: Seq[(String, Double)] = Seq(
-      "n2b_ann_ivf_trained" -> 0.5, "n10_ivf_sq8_topk" -> 0.5)
+      "n2b_ann_ivf_trained" -> 0.5, "n10_ivf_sq8_topk" -> 0.5,
+      "n11_ivfpq_topk" -> 0.5)
     val recalls: Map[String, Option[Double]] =
       recallMins.map { case (n, _) => n -> recallVsBrute(n) }.toMap
     val recallFailed: Seq[String] = recallMins.collect {

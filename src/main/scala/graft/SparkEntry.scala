@@ -106,6 +106,9 @@ object SparkEntry {
     // g8: triangle counting via degree-ordered orientation — wedge volume
     // O(m^1.5), hub-skew-immune ("curse of the last reducer")
     "g8_triangles" -> (StatsOps.triangles _),
+    // g13: label-propagation communities over the same graph — synchronous
+    // deterministic rounds (max incident weight, ties to smallest label)
+    "g13_label_prop" -> (StatsOps.labelPropagation _),
     // g9: PMI collocation mining — one quantized ln over exact counts,
     // min-support filter, bounded top-k
     "g9_collocations" -> ((s: SparkSession, d: String) => CurationOps.collocations(s, d)),
@@ -180,6 +183,10 @@ object SparkEntry {
     // cells per query (n2 x n9 composition); deterministic 6-dp centroid
     // means + 4-dp-quantized probe scores keep every stage oracle-stateable
     "n10_ivf_sq8_topk" -> ((s: SparkSession, d: String) => AnnOps.ivfQuantizedTopK(s, d)),
+    // n11: IVFADC — coarse cells + RESIDUAL product quantization; per query
+    // only the 4 probed cells' 8-int codes are ADC-scored against a
+    // per-(query, cell) residual distance table, then the n1 float rerank
+    "n11_ivfpq_topk" -> ((s: SparkSession, d: String) => AnnOps.ivfPqTopK(s, d)),
     "n5_cosine_sim_fn" -> (cosineSimFn _),
     // LLM-data-pipeline: corpus curation (decontamination, sampling,
     // shard shuffle, n-gram frequency)
@@ -466,6 +473,41 @@ object SparkEntry {
          |       CAST(f.r AS DOUBLE) / 100000000.0 AS pr
          |FROM it$iters f LEFT JOIN ow ON ow.src = f.node""".stripMargin
   }
+  /** g13's oracle: the synchronous LPA rounds stated as chained CTEs —
+    * identical undirected weighted edge rollup, identical argmax rule
+    * (max summed incident weight, ties to the smallest label), `iters`
+    * rounds unrolled so both engines run the same fixpoint prefix.
+    */
+  private def labelPropSql(iters: Int): String = {
+    val head =
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us($EV) AS us,
+         |                  TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS node
+         |           FROM events
+         |           WHERE TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) IS NOT NULL),
+         |t AS (SELECT lag(node) OVER (PARTITION BY user_id ORDER BY us, event_id) AS src,
+         |             node AS dst
+         |      FROM e),
+         |und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+         |               CAST(count(*) AS BIGINT) AS w
+         |        FROM t WHERE src IS NOT NULL AND src <> dst GROUP BY 1, 2),
+         |adj AS (SELECT a AS node, b AS nbr, w FROM und
+         |        UNION ALL SELECT b, a, w FROM und),
+         |l0 AS (SELECT DISTINCT node, node AS label FROM adj)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""l$i AS (SELECT node, label FROM (
+         |         SELECT adj.node, l.label,
+         |                row_number() OVER (PARTITION BY adj.node
+         |                  ORDER BY sum(adj.w) DESC, l.label) AS rn
+         |         FROM adj JOIN l${i - 1} l ON l.node = adj.nbr
+         |         GROUP BY adj.node, l.label) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    head + rounds +
+      s"""
+         |SELECT node, label AS community,
+         |       CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS community_size
+         |FROM l$iters""".stripMargin
+  }
+
   /** Exact decimal sum surfaced as double — mirror of Tables.dsum. */
   private def dsum(c: String) = s"CAST(sum(CAST($c AS DECIMAL(18,4))) AS DOUBLE)"
 
@@ -1295,6 +1337,9 @@ object SparkEntry {
     // g7: PageRank — five unrolled rounds of integer-unit rank flow over
     // the props.k transition graph (see pagerankSql).
     "g7_pagerank" -> pagerankSql(5),
+    // g13: synchronous label propagation — 4 unrolled rounds, argmax by
+    // (summed incident weight desc, label asc); same edge rollup as g8
+    "g13_label_prop" -> labelPropSql(4),
     // g8: the same orientation scheme stated in SQL — each triangle
     // {p<q<r by (deg,id)} closes exactly one p-wedge, so the per-node
     // participation is an exact count, not an estimate
@@ -1729,6 +1774,128 @@ object SparkEntry {
         |             JOIN q ON q.query_id = t.query_id)
         |SELECT query_id, neighbor_id, rnk, sim, approx_sim FROM (
         |  SELECT query_id, neighbor_id, sim, approx_sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM rer) WHERE rnk <= 5""".stripMargin,
+    // n11: IVFADC stated verbatim — n10's coarse stage (6-dp exact-mean
+    // centroids, 4-dp-quantized geometric reassignment + probe selection),
+    // then residual PQ: exact double residuals from the assigned centroid,
+    // a POINT-seeded codebook (vec_id 0..15's residual subvectors) refined
+    // by TWO unrolled Lloyd rounds (4-dp assign ties-to-lower-j, 6-dp
+    // integer-mean update, empty cells keep their centroid via the
+    // left-join coalesce), 4-dp sq-L2 encode, per-(query, probed cell)
+    // residual distance tables, DECIMAL(18,4) ADC sums over probed cells
+    // only, and the n1 float rerank. Candidate cost follows probed-cell
+    // membership.
+    "n11_ivfpq_topk" ->
+      """WITH e0 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ee
+        |            FROM embeddings),
+        |ex AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+        |              unnest(embedding) AS v
+        |       FROM embeddings),
+        |cm AS (SELECT label AS cell, dim,
+        |              floor(CAST(sum(CAST(floor(CAST(v AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |                    / count(*) + 0.5) / 1000000.0 AS m
+        |       FROM ex GROUP BY label, dim),
+        |cents AS (SELECT cell, list(m ORDER BY dim) AS c FROM cm GROUP BY cell),
+        |asg AS (SELECT vec_id, cell FROM (
+        |          SELECT e0.vec_id, cents.cell,
+        |                 row_number() OVER (PARTITION BY e0.vec_id
+        |                   ORDER BY floor((2*list_dot_product(e0.ee, cents.c)
+        |                                   - list_dot_product(cents.c, cents.c))
+        |                                  * 10000.0 + 0.5) DESC, cents.cell) AS r
+        |          FROM e0, cents) WHERE r = 1),
+        |rd AS (SELECT e0.vec_id, a.cell, generate_subscripts(e0.ee, 1) AS dim,
+        |              unnest(e0.ee) AS v
+        |       FROM e0 JOIN asg a USING (vec_id)),
+        |resd AS (SELECT rd.vec_id, rd.cell, rd.dim, rd.v - cm.m AS rv
+        |         FROM rd JOIN cm ON cm.cell = rd.cell AND cm.dim = rd.dim),
+        |sd AS (SELECT vec_id, (dim-1)//8 AS s, (dim-1)%8 AS p, rv FROM resd),
+        |sub AS (SELECT vec_id, s, CAST(list(rv ORDER BY p) AS DOUBLE[]) AS xs
+        |        FROM sd GROUP BY vec_id, s),
+        |subn AS (SELECT vec_id, s, xs, list_dot_product(xs, xs) AS sx FROM sub),
+        |seed0 AS (SELECT s, CAST(vec_id AS INTEGER) AS j,
+        |                 CAST(list(rv ORDER BY p) AS DOUBLE[]) AS c
+        |          FROM sd WHERE vec_id < 16 GROUP BY s, vec_id),
+        |cbn0 AS (SELECT s, j, c, list_dot_product(c, c) AS sc FROM seed0),
+        |as1 AS (SELECT vec_id, s, j FROM (
+        |          SELECT n.vec_id, n.s, b.j,
+        |                 row_number() OVER (PARTITION BY n.vec_id, n.s
+        |                   ORDER BY floor((n.sx - 2*list_dot_product(n.xs, b.c) + b.sc)
+        |                                  * 10000.0 + 0.5) / 10000.0, b.j) AS rn
+        |          FROM subn n JOIN cbn0 b ON n.s = b.s) WHERE rn = 1),
+        |m1 AS (SELECT a.s, a.j, sd.p,
+        |              floor(CAST(sum(CAST(floor(sd.rv*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |                    / count(*) + 0.5) / 1000000.0 AS m
+        |       FROM as1 a JOIN sd ON sd.vec_id = a.vec_id AND sd.s = a.s
+        |       GROUP BY a.s, a.j, sd.p),
+        |c1 AS (SELECT s, j, CAST(list(m ORDER BY p) AS DOUBLE[]) AS c FROM m1 GROUP BY s, j),
+        |cb1 AS (SELECT s0.s, s0.j, coalesce(c1.c, s0.c) AS c
+        |        FROM seed0 s0 LEFT JOIN c1 ON c1.s = s0.s AND c1.j = s0.j),
+        |cbn1 AS (SELECT s, j, c, list_dot_product(c, c) AS sc FROM cb1),
+        |as2 AS (SELECT vec_id, s, j FROM (
+        |          SELECT n.vec_id, n.s, b.j,
+        |                 row_number() OVER (PARTITION BY n.vec_id, n.s
+        |                   ORDER BY floor((n.sx - 2*list_dot_product(n.xs, b.c) + b.sc)
+        |                                  * 10000.0 + 0.5) / 10000.0, b.j) AS rn
+        |          FROM subn n JOIN cbn1 b ON n.s = b.s) WHERE rn = 1),
+        |m2 AS (SELECT a.s, a.j, sd.p,
+        |              floor(CAST(sum(CAST(floor(sd.rv*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |                    / count(*) + 0.5) / 1000000.0 AS m
+        |       FROM as2 a JOIN sd ON sd.vec_id = a.vec_id AND sd.s = a.s
+        |       GROUP BY a.s, a.j, sd.p),
+        |c2 AS (SELECT s, j, CAST(list(m ORDER BY p) AS DOUBLE[]) AS c FROM m2 GROUP BY s, j),
+        |cb2 AS (SELECT c1.s, c1.j, coalesce(c2.c, c1.c) AS c
+        |        FROM cb1 c1 LEFT JOIN c2 ON c2.s = c1.s AND c2.j = c1.j),
+        |cbn AS (SELECT s, j, c, list_dot_product(c, c) AS sc FROM cb2),
+        |dists AS (SELECT n.vec_id, n.s, b.j,
+        |                 floor((n.sx - 2*list_dot_product(n.xs, b.c) + b.sc)
+        |                       * 10000.0 + 0.5) / 10000.0 AS dq
+        |          FROM subn n JOIN cbn b ON n.s = b.s),
+        |codes AS (SELECT vec_id, s, j AS code FROM (
+        |            SELECT vec_id, s, j,
+        |                   row_number() OVER (PARTITION BY vec_id, s ORDER BY dq, j) AS rn
+        |            FROM dists) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, ee FROM e0 WHERE vec_id < 10),
+        |pr AS (SELECT query_id, cell FROM (
+        |         SELECT q.query_id, cents.cell,
+        |                row_number() OVER (PARTITION BY q.query_id
+        |                  ORDER BY floor((2*list_dot_product(q.ee, cents.c)
+        |                                  - list_dot_product(cents.c, cents.c))
+        |                                 * 10000.0 + 0.5) DESC, cents.cell) AS r
+        |         FROM q, cents) WHERE r <= 4),
+        |qrd AS (SELECT p.query_id, p.cell, g.dim, g.v - cm.m AS rv
+        |        FROM pr p
+        |        JOIN (SELECT query_id, generate_subscripts(ee, 1) AS dim,
+        |                     unnest(ee) AS v FROM q) g
+        |          ON g.query_id = p.query_id
+        |        JOIN cm ON cm.cell = p.cell AND cm.dim = g.dim),
+        |qsd AS (SELECT query_id, cell, (dim-1)//8 AS s, (dim-1)%8 AS p, rv FROM qrd),
+        |qsub AS (SELECT query_id, cell, s, CAST(list(rv ORDER BY p) AS DOUBLE[]) AS xs
+        |         FROM qsd GROUP BY query_id, cell, s),
+        |qd AS (SELECT n.query_id, n.cell, n.s, b.j,
+        |              floor((list_dot_product(n.xs, n.xs) - 2*list_dot_product(n.xs, b.c) + b.sc)
+        |                    * 10000.0 + 0.5) / 10000.0 AS dq
+        |       FROM qsub n JOIN cbn b ON n.s = b.s),
+        |adc AS (SELECT d.query_id, c.vec_id AS neighbor_id,
+        |               CAST(sum(CAST(d.dq AS DECIMAL(18,4))) AS DOUBLE) AS adist
+        |        FROM codes c
+        |        JOIN asg a ON a.vec_id = c.vec_id
+        |        JOIN qd d ON d.cell = a.cell AND d.s = c.s AND d.j = c.code
+        |        WHERE c.vec_id <> d.query_id
+        |        GROUP BY d.query_id, c.vec_id),
+        |top AS (SELECT query_id, neighbor_id, adist FROM (
+        |          SELECT query_id, neighbor_id, adist,
+        |                 row_number() OVER (PARTITION BY query_id
+        |                   ORDER BY adist, neighbor_id) AS crnk
+        |          FROM adc) WHERE crnk <= 150),
+        |rer AS (SELECT t.query_id, t.neighbor_id, t.adist,
+        |               floor(list_dot_product(qe.ee, e.ee) /
+        |                     (sqrt(list_dot_product(qe.ee, qe.ee)) * sqrt(list_dot_product(e.ee, e.ee)))
+        |                     * 10000.0 + 0.5) / 10000.0 AS sim
+        |        FROM top t JOIN e0 e ON e.vec_id = t.neighbor_id
+        |             JOIN e0 qe ON qe.vec_id = t.query_id)
+        |SELECT query_id, neighbor_id, rnk, sim, adist FROM (
+        |  SELECT query_id, neighbor_id, sim, adist,
         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
         |  FROM rer) WHERE rnk <= 5""".stripMargin,
     // n5: native cosine_sim via the SQL surface — same quantize-then-compare

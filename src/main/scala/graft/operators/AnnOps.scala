@@ -436,44 +436,9 @@ object AnnOps {
     */
   def ivfQuantizedTopK(e: DataFrame, k: Int = 5, cand: Int = 20,
       nProbe: Int = 3): DataFrame = {
-    // coarse centroids SEEDED by the fixture's label cells — n6's exact-mean
-    // pattern: per-dim integer 1e6 sums (order-free), one divide, one floor
-    val cents = e
-      .select(col("label").as("cell"),
-        posexplode(transform(col("embedding"), x => x.cast("double")))
-          .as(Seq("dim", "v")))
-      .withColumn("iv", floor(col("v") * 1000000.0 + 0.5).cast("long"))
-      .groupBy("cell", "dim")
-      .agg(sum(col("iv")).as("s"), count(lit(1)).as("n"))
-      .withColumn("m",
-        floor(col("s").cast("double") / col("n") + 0.5) / 1000000.0)
-      .groupBy("cell")
-      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-      .select(col("cell"), transform(col("dm"), x => x.getField("m")).as("centroid"))
-    // the codebook materializes driver-side (cells × dims doubles — the
-    // same bounded collect as IVF/PQ codebooks) so BOTH cell assignment and
-    // probe selection run as literal per-row argmax/argsort inside one
-    // codegen'd projection: zero joins, zero corpus shuffle — the
-    // assignCellsLit contract, with the 4-dp score quantization that makes
-    // the choice oracle-stateable.
-    val centArr: Array[(Int, Seq[Double])] = cents.collect().map { r =>
-      (r.getAs[Number]("cell").intValue(), r.getSeq[Double](1))
-    }.sortBy(_._1)
+    val centArr = seededCentroids(e)
     require(centArr.nonEmpty, "ivfQuantizedTopK needs at least one cell")
-    // floor((2·v·c − ‖c‖²)·1e4 + 0.5): argmin L2 as a 4-dp integer score —
-    // sub-ulp fold jitter cannot flip an assignment or a probe choice. The
-    // float×double dot is the native codegen'd DotProductFD (bit-identical
-    // to the lambda fold; centroids are DOUBLE — 6-dp means are not
-    // float-representable — so dot_f cannot apply).
-    def ddot(a: Column, b: Column): Column =
-      graft.functions.VectorFunctions.dot_fd(a, b)
-    val scoredCells = array(centArr.map { case (cell, c) =>
-      val cnorm2 = c.foldLeft(0.0)((a, x) => a + x * x)
-      struct(
-        floor((ddot(col("embedding"), typedlit(c)) * 2.0 - lit(cnorm2))
-          * 10000.0 + 0.5).as("sc"),
-        lit(-cell).as("negcell"), lit(cell).as("cell"))
-    }.toIndexedSeq: _*)
+    val scoredCells = cellScores(centArr)
     // GEOMETRIC cell membership: every vector reassigned to its nearest
     // seeded centroid (one deterministic Lloyd assignment half-step). The
     // fixture labels alone are a weak quantizer — measured 3-probe recall
@@ -529,6 +494,154 @@ object AnnOps {
   }
   def ivfQuantizedTopK(spark: SparkSession, dir: String): DataFrame =
     ivfQuantizedTopK(table(spark, dir, "embeddings"))
+
+  /** n10/n11's shared coarse quantizer: centroids SEEDED by the fixture's
+    * label cells — n6's exact-mean pattern (per-dim integer 1e6 sums,
+    * order-free, one divide + one floor), collected driver-side in ascending
+    * cell order. The codebook is cells × dims doubles — the same bounded
+    * collect as the IVF/PQ codebooks — so cell assignment and probe
+    * selection run as literal per-row argmax/argsort inside one codegen'd
+    * projection: zero joins, zero corpus shuffle (the assignCellsLit
+    * contract).
+    */
+  private def seededCentroids(e: DataFrame): Array[(Int, Seq[Double])] = {
+    val cents = e
+      .select(col("label").as("cell"),
+        posexplode(transform(col("embedding"), x => x.cast("double")))
+          .as(Seq("dim", "v")))
+      .withColumn("iv", floor(col("v") * 1000000.0 + 0.5).cast("long"))
+      .groupBy("cell", "dim")
+      .agg(sum(col("iv")).as("s"), count(lit(1)).as("n"))
+      .withColumn("m",
+        floor(col("s").cast("double") / col("n") + 0.5) / 1000000.0)
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("cell"), transform(col("dm"), x => x.getField("m")).as("centroid"))
+    cents.collect().map { r =>
+      (r.getAs[Number]("cell").intValue(), r.getSeq[Double](1))
+    }.sortBy(_._1)
+  }
+
+  /** The 4-dp-quantized literal cell-score array over [[seededCentroids]]:
+    * floor((2·v·c − ‖c‖²)·1e4 + 0.5) per cell — argmin L2 as an integer
+    * score, so sub-ulp fold jitter cannot flip an assignment or a probe
+    * choice (array_max picks the nearest cell, min-cell ties via negcell).
+    * The float×double dot is the native codegen'd DotProductFD
+    * (bit-identical to the lambda fold; centroids are DOUBLE — 6-dp means
+    * are not float-representable — so dot_f cannot apply).
+    */
+  private def cellScores(centArr: Array[(Int, Seq[Double])]): Column = {
+    def ddot(a: Column, b: Column): Column =
+      graft.functions.VectorFunctions.dot_fd(a, b)
+    array(centArr.map { case (cell, c) =>
+      val cnorm2 = c.foldLeft(0.0)((a, x) => a + x * x)
+      struct(
+        floor((ddot(col("embedding"), typedlit(c)) * 2.0 - lit(cnorm2))
+          * 10000.0 + 0.5).as("sc"),
+        lit(-cell).as("negcell"), lit(cell).as("cell"))
+    }.toIndexedSeq: _*)
+  }
+
+  /** N11 — IVFADC (Jégou, Douze, Schmid, TPAMI 2011 §V; FAISS `IVFx,PQy`):
+    * the inverted-file coarse quantizer composed with RESIDUAL product
+    * quantization. n6's ADC is exhaustive (every code scanned per query);
+    * n10 probe-bounds an SQ8 scan but keeps whole-vector int8 codes
+    * (64 bytes/vector). Here each vector's RESIDUAL from its coarse
+    * centroid is PQ-encoded to `PqM` 4-bit codes (8 ints/vector — the 64×
+    * compression), and per query only the `nProbe` nearest cells' postings
+    * are ADC-scored with a per-(query, cell) residual distance table —
+    * the composition that makes billion-scale search tractable: I/O follows
+    * the probed fraction AND each candidate costs 8 table lookups, no
+    * vector math.
+    *
+    * Determinism across engines (every stage oracle-stateable): coarse
+    * centroids/assignment/probes are n10's 4-dp integer-score contract;
+    * residuals are exact IEEE double subtractions (double-cast floats minus
+    * 6-dp means); the residual codebook is point-seeded and refined by two
+    * unrolled Lloyd rounds (see [[pqLloydCodebook]] — deterministic assign
+    * + 6-dp integer-mean update); encode/dtable distances are 4-dp sq-L2
+    * with ties to the lower code; ADC sums ride DECIMAL(18,4); the final
+    * rerank is the n1 float contract.
+    *
+    * Scale notes (100 TB): centroid + codebook derivation are two keyed
+    * aggregations of the corpus with map-side partials — INDEX-time costs,
+    * amortized across queries (a deployment persists cells + codes).
+    * Assignment, residuals, and encoding are map-only against driver-held
+    * literals (no join, no corpus shuffle, streaming-safe). The search:
+    * probes and distance tables are literal per-query work (≤ |Q|·nProbe
+    * rows, broadcast); the candidate scan is an equi-join on `cell` against
+    * the broadcast probe side reading the 8-int codes column only; the
+    * rerank touches float vectors for ≤ cand·|Q| rows. PlanContractSpec
+    * pins the broadcast + no-cartesian shape.
+    */
+  def ivfPqTopK(e: DataFrame, k: Int = 5, cand: Int = 150,
+      nProbe: Int = 4): DataFrame = {
+    val centArr = seededCentroids(e)
+    require(centArr.nonEmpty, "ivfPqTopK needs at least one cell")
+    val scoredCells = cellScores(centArr)
+    val centMap = typedlit(centArr.toMap)
+    val ee = transform(col("embedding"), x => x.cast("double"))
+    // geometric cell membership (n10's reassignment half-step) + exact
+    // double residual from the assigned centroid — one map-only projection
+    val asg = e
+      .select(col("vec_id"), col("embedding"), ee.as("ee"),
+        array_max(scoredCells).getField("cell").as("cell"))
+      .withColumn("res",
+        zip_with(col("ee"), element_at(centMap, col("cell")), (x, c) => x - c))
+    // residual PQ codebook: POINT-seeded (vec_id 0..15's residual
+    // subvectors — k-means' "first k points" seeding, genuinely spread
+    // unlike n6's seed-partition means, which collapse toward the global
+    // residual mean and leave ADC unable to rank) + two unrolled Lloyd
+    // rounds, each a deterministic assign (4-dp sq-L2, ties to lower j)
+    // and 6-dp integer-mean update — the g7/g13 fixed-round convention,
+    // so the oracle states the identical training prefix
+    val cb = pqLloydCodebook(asg.select(col("vec_id"), col("res")), rounds = 2)
+    // encode: nearest code per subspace by 4-dp sq-L2, ties to lower j
+    val codes = (0 until PqM).map { s =>
+      val xs = slice(col("res"), s * PqDims + 1, PqDims)
+      array_min(pqScoredCodes(xs, pqEntries(cb, s))).getField("j")
+    }
+    val enc = asg.select(col("cell"), col("vec_id").as("neighbor_id"),
+      array(codes: _*).as("codes"))
+    // probes: nProbe best cells per query by the same literal 4-dp scores;
+    // the residual distance TABLE is per (query, probed cell) — the IVFADC
+    // detail that distinguishes residual PQ from n6's global tables
+    val dt = (0 until PqM).map { s =>
+      val xs = slice(col("qres"), s * PqDims + 1, PqDims)
+      transform(pqScoredCodes(xs, pqEntries(cb, s)), en => en.getField("dq"))
+    }
+    val qside = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), ee.as("qee"),
+        explode(slice(reverse(array_sort(scoredCells)), 1, nProbe)).as("pc"))
+      .withColumn("qres",
+        zip_with(col("qee"), element_at(centMap, col("pc.cell")), (x, c) => x - c))
+      .select(col("query_id"), col("pc.cell").as("cell"), array(dt: _*).as("dt"))
+    // ADC over probed cells only: 8 lookups + 8 decimal adds per candidate
+    val adc = enc.join(broadcast(qside), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adist", (0 until PqM).map(s =>
+          element_at(element_at(col("dt"), s + 1), col("codes")(s) + 1)
+            .cast("decimal(18,4)"))
+        .reduce(_ + _).cast("double"))
+      .select(col("query_id"), col("neighbor_id"), (-col("adist")).as("sim"))
+    val top = topKPerQuery(adc, cand, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), (-col("sim")).as("adist"))
+    // exact rerank — identical tail to n9/n10 (the n1 float contract)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        norm(col("embedding")).as("nq"))
+    val rer = e.select(col("vec_id").as("neighbor_id"), col("embedding"),
+        norm(col("embedding")).as("nv"))
+      .join(broadcast(top.select("query_id", "neighbor_id")), Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePre(col("qe"), col("embedding"), col("nq"), col("nv")).as("sim"))
+    topKPerQuery(rer, k, Seq("query_id"))
+      .join(broadcast(top), Seq("query_id", "neighbor_id"))
+      .select("query_id", "neighbor_id", "rnk", "sim", "adist")
+  }
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfPqTopK(table(spark, dir, "embeddings"))
 
   /** Coarse-quantizer training: centroid = element-wise mean vector per
     * cluster. One shuffle on (cell, dim) — dimension count is a constant, so
@@ -806,9 +919,78 @@ object AnnOps {
     * Scale: ONE (j, s, p)-keyed aggregation of the corpus with map-side
     * partials.
     */
-  def pqCodebook(e: DataFrame): Map[(Int, Int), (Array[Double], Double)] = {
+  def pqCodebook(e: DataFrame): Map[(Int, Int), (Array[Double], Double)] =
+    pqCodebookOf(e, "embedding")
+
+  /** n11's residual codebook: POINT seeds (the residual subvectors of
+    * vec_id 0..PqK-1 — Lloyd's "first k points" seeding, deterministic and
+    * collected in one tiny filter) refined by `rounds` unrolled Lloyd
+    * steps. Each step assigns every subvector to its nearest code by the
+    * SAME 4-dp-quantized sq-L2 the encoder uses (ties to the lower code
+    * id) and recomputes each code as the 6-dp integer-exact mean of its
+    * members; a code that attracts no members keeps its previous centroid
+    * (the standard empty-cell rule, stated as a left-join coalesce in the
+    * oracle). A fixed round count — not convergence — keeps the whole
+    * training prefix oracle-stateable, the g7/g13 convention for
+    * iterative work.
+    *
+    * Scale notes (100 TB): each round is ONE (s, j, p)-keyed aggregation
+    * of the corpus with map-side partials (assignment is a literal
+    * projection against the driver-held codebook, the assignCellsLit
+    * contract); PqM·PqK·PqDims output doubles collect per round. This is
+    * index-time cost, amortized across queries.
+    */
+  private def pqLloydCodebook(df: DataFrame,
+      rounds: Int): Map[(Int, Int), (Array[Double], Double)] = {
+    val seeds = df.filter(col("vec_id") < PqK)
+      .select(col("vec_id").cast("int").as("j"), col("res"))
+      .collect().flatMap { r =>
+        val j = r.getInt(0)
+        val v = r.getSeq[Double](1)
+        (0 until PqM).map { s =>
+          val c = v.slice(s * PqDims, (s + 1) * PqDims).toArray
+          ((s, j), (c, c.foldLeft(0.0)((a, x) => a + x * x)))
+        }
+      }.toMap
+    var cb = seeds
+    for (_ <- 1 to rounds) {
+      val codes = (0 until PqM).map { s =>
+        val xs = slice(col("res"), s * PqDims + 1, PqDims)
+        array_min(pqScoredCodes(xs, pqEntries(cb, s))).getField("j")
+      }
+      // compute codes BEFORE the generator select: an aliased generator in
+      // the same projection re-resolves the lambda struct and strips the
+      // "j" field alias (analyzer CleanupAliases quirk)
+      val upd = df.withColumn("codes", array(codes: _*))
+        .select(col("codes"), posexplode(col("res")).as(Seq("dim", "v")))
+        .withColumn("s", expr(s"dim div $PqDims").cast("int"))
+        .withColumn("p", expr(s"dim % $PqDims").cast("int"))
+        .withColumn("j", element_at(col("codes"), col("s") + 1).cast("int"))
+        .withColumn("vq", floor(col("v") * 1e6 + 0.5).cast("long"))
+        .groupBy("s", "j", "p")
+        .agg(sum("vq").as("sm"), count(lit(1)).as("n"))
+        .withColumn("m", floor(col("sm").cast("double") / col("n") + 0.5) / 1e6)
+        .groupBy("s", "j")
+        .agg(array_sort(collect_list(struct(col("p"), col("m")))).as("pm"))
+        .select(col("s"), col("j"),
+          transform(col("pm"), x => x.getField("m")).as("c"))
+        .collect().map { r =>
+          val c = r.getSeq[Double](2).toArray
+          ((r.getInt(0), r.getInt(1)), (c, c.foldLeft(0.0)((a, x) => a + x * x)))
+        }.toMap
+      cb = cb ++ upd // codes with no members keep their previous centroid
+    }
+    cb
+  }
+
+  /** [[pqCodebook]] over an arbitrary vector column — n6 trains on the raw
+    * embeddings; identical arithmetic either way (the double cast is a
+    * no-op on double input).
+    */
+  private def pqCodebookOf(e: DataFrame,
+      vecCol: String): Map[(Int, Int), (Array[Double], Double)] = {
     val cb = e.select((col("vec_id") % PqK).cast("int").as("j"),
-        posexplode(col("embedding")).as(Seq("dim", "v")))
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
       .withColumn("s", expr(s"dim div $PqDims").cast("int"))
       .withColumn("p", expr(s"dim % $PqDims").cast("int"))
       .withColumn("vq", floor(col("v").cast("double") * 1e6 + 0.5).cast("long"))

@@ -600,6 +600,65 @@ object StatsOps {
   def triangles(spark: SparkSession, dir: String): DataFrame =
     triangles(table(spark, dir, "events"))
 
+  /** G13 — community detection by synchronous LABEL PROPAGATION (Raghavan,
+    * Albert, Kumara 2007, Phys. Rev. E 76 036106) over g7/g8's
+    * property-transition graph, in its undirected weighted form (directions
+    * merged, self-loops dropped, multi-edges summed): every node starts in
+    * its own community and each round simultaneously adopts the label
+    * carrying the MOST incident edge weight among its neighbors, ties to
+    * the smallest label — the deterministic synchronous variant with a
+    * fixed unrolled round count, so the oracle can state the identical
+    * fixpoint prefix as chained CTEs (the g7 convention for iterative
+    * graph work; free-running asynchronous LPA is order-dependent and
+    * could not be oracle-checked).
+    *
+    * Scale notes (100 TB): the only corpus-scale pass is the same ONE
+    * user-keyed window g7/g8 pay; everything after the edge rollup is
+    * edge-catalog-sized. Each round is one keyed aggregation of labels
+    * joined against the checkpointed adjacency — labels move, the graph
+    * does not (the distributed-LPA layout); the argmax is a two-level
+    * partial agg (max of (weight, −label) structs), never a single
+    * reducer; per-round label frames localCheckpoint eagerly and release
+    * their predecessor (the pageRank discipline), so the plan never grows
+    * with rounds. The community-size window rides the final label
+    * partitioning.
+    */
+  def labelPropagation(events: DataFrame, iters: Int = 4): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val seq0 = events.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        get_json_object(col("props"), "$.k").cast("long").as("node"))
+      .filter(col("node").isNotNull)
+    val und = seq0.withColumn("src", lag(col("node"), 1).over(w))
+      .filter(col("src").isNotNull && col("src") =!= col("node"))
+      .select(least(col("src"), col("node")).as("a"),
+        greatest(col("src"), col("node")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+    val adj = und.select(col("a").as("node"), col("b").as("nbr"), col("w"))
+      .union(und.select(col("b").as("node"), col("a").as("nbr"), col("w")))
+      .localCheckpoint(true)
+    var labels = adj.select(col("node")).distinct()
+      .withColumn("label", col("node"))
+    var prevOwned: Option[DataFrame] = None
+    for (_ <- 1 to iters) {
+      val next = adj
+        .join(labels.select(col("node").as("nbr"), col("label")), Seq("nbr"))
+        .groupBy("node", "label").agg(sum("w").as("lw"))
+        .groupBy("node")
+        .agg(max(struct(col("lw"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+        .localCheckpoint(true)
+      prevOwned.foreach(DedupOps.unpersistCheckpoint)
+      prevOwned = Some(next)
+      labels = next
+    }
+    val cw = Window.partitionBy("community")
+    labels.select(col("node"), col("label").as("community"))
+      .withColumn("community_size", count(lit(1)).over(cw).cast("long"))
+  }
+  def labelPropagation(spark: SparkSession, dir: String): DataFrame =
+    labelPropagation(table(spark, dir, "events"))
+
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     val gapUs = 30L * 60 * 1000000
     val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))

@@ -80,6 +80,24 @@ class PlanContractSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") <= 6, p)
   }
 
+  test("n11 IVFADC scan is probe-bounded: broadcast equi-join on cell, no cartesian (n11)") {
+    val p = planOf("n11_ivfpq_topk")
+    // the ADC pass joins the 8-int corpus codes to BROADCAST per-(query,
+    // probed-cell) distance tables on the cell key — candidates follow
+    // probed-cell membership, never n²; encode and assignment are literal
+    // projections (codebooks are driver-held), so no join form can appear
+    // for them; the rerank joins are broadcast (candidate lists are
+    // query-sized)
+    assert(count(p, "BroadcastHashJoin") >= 3, p)
+    assert(count(p, "CartesianProduct") === 0, p)
+    assert(count(p, "BroadcastNestedLoopJoin") === 0, p)
+    assert(count(p, "SortMergeJoin") === 0, p)
+    // keyed exchanges: only the two-phase top-k merges — centroid and
+    // codebook derivation are index-time collects OUTSIDE this plan, and
+    // the corpus itself never hash-partitions on vec_id
+    assert(count(p, "Exchange hashpartitioning") <= 6, p)
+  }
+
   test("signature extraction is scan-side: no shuffle before the fingerprint (d2, d4)") {
     Seq("d2_minhash_signature", "d4_simhash").foreach { q =>
       val p = planOf(q)

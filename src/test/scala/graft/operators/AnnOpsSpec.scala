@@ -333,6 +333,33 @@ class AnnOpsSpec extends SparkSpec {
     assert(all >= recalled, s"all-probe recall $all under 3-probe $recalled")
   }
 
+  test("n11 IVFADC: residual-PQ probe-bounded candidates, exact rerank, recall >= 50% AT SF0.1") {
+    val dir = "/root/testdata/sf0.1"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists(),
+      "sf0.1 fixtures not present")
+    val e = Tables.table(spark, dir, "embeddings")
+    val brute = AnnOps.cosineTopK(e).select("query_id", "neighbor_id", "sim")
+    val n11 = AnnOps.ivfPqTopK(e)
+    // reranked sims are the n1 float contract: any (query, neighbor) pair
+    // present in both must carry the IDENTICAL 4-dp similarity
+    val joined = n11.select(col("query_id"), col("neighbor_id"),
+        col("sim").as("n11_sim"))
+      .join(brute, Seq("query_id", "neighbor_id"))
+    assert(joined.filter(col("n11_sim") =!= col("sim")).count() === 0,
+      "rerank sim drifted from the brute-force contract")
+    val truth = brute.count()
+    val recalled = joined.count()
+    assert(truth === 50)
+    assert(recalled * 2 >= truth,
+      s"4-probe IVFADC recall $recalled/$truth at sf0.1")
+    // widening the candidate list can only help: the ADC ordering is an
+    // approximation, so a larger rerank pool dominates the smaller one
+    val wide = AnnOps.ivfPqTopK(e, cand = 400)
+      .select("query_id", "neighbor_id")
+      .join(brute, Seq("query_id", "neighbor_id")).count()
+    assert(wide >= recalled, s"cand=400 recall $wide under cand=150 $recalled")
+  }
+
   test("sample-trained quantizer: full cell coverage, searchable, recall survives (100 TB train path)") {
     val e = Tables.table(spark, sf, "embeddings")
     // train on ~40% of vectors, assign and search EVERYTHING

@@ -221,4 +221,35 @@ class OperatorPropertiesSpec extends SparkSpec {
       1L -> ((3L, 2L)), 2L -> ((3L, 2L)), 3L -> ((2L, 1L)),
       4L -> ((2L, 0L)), 5L -> ((1L, 0L)), 6L -> ((3L, 1L))))
   }
+
+  test("label propagation converges planted communities across a weak bridge (G13)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two weight-2 triangles {1,2,3} and {10,11,12} joined by ONE weight-1
+    // bridge 3-10: synchronous LPA must settle each triangle on its min
+    // label and the bridge must NOT merge them (intra-community weight 4
+    // beats the bridge's 1 at node 3 / node 10 from round 2 on)
+    def ev(id: Long, user: Long, t: Long, node: Long) =
+      (id, user, t, s"""{"k":$node}""")
+    val walk1 = Seq(1L, 2L, 3L, 1L, 2L, 3L, 1L).zipWithIndex
+      .map { case (n, i) => ev(i + 1L, 1, 10L * (i + 1), n) }
+    val walk2 = Seq(10L, 11L, 12L, 10L, 11L, 12L, 10L).zipWithIndex
+      .map { case (n, i) => ev(100L + i, 2, 10L * (i + 1), n) }
+    val walk3 = Seq(3L, 10L).zipWithIndex
+      .map { case (n, i) => ev(200L + i, 3, 10L * (i + 1), n) }
+    val events = (walk1 ++ walk2 ++ walk3).toDF("event_id", "user_id", "t", "props")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("t")).as("ts"), col("props"))
+    val got = StatsOps.labelPropagation(events).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      1L -> ((1L, 3L)), 2L -> ((1L, 3L)), 3L -> ((1L, 3L)),
+      10L -> ((10L, 3L)), 11L -> ((10L, 3L)), 12L -> ((10L, 3L))))
+    // the one-round prefix is NOT yet the fixpoint (node 1 still carries
+    // its round-1 tie-break label 2) — pins that rounds are synchronous
+    // label adoptions, not a free-running converged pass
+    val r1 = StatsOps.labelPropagation(events, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1(1L) === 2L && r1(11L) === 10L)
+  }
 }
