@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Driver-held product-quantization codebook: `m` subspaces × `k` codes ×
+  * `dims` dims, centroids flattened [s][j][p] with per-(s,j) squared norms.
+  * Serializable so the codegen reference object ships with the task binary.
+  */
+final class PqCodebook(val m: Int, val dims: Int, val k: Int,
+    val cents: Array[Double], val norms: Array[Double]) extends Serializable {
+  require(cents.length == m * k * dims && norms.length == m * k,
+    s"codebook shape mismatch: ${cents.length} cents / ${norms.length} norms " +
+      s"for m=$m k=$k dims=$dims")
+
+  /** All `m` nearest-code ids for one residual vector, in ONE pass.
+    * Bit-identical to the composed form it replaces — per subspace `s`:
+    * sx = left-to-right Σx², per code `j` ascending: dot = left-to-right
+    * Σ x·c, dq = floor(((sx − 2·dot) + ‖c‖²)·1e4 + 0.5)/1e4, keep the
+    * strictly smaller dq (so ties stay with the LOWER code id, matching
+    * `array_min` over (dq, j) structs). Inputs are null-free by
+    * construction (residuals of non-null embeddings), so no null lanes.
+    */
+  def encode(res: ArrayData): GenericArrayData = {
+    val codes = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      var sx = 0.0
+      var p = 0
+      while (p < dims) {
+        val x = res.getDouble(s * dims + p); sx += x * x; p += 1
+      }
+      var bestD = Double.PositiveInfinity
+      var bestJ = -1
+      var j = 0
+      while (j < k) {
+        var dot = 0.0
+        val base = (s * k + j) * dims
+        var q = 0
+        while (q < dims) {
+          dot += res.getDouble(s * dims + q) * cents(base + q); q += 1
+        }
+        val dq = java.lang.Math.floor(
+          ((sx - 2.0 * dot) + norms(s * k + j)) * 10000.0 + 0.5) / 10000.0
+        if (dq < bestD) { bestD = dq; bestJ = j }
+        j += 1
+      }
+      codes(s) = bestJ
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+}
+
+/** Native PQ ENCODE: residual ARRAY<DOUBLE> → the `m` nearest-code ids as
+  * ARRAY<INT>, against a driver-held [[PqCodebook]], in one codegen'd call.
+  *
+  * Why an Expression (SURVEY §7.3 preference (b)): the composed form — per
+  * subspace an `array_min` over `transform(typedlit(entries),
+  * aggregate(zip_with(...)))` structs — evaluates 2·m·k interpreted lambda
+  * folds per row (higher-order functions never enter whole-stage codegen),
+  * and rebuilding it with fresh literals each Lloyd round re-pays analysis
+  * on a struct tree of m·k branches. This collapses the whole per-row
+  * encode to one reference-object call inside the codegen'd projection —
+  * same arithmetic, same tie rule, bit-identical codes (spec-pinned) —
+  * which is what keeps IVFADC index builds map-only at 100 TB: the
+  * codebook rides the closure, the corpus is never joined or shuffled to
+  * be encoded.
+  */
+case class PqEncodeExpr(child: Expression, codebook: PqCodebook)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<DOUBLE>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(input: Any): Any =
+    codebook.encode(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCodebook", codebook,
+      classOf[PqCodebook].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cb.encode($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
+object PqFunctions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Column face over the codebook map `(s, j) → (centroid, ‖c‖²)` the
+    * AnnOps trainers produce.
+    */
+  def pq_encode(res: Column, cb: Map[(Int, Int), (Array[Double], Double)],
+      m: Int, dims: Int, k: Int): Column = {
+    val cents = new Array[Double](m * k * dims)
+    val norms = new Array[Double](m * k)
+    for (s <- 0 until m; j <- 0 until k) {
+      val (c, n2) = cb((s, j))
+      require(c.length == dims, s"centroid ($s,$j) has ${c.length} dims, want $dims")
+      System.arraycopy(c, 0, cents, (s * k + j) * dims, dims)
+      norms(s * k + j) = n2
+    }
+    ColumnBridge.column(PqEncodeExpr(ColumnBridge.expression(res),
+      new PqCodebook(m, dims, k, cents, norms)))
+  }
+}

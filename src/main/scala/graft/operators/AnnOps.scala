@@ -583,11 +583,17 @@ object AnnOps {
     val ee = transform(col("embedding"), x => x.cast("double"))
     // geometric cell membership (n10's reassignment half-step) + exact
     // double residual from the assigned centroid — one map-only projection
+    // the (vec_id, cell, res) index frame is consumed three times (two
+    // Lloyd rounds + the encode), so it checkpoints EAGERLY once — the
+    // index-build discipline, not a per-query cost (a deployment persists
+    // exactly this frame); the map-only assignment contract is unchanged
     val asg = e
       .select(col("vec_id"), col("embedding"), ee.as("ee"),
         array_max(scoredCells).getField("cell").as("cell"))
       .withColumn("res",
         zip_with(col("ee"), element_at(centMap, col("cell")), (x, c) => x - c))
+      .select(col("vec_id"), col("cell"), col("res"))
+      .localCheckpoint(true)
     // residual PQ codebook: POINT-seeded (vec_id 0..15's residual
     // subvectors — k-means' "first k points" seeding, genuinely spread
     // unlike n6's seed-partition means, which collapse toward the global
@@ -596,13 +602,12 @@ object AnnOps {
     // and 6-dp integer-mean update — the g7/g13 fixed-round convention,
     // so the oracle states the identical training prefix
     val cb = pqLloydCodebook(asg.select(col("vec_id"), col("res")), rounds = 2)
-    // encode: nearest code per subspace by 4-dp sq-L2, ties to lower j
-    val codes = (0 until PqM).map { s =>
-      val xs = slice(col("res"), s * PqDims + 1, PqDims)
-      array_min(pqScoredCodes(xs, pqEntries(cb, s))).getField("j")
-    }
+    // encode: nearest code per subspace by 4-dp sq-L2, ties to lower j —
+    // the native one-pass PqEncodeExpr (bit-identical to the composed
+    // array_min-over-scored-structs form, spec-pinned)
     val enc = asg.select(col("cell"), col("vec_id").as("neighbor_id"),
-      array(codes: _*).as("codes"))
+      graft.functions.PqFunctions.pq_encode(col("res"), cb, PqM, PqDims, PqK)
+        .as("codes"))
     // probes: nProbe best cells per query by the same literal 4-dp scores;
     // the residual distance TABLE is per (query, probed cell) — the IVFADC
     // detail that distinguishes residual PQ from n6's global tables
@@ -954,14 +959,15 @@ object AnnOps {
       }.toMap
     var cb = seeds
     for (_ <- 1 to rounds) {
-      val codes = (0 until PqM).map { s =>
-        val xs = slice(col("res"), s * PqDims + 1, PqDims)
-        array_min(pqScoredCodes(xs, pqEntries(cb, s))).getField("j")
-      }
-      // compute codes BEFORE the generator select: an aliased generator in
-      // the same projection re-resolves the lambda struct and strips the
-      // "j" field alias (analyzer CleanupAliases quirk)
-      val upd = df.withColumn("codes", array(codes: _*))
+      // assignment via the native one-pass PqEncodeExpr — bit-identical to
+      // the composed array_min(pqScoredCodes(...)) form (spec-pinned) but
+      // codegen'd: the composed form paid 2·PqM·PqK interpreted lambda
+      // folds per row and re-analyzed a PqM·PqK-branch struct tree every
+      // round. Computed BEFORE the generator select: an aliased generator
+      // in the same projection re-resolves lambda structs (analyzer
+      // CleanupAliases quirk)
+      val upd = df.withColumn("codes",
+          graft.functions.PqFunctions.pq_encode(col("res"), cb, PqM, PqDims, PqK))
         .select(col("codes"), posexplode(col("res")).as(Seq("dim", "v")))
         .withColumn("s", expr(s"dim div $PqDims").cast("int"))
         .withColumn("p", expr(s"dim % $PqDims").cast("int"))
