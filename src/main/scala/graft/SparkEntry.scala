@@ -75,6 +75,9 @@ object SparkEntry {
     // l4: data-skipping effectiveness — files touched under arrival vs
     // z-order layout for one box predicate; per-file stats in one keyed agg
     "l4_skipping_stats" -> ((s: SparkSession, d: String) => Bucketing.skippingStats(s, d)),
+    // l5: the three-way layout bake-off — arrival vs Morton vs Hilbert
+    // skipping under the same box predicate (native hilbert_key rounds)
+    "l5_layout_compare" -> ((s: SparkSession, d: String) => Bucketing.layoutCompare(s, d)),
     // g10: cross-source shingle-overlap matrix — the subcorpus governance
     // view of decontamination; shingle df bounded by source count
     "g10_cross_source" -> ((s: SparkSession, d: String) => CurationOps.crossSourceContamination(s, d)),
@@ -1409,6 +1412,54 @@ object SparkEntry {
          |        SELECT 'arrival' AS layout, event_id // 1024 AS file_id, user_id, k FROM z
          |        UNION ALL
          |        SELECT 'zorder', zkey >> 12, user_id, k FROM z)),
+         |s AS (SELECT layout, file_id, CAST(count(*) AS BIGINT) AS rows_ct,
+         |             min(user_id) AS u_min, min(k) AS k_min,
+         |             CAST(sum(CASE WHEN user_id <= 31 AND k <= 31 THEN 1 ELSE 0 END) AS BIGINT) AS m
+         |      FROM f GROUP BY 1, 2)
+         |SELECT layout, CAST(count(*) AS BIGINT) AS files_total,
+         |       CAST(sum(CASE WHEN u_min <= 31 AND k_min <= 31 THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+         |       CAST(sum(CASE WHEN u_min <= 31 AND k_min <= 31 THEN rows_ct ELSE 0 END) AS BIGINT) AS rows_read,
+         |       CAST(sum(m) AS BIGINT) AS rows_matched
+         |FROM s GROUP BY layout""".stripMargin
+    },
+    // l5: l4 plus the HILBERT layout — the curve's rotate/flip recurrence
+    // unrolled as 16 chained CTEs over the same clamped integers (rx/ry
+    // masks, d += s²·xor(3·rx, ry), conditional flip-swap), bit-identical
+    // to the native hilbert_key expression
+    "l5_layout_compare" -> {
+      val zterms = (0 until 16).map { i =>
+        s"(((x >> $i) & 1) << ${2 * i + 1}) + (((y >> $i) & 1) << ${2 * i})"
+      }.mkString(" + ")
+      val rounds = (0 until 16).map { i =>
+        val s = 1L << (15 - i)
+        s"""h${i + 1} AS (SELECT event_id,
+           |  CASE WHEN (y & $s) > 0 THEN x
+           |       ELSE CASE WHEN (x & $s) > 0 THEN ${s - 1} - y ELSE y END END AS x,
+           |  CASE WHEN (y & $s) > 0 THEN y
+           |       ELSE CASE WHEN (x & $s) > 0 THEN ${s - 1} - x ELSE x END END AS y,
+           |  d + ${s * s} * xor(3 * (CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END),
+           |                     CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END) AS d
+           |FROM h$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT event_id, user_id,
+         |                  TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |           FROM events
+         |           WHERE TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) IS NOT NULL),
+         |c AS (SELECT event_id, user_id, k,
+         |             least(greatest(user_id, 0), 65535) AS x,
+         |             least(greatest(k, 0), 65535) AS y
+         |      FROM e),
+         |z AS (SELECT event_id, user_id, k, $zterms AS zkey FROM c),
+         |h0 AS (SELECT event_id, x, y, CAST(0 AS BIGINT) AS d FROM c),
+         |$rounds,
+         |j AS (SELECT z.event_id, z.user_id, z.k, z.zkey, h16.d AS hkey
+         |      FROM z JOIN h16 USING (event_id)),
+         |f AS (SELECT layout, file_id, user_id, k FROM (
+         |        SELECT 'arrival' AS layout, event_id // 1024 AS file_id, user_id, k FROM j
+         |        UNION ALL
+         |        SELECT 'zorder', zkey >> 12, user_id, k FROM j
+         |        UNION ALL
+         |        SELECT 'hilbert', hkey >> 12, user_id, k FROM j)),
          |s AS (SELECT layout, file_id, CAST(count(*) AS BIGINT) AS rows_ct,
          |             min(user_id) AS u_min, min(k) AS k_min,
          |             CAST(sum(CASE WHEN user_id <= 31 AND k <= 31 THEN 1 ELSE 0 END) AS BIGINT) AS m

@@ -134,6 +134,48 @@ object Bucketing {
   def skippingStats(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     skippingStats(graft.Tables.table(spark, dir, "events"))
 
+  /** L5 — THREE-way layout bake-off: l4's skipping audit extended with the
+    * HILBERT layout ([[graft.functions.HilbertIndex]]), the locality-better
+    * space-filling curve (every curve step moves ONE grid cell, so equal
+    * curve segments have tighter bounding boxes than Morton's
+    * diagonal-jumping Z — the reason Delta's OPTIMIZE grew a HILBERT mode).
+    * Same box predicate, same file granularity (4096-key curve segments),
+    * same per-layout verdict columns — the table that decides WHICH curve
+    * to cluster on, not just whether to cluster.
+    *
+    * Scale notes (100 TB): both curve keys are scan-side codegen'd integer
+    * projections (zero joins); the audit is ONE keyed aggregation with
+    * map-side partials over (layout, file_id) — 3× l4's rollup rows, still
+    * file-catalog-sized. The oracle states the Hilbert rotation rounds as
+    * chained CTEs over the same integers, so the layouts are bit-identical
+    * across engines.
+    */
+  def layoutCompare(events: DataFrame, uHi: Long = 31L,
+      kHi: Long = 31L): DataFrame = {
+    val base = zorderEvents(events)
+      .withColumn("hkey",
+        graft.functions.HilbertIndex.hilbert_key(col("user_id"), col("k")))
+    val matched = col("user_id") <= uHi && col("k") <= kHi
+    val perFile = base
+      .select(col("user_id"), col("k"),
+        explode(map(
+          lit("arrival"), expr("event_id div 1024"),
+          lit("zorder"), shiftright(col("zkey"), 12),
+          lit("hilbert"), shiftright(col("hkey"), 12))).as(Seq("layout", "file_id")))
+      .groupBy("layout", "file_id")
+      .agg(count(lit(1)).as("rows"),
+        min(col("user_id")).as("u_min"), min(col("k")).as("k_min"),
+        sum(when(matched, 1L).otherwise(0L)).as("m"))
+    val touched = col("u_min") <= uHi && col("k_min") <= kHi
+    perFile.groupBy("layout").agg(
+      count(lit(1)).as("files_total"),
+      sum(when(touched, 1L).otherwise(0L)).as("files_touched"),
+      sum(when(touched, col("rows")).otherwise(0L)).as("rows_read"),
+      sum(col("m")).as("rows_matched"))
+  }
+  def layoutCompare(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    layoutCompare(graft.Tables.table(spark, dir, "events"))
+
   /** L2 — compaction planning, l1's sibling for the OTHER lakehouse layout
     * chore (the small-files problem): assign each document to an output
     * file of ≈ `targetBytes`, bin-packed in id order WITHIN a

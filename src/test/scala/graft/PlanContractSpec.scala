@@ -344,6 +344,16 @@ class PlanContractSpec extends SparkSpec {
     assert(count(p, "Scan parquet") === 1, p)
   }
 
+  test("layout bake-off: scan-side curve keys, one keyed rollup, no joins (l5)") {
+    val p = planOf("l5_layout_compare")
+    // both curve keys are codegen'd scan-side projections; the only
+    // exchanges are the (layout, file_id) rollup and the layout verdict —
+    // no join may appear anywhere (file stats need no dimension lookups)
+    assert(count(p, "Join") === 0, s"l5 must not join:\n$p")
+    assert(count(p, "Scan parquet") === 1, p)
+    assert(count(p, "Exchange hashpartitioning") <= 2, p)
+  }
+
   test("pagerank rounds read the materialized edge catalog, not the corpus (g7)") {
     val df = SparkEntry.queries("g7_pagerank")(spark, sf)
     df.collect()
