@@ -121,6 +121,9 @@ object SparkEntry {
     // one bounded running-sum window per slice, never a global sort
     "l2_compaction_plan" -> ((s: SparkSession, d: String) => Bucketing.compactionPlan(s, d)),
     "r3_retention" -> (StatsOps.retention _),
+    // a15: month-grained cohort LTV over orders — money-weighted r3 with
+    // exact-decimal cumulative revenue per founding buyer
+    "a15_cohort_ltv" -> (StatsOps.cohortLtv _),
     "w2_sliding_counts" -> (StatsOps.slidingCounts _),
     "w3_session_window" -> (StatsOps.sessionWindowStats _),
     "w6_user_jump" -> (LogOps.userJump _),
@@ -1522,6 +1525,31 @@ object SparkEntry {
          |SELECT a.cohort_day, a.day_offset, a.active_users, s.cohort_users,
          |       floor(a.active_users * 10000.0 / s.cohort_users + 0.5) / 10000.0 AS retention
          |FROM a JOIN s USING (cohort_day)""".stripMargin,
+    // a15: the LTV matrix restated — integer month keys (year·12 + month),
+    // DECIMAL(18,4) through cell sum AND cumulative window, 4-dp surface
+    "a15_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey AS cust,
+        |                  CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mkey,
+        |                  o_totalprice AS price
+        |           FROM orders),
+        |m AS (SELECT cust, mkey, price,
+        |             min(mkey) OVER (PARTITION BY cust) AS cohort_m
+        |      FROM o),
+        |cell AS (SELECT cohort_m, mkey - cohort_m AS age_m,
+        |                CAST(count(DISTINCT cust) AS BIGINT) AS buyers,
+        |                sum(CAST(price AS DECIMAL(18,4))) AS rev_dec
+        |         FROM m GROUP BY 1, 2),
+        |sz AS (SELECT cohort_m, buyers AS cohort_users FROM cell WHERE age_m = 0),
+        |c2 AS (SELECT cell.cohort_m, cell.age_m, cell.buyers, cell.rev_dec,
+        |              sz.cohort_users,
+        |              sum(cell.rev_dec) OVER (PARTITION BY cell.cohort_m
+        |                ORDER BY cell.age_m) AS cum_dec
+        |       FROM cell JOIN sz USING (cohort_m))
+        |SELECT cohort_m, age_m, buyers,
+        |       CAST(rev_dec AS DOUBLE) AS revenue,
+        |       floor(buyers * 10000.0 / cohort_users + 0.5) / 10000.0 AS retained,
+        |       floor(CAST(cum_dec AS DOUBLE) / cohort_users * 10000.0 + 0.5) / 10000.0 AS cum_ltv
+        |FROM c2""".stripMargin,
     // x2: the typed distinct-set Aggregator through SQL vs COUNT(DISTINCT).
     "x2_exact_distinct_udaf" ->
       """SELECT event_type, count(DISTINCT user_id) AS uv, count(*) AS ct

@@ -350,6 +350,49 @@ object StatsOps {
   def retention(spark: SparkSession, dir: String): DataFrame =
     retention(table(spark, dir, "events"))
 
+  /** A15 — cohort LIFETIME-VALUE matrix over the ORDERS fact: customers
+    * grouped by first-purchase month, each (cohort, month-age) cell
+    * carrying distinct buyers, revenue, the retained share of the founding
+    * cohort, and CUMULATIVE revenue per founding buyer — the LTV curve
+    * every payback/CAC decision reads (r3's day-retention sibling, but
+    * money-weighted and month-grained). Month keys are plain integers
+    * (`year·12 + month`), revenue folds as exact DECIMAL(18,4) through
+    * BOTH the cell sum and the cumulative window, and the two ratios
+    * quantize 4-dp only at the surface — so no float accumulation or
+    * calendar semantics can diverge cross-engine.
+    *
+    * Scale notes (100 TB): two keyed exchanges — the per-customer cohort
+    * window (partitioned on o_custkey) and the (cohort, age) rollup
+    * (months²-bounded output); the cohort-size join broadcasts (≤ one row
+    * per calendar month) and the cumulative window rides the tiny rollup
+    * frame. No corpus self-joins, no date-type seams.
+    */
+  def cohortLtv(orders: DataFrame): DataFrame = {
+    val o = orders.select(col("o_custkey").as("cust"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("mkey"),
+      col("o_totalprice").as("price"))
+    val marked = o.withColumn("cohort_m",
+        min("mkey").over(Window.partitionBy("cust")))
+      .withColumn("age_m", col("mkey") - col("cohort_m"))
+    val cell = marked.groupBy("cohort_m", "age_m")
+      .agg(countDistinct(col("cust")).as("buyers"),
+        sum(col("price").cast("decimal(18,4)")).as("rev_dec"))
+    val sizes = cell.filter(col("age_m") === 0)
+      .select(col("cohort_m"), col("buyers").as("cohort_users"))
+    val cw = Window.partitionBy("cohort_m").orderBy("age_m")
+    cell.join(broadcast(sizes), Seq("cohort_m"))
+      .withColumn("cum_dec", sum(col("rev_dec")).over(cw))
+      .select(col("cohort_m"), col("age_m"), col("buyers"),
+        col("rev_dec").cast("double").as("revenue"),
+        (floor(col("buyers") * 10000.0 / col("cohort_users") + 0.5) / 10000.0)
+          .as("retained"),
+        (floor(col("cum_dec").cast("double") / col("cohort_users") * 10000.0
+          + 0.5) / 10000.0).as("cum_ltv"))
+  }
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame =
+    cohortLtv(table(spark, dir, "orders"))
+
   /** A13 — rolling active users: DAU, trailing-7-day WAU, and the DAU/WAU
     * stickiness ratio per epoch day — the engagement dashboard staple next
     * to r3's cohort view. The trailing window is materialized as a 7-way

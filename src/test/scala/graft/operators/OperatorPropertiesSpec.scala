@@ -252,4 +252,42 @@ class OperatorPropertiesSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(r1(1L) === 2L && r1(11L) === 10L)
   }
+
+  test("cohort LTV: planted two-cohort matrix is exact; invariants hold on the fixture (A15)") {
+    // cohort Jan-2024 = custs {1, 2}; cohort Feb-2024 = cust {3}.
+    // cust 1 buys 10.00 in Jan and 5.50 in Mar (age 2, alone);
+    // cust 2 buys 20.00 in Jan and 4.50 in Feb (age 1);
+    // cust 3 buys 7.25 in Feb (its own cohort's age 0).
+    def o(key: Long, cust: Long, date: String, price: Double) =
+      (key, cust, java.sql.Timestamp.valueOf(date), price)
+    val orders = Seq(
+      o(1, 1, "2024-01-05 00:00:00", 10.0), o(2, 2, "2024-01-20 00:00:00", 20.0),
+      o(3, 2, "2024-02-03 00:00:00", 4.5), o(4, 1, "2024-03-15 00:00:00", 5.5),
+      o(5, 3, "2024-02-09 00:00:00", 7.25))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val got = StatsOps.cohortLtv(orders).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val jan = 2024L * 12 + 1
+    val feb = jan + 1
+    assert(got === Map(
+      (jan, 0L) -> ((2L, 30.0, 1.0, 15.0)),
+      (jan, 1L) -> ((1L, 4.5, 0.5, 17.25)),
+      (jan, 2L) -> ((1L, 5.5, 0.5, 20.0)),
+      (feb, 0L) -> ((1L, 7.25, 1.0, 7.25))))
+    // invariants on the real fixture: cum_ltv never decreases with age,
+    // age-0 retention is exactly 1, and cell revenue reconciles to the
+    // orders total (no row lost to the cohort windows)
+    val real = StatsOps.cohortLtv(graft.Tables.table(spark, sf, "orders"))
+    val bad = real.withColumn("prev",
+        lag("cum_ltv", 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("cohort_m").orderBy("age_m")))
+      .filter(col("prev").isNotNull && col("cum_ltv") < col("prev"))
+    assert(bad.count() === 0, "cum_ltv decreased within a cohort")
+    assert(real.filter(col("age_m") === 0 && col("retained") =!= 1.0).count() === 0)
+    val cellSum = real.agg(sum(col("revenue").cast("decimal(18,4)"))).head.getDecimal(0)
+    val total = graft.Tables.table(spark, sf, "orders")
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)"))).head.getDecimal(0)
+    assert(cellSum.compareTo(total) === 0, s"$cellSum != $total")
+  }
 }
