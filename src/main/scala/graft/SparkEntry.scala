@@ -193,6 +193,9 @@ object SparkEntry {
     // only the 4 probed cells' 8-int codes are ADC-scored against a
     // per-(query, cell) residual distance table, then the n1 float rerank
     "n11_ivfpq_topk" -> ((s: SparkSession, d: String) => AnnOps.ivfPqTopK(s, d)),
+    // n13: MMR diversified top-k — the RAG reranker between search and the
+    // context window; greedy rounds unrolled, pool-bounded by construction
+    "n13_mmr_topk" -> ((s: SparkSession, d: String) => AnnOps.mmrTopK(s, d)),
     "n5_cosine_sim_fn" -> (cosineSimFn _),
     // LLM-data-pipeline: corpus curation (decontamination, sampling,
     // shard shuffle, n-gram frequency)
@@ -512,6 +515,62 @@ object SparkEntry {
          |SELECT node, label AS community,
          |       CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS community_size
          |FROM l$iters""".stripMargin
+  }
+
+  /** n13's oracle: the MMR greedy prefix UNROLLED — candidate pool is n1's
+    * brute chain at rnk ≤ pool, the pool pair matrix carries 4-dp cosines,
+    * and each round r picks argmax over floor((0.7·sim − 0.3·red)·1e4+0.5)
+    * (ties → smaller neighbor id) among candidates not yet picked, with
+    * red = max pair-sim against the picked set. λ and μ are independent
+    * DOUBLE literals (never 1−λ — binary 1−0.7 ≠ 0.3).
+    */
+  private def mmrSql(k: Int, pool: Int): String = {
+    val head =
+      s"""WITH ${cosineCommon.replace("%QLIM%", "10")},
+         |sims AS (SELECT query_id, vec_id AS neighbor_id,
+         |                floor(list_dot_product(qe, ee) /
+         |                      (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ee, ee)))
+         |                      * 10000.0 + 0.5) / 10000.0 AS sim
+         |         FROM q, e WHERE vec_id <> query_id),
+         |cand AS (SELECT query_id, neighbor_id, sim FROM (
+         |           SELECT query_id, neighbor_id, sim,
+         |                  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+         |           FROM sims) WHERE rn <= $pool),
+         |p AS (SELECT c1.query_id, c1.neighbor_id AS a, c2.neighbor_id AS b,
+         |             floor(list_dot_product(ea.ee, eb.ee) /
+         |                   (sqrt(list_dot_product(ea.ee, ea.ee)) * sqrt(list_dot_product(eb.ee, eb.ee)))
+         |                   * 10000.0 + 0.5) / 10000.0 AS psim
+         |      FROM cand c1
+         |      JOIN cand c2 ON c1.query_id = c2.query_id AND c1.neighbor_id <> c2.neighbor_id
+         |      JOIN e ea ON ea.vec_id = c1.neighbor_id
+         |      JOIN e eb ON eb.vec_id = c2.neighbor_id),
+         |s1 AS (SELECT query_id, neighbor_id, CAST(1 AS BIGINT) AS pick, sim,
+         |              floor(CAST(0.7 AS DOUBLE) * sim * 10000.0 + 0.5) / 10000.0 AS mmr
+         |       FROM (SELECT query_id, neighbor_id, sim,
+         |                    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+         |             FROM cand) WHERE rn = 1)""".stripMargin
+    val rounds = (2 to k).map { r =>
+      s"""s$r AS (
+         |  SELECT * FROM s${r - 1}
+         |  UNION ALL
+         |  SELECT query_id, neighbor_id, CAST($r AS BIGINT) AS pick, sim, mmr FROM (
+         |    SELECT x.query_id, x.neighbor_id, x.sim, x.mmr,
+         |           row_number() OVER (PARTITION BY x.query_id ORDER BY x.mmr DESC, x.neighbor_id) AS rn
+         |    FROM (
+         |      SELECT c.query_id, c.neighbor_id, c.sim,
+         |             floor((CAST(0.7 AS DOUBLE) * c.sim - CAST(0.3 AS DOUBLE) * rd.red)
+         |                   * 10000.0 + 0.5) / 10000.0 AS mmr
+         |      FROM cand c
+         |      JOIN (SELECT p.query_id, p.a AS neighbor_id, max(p.psim) AS red
+         |            FROM p JOIN s${r - 1} s ON s.query_id = p.query_id AND s.neighbor_id = p.b
+         |            GROUP BY p.query_id, p.a) rd
+         |        ON rd.query_id = c.query_id AND rd.neighbor_id = c.neighbor_id
+         |      WHERE NOT EXISTS (SELECT 1 FROM s${r - 1} s2
+         |                        WHERE s2.query_id = c.query_id AND s2.neighbor_id = c.neighbor_id)
+         |    ) x) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    head + rounds +
+      s"\nSELECT query_id, neighbor_id, pick, sim, mmr FROM s$k"
   }
 
   /** Exact decimal sum surfaced as double — mirror of Tables.dsum. */
@@ -2059,6 +2118,8 @@ object SparkEntry {
         |              (b.cent_sim = a.cent_sim AND b.vec_id < a.vec_id)))
         |SELECT sc.vec_id, sc.label, sc.cent_sim, dr.vec_id IS NULL AS keep
         |FROM sc LEFT JOIN dr ON sc.vec_id = dr.vec_id""".stripMargin,
+    // n13: the greedy MMR prefix unrolled over n1's candidate chain
+    "n13_mmr_topk" -> mmrSql(5, 20),
     "n1_ann_cosine_topk" ->
       s"""WITH ${cosineCommon.replace("%QLIM%", "10")},
          |sims AS (SELECT query_id, vec_id AS neighbor_id,

@@ -648,6 +648,81 @@ object AnnOps {
   def ivfPqTopK(spark: SparkSession, dir: String): DataFrame =
     ivfPqTopK(table(spark, dir, "embeddings"))
 
+  /** N13 — MMR: maximal-marginal-relevance DIVERSIFIED top-k (Carbonell &
+    * Goldstein, SIGIR 1998) — the reranker between vector search and a RAG
+    * context window: greedily pick the candidate maximizing
+    * λ·sim(q, d) − μ·max_{s∈picked} sim(d, s), so near-duplicate passages
+    * stop crowding out coverage. Candidate pool = n1's exact contract
+    * (4-dp cosine, ties by neighbor id) at `pool` per query; `k` greedy
+    * rounds UNROLLED with the argmax on the 4-dp-quantized MMR score
+    * (ties → smaller neighbor id), the fixed-round convention that lets
+    * the oracle state the identical greedy prefix as chained CTEs. λ and
+    * μ are INDEPENDENT literals (μ is not computed as 1−λ: binary 1−0.7
+    * is 0.30000000000000004 and engines would quantize differently near
+    * ties).
+    *
+    * Scale notes (100 TB): the only corpus-scale work is the candidate
+    * search itself (n1's broadcast-queries/no-corpus-shuffle shape, or any
+    * ANN face upstream); everything after is pool-bounded by construction
+    * — the pair matrix is |Q|·pool² rows (report-sized), each greedy round
+    * joins frames of ≤ |Q|·pool rows, and per-round picks localCheckpoint
+    * (k tiny jobs, the g7/g13 iterative discipline) so the plan never
+    * compounds across rounds.
+    */
+  def mmrTopK(e: DataFrame, k: Int = 5, pool: Int = 20,
+      lambda: Double = 0.7, mu: Double = 0.3): DataFrame = {
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val cand = searchTopK(e, queries, pool)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+      .localCheckpoint(true)
+    // pairwise 4-dp cosine within each query's pool: the candidate list
+    // broadcasts into the corpus scan to pull vectors, then the pool
+    // self-joins per query — |Q|·pool² rows, never corpus-squared
+    val cv = e.select(col("vec_id").as("neighbor_id"), col("embedding"),
+        norm(col("embedding")).as("nv"))
+      .join(broadcast(cand.select("query_id", "neighbor_id")), Seq("neighbor_id"))
+    val pa = cv.select(col("query_id"), col("neighbor_id").as("a"),
+      col("embedding").as("ea"), col("nv").as("na"))
+    val pb = cv.select(col("query_id"), col("neighbor_id").as("b"),
+      col("embedding").as("eb"), col("nv").as("nb"))
+    val pairs = pa.join(broadcast(pb), Seq("query_id"))
+      .filter(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        cosinePre(col("ea"), col("eb"), col("na"), col("nb")).as("psim"))
+      .localCheckpoint(true)
+    val q4 = (c: Column) => floor(c * 10000.0 + 0.5) / 10000.0
+    // round 1: no redundancy term — the pool's rank-1 row, mmr = q4(λ·sim)
+    val first = topKPerQuery(cand, 1, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("pick"),
+        col("sim"), q4(lit(lambda) * col("sim")).as("mmr"))
+      .localCheckpoint(true)
+    var sel = first
+    for (r <- 2 to k) {
+      val rem = cand.join(sel.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val red = pairs
+        .join(sel.select(col("query_id"), col("neighbor_id").as("b")),
+          Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a").as("neighbor_id"))
+        .agg(max(col("psim")).as("red"))
+      val pick = rem.join(red, Seq("query_id", "neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("sim"),
+          q4(lit(lambda) * col("sim") - lit(mu) * col("red")).as("mmr"))
+        .groupBy("query_id")
+        .agg(max_by(
+          struct(col("neighbor_id"), col("sim"), col("mmr")),
+          struct(col("mmr"), (-col("neighbor_id")).as("negid"))).as("p"))
+        .select(col("query_id"), col("p.neighbor_id").as("neighbor_id"),
+          lit(r.toLong).as("pick"), col("p.sim").as("sim"), col("p.mmr").as("mmr"))
+        .localCheckpoint(true)
+      sel = sel.unionByName(pick)
+    }
+    sel
+  }
+  def mmrTopK(spark: SparkSession, dir: String): DataFrame =
+    mmrTopK(table(spark, dir, "embeddings"))
+
   /** Coarse-quantizer training: centroid = element-wise mean vector per
     * cluster. One shuffle on (cell, dim) — dimension count is a constant, so
     * this scales as a plain aggregation of the corpus.

@@ -539,4 +539,43 @@ class AnnOpsSpec extends SparkSpec {
     assert(gated.filter(!col("keep")).count() > 0,
       "τ=0.35 face found no drops — the oracle would pass vacuously")
   }
+
+  test("n13 MMR: planted near-duplicate is displaced by the diverse doc at pick 2") {
+    import spark.implicits._
+    // query 0 along e1, equally-relevant docs on BOTH sides of the axis:
+    // 100 = (.8,.6) and its near-twin 101 = (.8,.601); 102 = (.8,−.6) the
+    // mirror (same .8 relevance, pair-sim to 100 only .28); 103 orthogonal.
+    // Plain top-k ranks the twin second (sim .7995); MMR must demote it:
+    // twin .7·.7995 − .3·1.0 = .2597 < mirror .7·.8 − .3·.28 = .476 —
+    // a twin of the pick can never beat an equally-relevant diverse doc.
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val e = Seq(
+      (0L, v(1, 0, 0, 0)),            // query
+      (100L, v(0.8, 0.6, 0, 0)),      // pick 1 (sim .8, ties to min id)
+      (101L, v(0.8, 0.601, 0, 0)),    // its near-duplicate twin
+      (102L, v(0.8, -0.6, 0, 0)),     // the equally-relevant mirror
+      (103L, v(0, 0, 0, 1)))          // padding
+      .toDF("vec_id", "embedding")
+      .withColumn("label", lit(0))
+    val got = AnnOps.mmrTopK(e, k = 3, pool = 4)
+      .filter(col("query_id") === 0)
+      .orderBy("pick").collect()
+      .map(r => r.getLong(r.fieldIndex("pick")) ->
+        r.getLong(r.fieldIndex("neighbor_id"))).toMap
+    assert(got(1L) === 100L, s"pick 1 must be the plain top-1: $got")
+    assert(got(2L) === 102L, s"MMR must pick the diverse doc second: $got")
+    assert(got(3L) === 101L, s"the twin returns once redundancy is priced: $got")
+    // invariants on the fixture corpus: picks are distinct, pool-bounded,
+    // and pick 1 is exactly n1's rank 1 per query
+    val emb = Tables.table(spark, sf, "embeddings")
+    val mmr = AnnOps.mmrTopK(emb)
+    assert(mmr.groupBy("query_id").count().filter(col("count") =!= 5).count() === 0)
+    assert(mmr.select("query_id", "neighbor_id").distinct().count() === mmr.count())
+    val firsts = mmr.filter(col("pick") === 1)
+      .select(col("query_id"), col("neighbor_id").as("m1"))
+    val brute1 = AnnOps.cosineTopK(emb).filter(col("rnk") === 1)
+      .select(col("query_id"), col("neighbor_id").as("b1"))
+    assert(firsts.join(brute1, Seq("query_id"))
+      .filter(col("m1") =!= col("b1")).count() === 0)
+  }
 }
