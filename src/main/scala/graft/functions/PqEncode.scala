@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Driver-held product-quantization codebook: `m` subspaces × `k` codes ×
   * `dims` dims, centroids flattened [s][j][p] with per-(s,j) squared norms.
@@ -54,6 +54,40 @@ final class PqCodebook(val m: Int, val dims: Int, val k: Int,
     }
     new GenericArrayData(codes)
   }
+
+  /** [[encode]] over an ARRAY<FLOAT> input — each lane widens float→double
+    * exactly like the `x.cast("double")` fold it replaces, so the result is
+    * bit-identical to encoding the double-cast array.
+    */
+  def encodeF(res: ArrayData): GenericArrayData = {
+    val codes = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      var sx = 0.0
+      var p = 0
+      while (p < dims) {
+        val x = res.getFloat(s * dims + p).toDouble; sx += x * x; p += 1
+      }
+      var bestD = Double.PositiveInfinity
+      var bestJ = -1
+      var j = 0
+      while (j < k) {
+        var dot = 0.0
+        val base = (s * k + j) * dims
+        var q = 0
+        while (q < dims) {
+          dot += res.getFloat(s * dims + q).toDouble * cents(base + q); q += 1
+        }
+        val dq = java.lang.Math.floor(
+          ((sx - 2.0 * dot) + norms(s * k + j)) * 10000.0 + 0.5) / 10000.0
+        if (dq < bestD) { bestD = dq; bestJ = j }
+        j += 1
+      }
+      codes(s) = bestJ
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
 }
 
 /** Native PQ ENCODE: residual ARRAY<DOUBLE> → the `m` nearest-code ids as
@@ -74,21 +108,29 @@ final class PqCodebook(val m: Int, val dims: Int, val k: Int,
 case class PqEncodeExpr(child: Expression, codebook: PqCodebook)
     extends UnaryExpression {
 
+  private def floatInput: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires ARRAY<DOUBLE>, got ${other.sql}")
+      s"$prettyName requires ARRAY<DOUBLE> or ARRAY<FLOAT>, got ${other.sql}")
   }
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "pq_encode"
 
   override def nullSafeEval(input: Any): Any =
-    codebook.encode(input.asInstanceOf[ArrayData])
+    if (floatInput) codebook.encodeF(input.asInstanceOf[ArrayData])
+    else codebook.encode(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cb = ctx.addReferenceObj("pqCodebook", codebook,
       classOf[PqCodebook].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cb.encode($c);")
+    val call = if (floatInput) "encodeF" else "encode"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cb.$call($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =

@@ -1126,13 +1126,12 @@ object AnnOps {
     * feasible at all).
     */
   def pqEncode(vectors: DataFrame,
-      cb: Map[(Int, Int), (Array[Double], Double)]): DataFrame = {
-    val codes = (0 until PqM).map { s =>
-      val xs = slice(col("embedding"), s * PqDims + 1, PqDims)
-      array_min(pqScoredCodes(xs, pqEntries(cb, s))).getField("j")
-    }
-    vectors.withColumn("codes", array(codes: _*))
-  }
+      cb: Map[(Int, Int), (Array[Double], Double)]): DataFrame =
+    // the native one-pass PqEncodeExpr — bit-identical to the composed
+    // array_min(pqScoredCodes(...)) per-subspace form it replaced
+    // (PqEncodeSpec pins parity on BOTH float and double inputs)
+    vectors.withColumn("codes",
+      graft.functions.PqFunctions.pq_encode(col("embedding"), cb, PqM, PqDims, PqK))
 
   /** N6 — PQ/ADC search: queries (vec_id < 10) build a per-subspace
     * distance table against the codebook; every corpus vector's

@@ -88,7 +88,20 @@ class PqEncodeSpec extends SparkSpec {
       org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback])
   }
 
-  test("type check: ARRAY<DOUBLE> required; codebook shape guarded") {
+  test("float input matches encoding the double-cast array (the n6 face)") {
+    val df = vectors.map(_.map(_.toFloat)).toDF("resf")
+      .withColumn("res", transform(col("resf"), x => x.cast("double")))
+    val got = df.select(
+      PqFunctions.pq_encode(col("resf"), cbMap, M, Dims, K).as("f"),
+      PqFunctions.pq_encode(col("res"), cbMap, M, Dims, K).as("d"),
+      composed(cbMap).as("fold"))
+    got.collect().foreach { r =>
+      assert(r.getSeq[Int](0) === r.getSeq[Int](1))
+      assert(r.getSeq[Int](0) === r.getSeq[Int](2))
+    }
+  }
+
+  test("type check: ARRAY<DOUBLE|FLOAT> required; codebook shape guarded") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types._
     val cb = new PqCodebook(M, Dims, K,
@@ -96,7 +109,9 @@ class PqEncodeSpec extends SparkSpec {
     val darr = Literal.create(Seq(1.0), ArrayType(DoubleType))
     assert(PqEncodeExpr(darr, cb).checkInputDataTypes().isSuccess)
     val farr = Literal.create(Seq(1.0f), ArrayType(FloatType))
-    assert(!PqEncodeExpr(farr, cb).checkInputDataTypes().isSuccess)
+    assert(PqEncodeExpr(farr, cb).checkInputDataTypes().isSuccess)
+    val iarr = Literal.create(Seq(1), ArrayType(IntegerType))
+    assert(!PqEncodeExpr(iarr, cb).checkInputDataTypes().isSuccess)
     intercept[IllegalArgumentException] {
       new PqCodebook(M, Dims, K, new Array[Double](3), new Array[Double](M * K))
     }
