@@ -673,9 +673,20 @@ object AnnOps {
       lambda: Double = 0.7, mu: Double = 0.3): DataFrame = {
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val cand = searchTopK(e, queries, pool)
-      .select(col("query_id"), col("neighbor_id"), col("sim"))
-      .localCheckpoint(true)
+    mmrOver(e, searchTopK(e, queries, pool)
+      .select(col("query_id"), col("neighbor_id"), col("sim")), k, lambda, mu)
+  }
+  def mmrTopK(spark: SparkSession, dir: String): DataFrame =
+    mmrTopK(table(spark, dir, "embeddings"))
+
+  /** The MMR greedy core over an ARBITRARY candidate pool `(query_id,
+    * neighbor_id, sim)` — n13 feeds it the brute n1 pool; the c5 serving
+    * capstone feeds it n10's probe-bounded reranked pool. Pool-bounded by
+    * construction regardless of the upstream search.
+    */
+  def mmrOver(e: DataFrame, candIn: DataFrame, k: Int,
+      lambda: Double, mu: Double): DataFrame = {
+    val cand = candIn.localCheckpoint(true)
     // pairwise 4-dp cosine within each query's pool: the candidate list
     // broadcasts into the corpus scan to pull vectors, then the pool
     // self-joins per query — |Q|·pool² rows, never corpus-squared
@@ -720,8 +731,20 @@ object AnnOps {
     }
     sel
   }
-  def mmrTopK(spark: SparkSession, dir: String): DataFrame =
-    mmrTopK(table(spark, dir, "embeddings"))
+
+  /** C5's search-side composition — see
+    * [[graft.operators.CurationOps.retrievalServe]] for the capstone face:
+    * n10's probe-bounded IVF×SQ8 scan reranked exactly to a `pool`-sized
+    * candidate list, then MMR-diversified. The serving path end-to-end:
+    * candidate I/O follows the probed fraction, the pair matrix and greedy
+    * rounds are pool-bounded, and every stage keeps its gate contract.
+    */
+  def retrievalServe(e: DataFrame, k: Int = 5, pool: Int = 20,
+      nProbe: Int = 3, lambda: Double = 0.7, mu: Double = 0.3): DataFrame =
+    mmrOver(e, ivfQuantizedTopK(e, k = pool, cand = pool, nProbe = nProbe)
+      .select(col("query_id"), col("neighbor_id"), col("sim")), k, lambda, mu)
+  def retrievalServe(spark: SparkSession, dir: String): DataFrame =
+    retrievalServe(table(spark, dir, "embeddings"))
 
   /** Coarse-quantizer training: centroid = element-wise mean vector per
     * cluster. One shuffle on (cell, dim) — dimension count is a constant, so
