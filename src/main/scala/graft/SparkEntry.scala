@@ -284,6 +284,10 @@ object SparkEntry {
     // phash-canonical AND audio fingerprint-keeper, every gate reused
     // verbatim from its standalone operator (and its oracle likewise)
     "c4_multimodal_curation" -> ((s: SparkSession, d: String) => MultimodalOps.multimodalCuration(s, d)),
+    // c5: RAG retrieval serving capstone — n10's probe-bounded IVF×SQ8
+    // scan, exact rerank to the pool=20 list, n13's MMR greedy tail; the
+    // oracle composes the two gated stages' CTE chains verbatim
+    "c5_retrieval_serve" -> ((s: SparkSession, d: String) => CurationOps.retrievalServe(s, d)),
     // m5: REAL WAV round trip — encode RIFF/WAVE bytes per doc, decode with
     // the in-JDK javax.sound parser, aggregate frames at the codec seam;
     // same arithmetic oracle as m4, so a codec fault breaks the hash
@@ -543,12 +547,25 @@ object SparkEntry {
          |      FROM cand c1
          |      JOIN cand c2 ON c1.query_id = c2.query_id AND c1.neighbor_id <> c2.neighbor_id
          |      JOIN e ea ON ea.vec_id = c1.neighbor_id
-         |      JOIN e eb ON eb.vec_id = c2.neighbor_id),
-         |s1 AS (SELECT query_id, neighbor_id, CAST(1 AS BIGINT) AS pick, sim,
-         |              floor(CAST(0.7 AS DOUBLE) * sim * 10000.0 + 0.5) / 10000.0 AS mmr
-         |       FROM (SELECT query_id, neighbor_id, sim,
-         |                    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
-         |             FROM cand) WHERE rn = 1)""".stripMargin
+         |      JOIN e eb ON eb.vec_id = c2.neighbor_id)""".stripMargin
+    head + ",\n" + mmrGreedyTail(k)
+  }
+
+  /** The MMR greedy prefix UNROLLED over predefined CTEs `cand`
+    * (query_id, neighbor_id, sim) and `p` (query_id, a, b, psim) — shared
+    * by n13 (the brute n1 pool) and c5 (the IVF×SQ8 reranked pool). Round
+    * 1 picks the pool's rank-1 row (mmr = 4-dp λ·sim); each later round r
+    * picks argmax floor((0.7·sim − 0.3·red)·1e4+0.5) (ties → smaller
+    * neighbor id) among unpicked candidates, red = max pair-sim against
+    * the picked set.
+    */
+  private def mmrGreedyTail(k: Int): String = {
+    val s1 =
+      """s1 AS (SELECT query_id, neighbor_id, CAST(1 AS BIGINT) AS pick, sim,
+        |              floor(CAST(0.7 AS DOUBLE) * sim * 10000.0 + 0.5) / 10000.0 AS mmr
+        |       FROM (SELECT query_id, neighbor_id, sim,
+        |                    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+        |             FROM cand) WHERE rn = 1)""".stripMargin
     val rounds = (2 to k).map { r =>
       s"""s$r AS (
          |  SELECT * FROM s${r - 1}
@@ -569,9 +586,29 @@ object SparkEntry {
          |                        WHERE s2.query_id = c.query_id AND s2.neighbor_id = c.neighbor_id)
          |    ) x) WHERE rn = 1)""".stripMargin
     }.mkString(",\n", ",\n", "")
-    head + rounds +
+    s1 + rounds +
       s"\nSELECT query_id, neighbor_id, pick, sim, mmr FROM s$k"
   }
+
+  /** c5's oracle: n10's chain VERBATIM ([[ivfSq8Rer]]) with the full
+    * cand=20 exact-reranked list as the MMR pool (pool = cand, so `rer`
+    * IS the pool — no rank cut), pool pair cosines from the corpus double
+    * vectors (e0), then n13's greedy tail. The serving capstone's oracle
+    * is the composition of its two gated stages' oracles, the c3
+    * discipline.
+    */
+  private def c5Sql: String =
+    s"""WITH $ivfSq8Rer,
+       |cand AS (SELECT query_id, neighbor_id, sim FROM rer),
+       |p AS (SELECT c1.query_id, c1.neighbor_id AS a, c2.neighbor_id AS b,
+       |             floor(list_dot_product(ea.ee, eb.ee) /
+       |                   (sqrt(list_dot_product(ea.ee, ea.ee)) * sqrt(list_dot_product(eb.ee, eb.ee)))
+       |                   * 10000.0 + 0.5) / 10000.0 AS psim
+       |      FROM cand c1
+       |      JOIN cand c2 ON c1.query_id = c2.query_id AND c1.neighbor_id <> c2.neighbor_id
+       |      JOIN e0 ea ON ea.vec_id = c1.neighbor_id
+       |      JOIN e0 eb ON eb.vec_id = c2.neighbor_id),
+       |""".stripMargin + mmrGreedyTail(5)
 
   /** Exact decimal sum surfaced as double — mirror of Tables.dsum. */
   private def dsum(c: String) = s"CAST(sum(CAST($c AS DECIMAL(18,4))) AS DOUBLE)"
@@ -865,6 +902,68 @@ object SparkEntry {
       |      FROM embeddings WHERE vec_id < %QLIM%),
       |e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ee
       |      FROM embeddings)""".stripMargin
+
+  /** n10's IVF×SQ8 pipeline stated verbatim through the exact rerank
+    * (CTEs e0…rer: 6-dp exact-mean label-seeded centroids, 4-dp-quantized
+    * geometric reassignment + probe selection, n9's integer-dot candidate
+    * scan over the 3 probed cells, n1 float rerank) — shared VERBATIM by
+    * the n10 gate (rnk ≤ 5 tail) and c5's serving oracle (the full
+    * cand=20 reranked list becomes the MMR pool).
+    */
+  private val ivfSq8Rer: String =
+    """e0 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ee
+        |            FROM embeddings),
+        |ex AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+        |              unnest(embedding) AS v
+        |       FROM embeddings),
+        |cm AS (SELECT label AS cell, dim,
+        |              floor(CAST(sum(CAST(floor(CAST(v AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |                    / count(*) + 0.5) / 1000000.0 AS m
+        |       FROM ex GROUP BY label, dim),
+        |cents AS (SELECT cell, list(m ORDER BY dim) AS c FROM cm GROUP BY cell),
+        |asg AS (SELECT vec_id, cell FROM (
+        |          SELECT e0.vec_id, cents.cell,
+        |                 row_number() OVER (PARTITION BY e0.vec_id
+        |                   ORDER BY floor((2*list_dot_product(e0.ee, cents.c)
+        |                                   - list_dot_product(cents.c, cents.c))
+        |                                  * 10000.0 + 0.5) DESC, cents.cell) AS r
+        |          FROM e0, cents) WHERE r = 1),
+        |qz AS (SELECT vec_id, ee, list_max(list_transform(ee, x -> abs(x))) AS scale FROM e0),
+        |qz2 AS (SELECT vec_id, ee,
+        |               list_transform(ee, x -> CASE WHEN scale > 0
+        |                   THEN CAST(floor(x * 127.0 / scale + 0.5) AS DOUBLE)
+        |                   ELSE CAST(0 AS DOUBLE) END) AS qv
+        |        FROM qz),
+        |qz3 AS (SELECT q2.vec_id, a.cell, q2.ee, q2.qv,
+        |               list_dot_product(q2.qv, q2.qv) AS qn
+        |        FROM qz2 q2 JOIN asg a ON a.vec_id = q2.vec_id),
+        |q AS (SELECT vec_id AS query_id, ee AS qe, qv AS qq, qn AS qqn
+        |      FROM qz3 WHERE vec_id < 10),
+        |pr AS (SELECT query_id, cell FROM (
+        |         SELECT q.query_id, cents.cell,
+        |                row_number() OVER (PARTITION BY q.query_id
+        |                  ORDER BY floor((2*list_dot_product(q.qe, cents.c)
+        |                                  - list_dot_product(cents.c, cents.c))
+        |                                 * 10000.0 + 0.5) DESC, cents.cell) AS r
+        |         FROM q, cents) WHERE r <= 3),
+        |cands AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |                 CASE WHEN q.qqn = 0 OR e.qn = 0 THEN 0.0
+        |                      ELSE floor(list_dot_product(q.qq, e.qv) / sqrt(q.qqn * e.qn)
+        |                                 * 10000.0 + 0.5) / 10000.0 END AS approx_sim
+        |          FROM pr JOIN q USING (query_id)
+        |               JOIN qz3 e ON e.cell = pr.cell
+        |          WHERE e.vec_id <> q.query_id),
+        |top AS (SELECT query_id, neighbor_id, approx_sim FROM (
+        |          SELECT query_id, neighbor_id, approx_sim,
+        |                 row_number() OVER (PARTITION BY query_id
+        |                   ORDER BY approx_sim DESC, neighbor_id) AS crnk
+        |          FROM cands) WHERE crnk <= 20),
+        |rer AS (SELECT t.query_id, t.neighbor_id, t.approx_sim,
+        |               floor(list_dot_product(q.qe, e.ee) /
+        |                     (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.ee, e.ee)))
+        |                     * 10000.0 + 0.5) / 10000.0 AS sim
+        |        FROM top t JOIN qz3 e ON e.vec_id = t.neighbor_id
+        |             JOIN q ON q.query_id = t.query_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "p1_json_parse" ->
@@ -1857,63 +1956,11 @@ object SparkEntry {
     // integer-dot candidate scan restricted to the 3 probed cells and the
     // n1 float rerank. Candidate cost follows probed-cell membership.
     "n10_ivf_sq8_topk" ->
-      """WITH e0 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ee
-        |            FROM embeddings),
-        |ex AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
-        |              unnest(embedding) AS v
-        |       FROM embeddings),
-        |cm AS (SELECT label AS cell, dim,
-        |              floor(CAST(sum(CAST(floor(CAST(v AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
-        |                    / count(*) + 0.5) / 1000000.0 AS m
-        |       FROM ex GROUP BY label, dim),
-        |cents AS (SELECT cell, list(m ORDER BY dim) AS c FROM cm GROUP BY cell),
-        |asg AS (SELECT vec_id, cell FROM (
-        |          SELECT e0.vec_id, cents.cell,
-        |                 row_number() OVER (PARTITION BY e0.vec_id
-        |                   ORDER BY floor((2*list_dot_product(e0.ee, cents.c)
-        |                                   - list_dot_product(cents.c, cents.c))
-        |                                  * 10000.0 + 0.5) DESC, cents.cell) AS r
-        |          FROM e0, cents) WHERE r = 1),
-        |qz AS (SELECT vec_id, ee, list_max(list_transform(ee, x -> abs(x))) AS scale FROM e0),
-        |qz2 AS (SELECT vec_id, ee,
-        |               list_transform(ee, x -> CASE WHEN scale > 0
-        |                   THEN CAST(floor(x * 127.0 / scale + 0.5) AS DOUBLE)
-        |                   ELSE CAST(0 AS DOUBLE) END) AS qv
-        |        FROM qz),
-        |qz3 AS (SELECT q2.vec_id, a.cell, q2.ee, q2.qv,
-        |               list_dot_product(q2.qv, q2.qv) AS qn
-        |        FROM qz2 q2 JOIN asg a ON a.vec_id = q2.vec_id),
-        |q AS (SELECT vec_id AS query_id, ee AS qe, qv AS qq, qn AS qqn
-        |      FROM qz3 WHERE vec_id < 10),
-        |pr AS (SELECT query_id, cell FROM (
-        |         SELECT q.query_id, cents.cell,
-        |                row_number() OVER (PARTITION BY q.query_id
-        |                  ORDER BY floor((2*list_dot_product(q.qe, cents.c)
-        |                                  - list_dot_product(cents.c, cents.c))
-        |                                 * 10000.0 + 0.5) DESC, cents.cell) AS r
-        |         FROM q, cents) WHERE r <= 3),
-        |cands AS (SELECT q.query_id, e.vec_id AS neighbor_id,
-        |                 CASE WHEN q.qqn = 0 OR e.qn = 0 THEN 0.0
-        |                      ELSE floor(list_dot_product(q.qq, e.qv) / sqrt(q.qqn * e.qn)
-        |                                 * 10000.0 + 0.5) / 10000.0 END AS approx_sim
-        |          FROM pr JOIN q USING (query_id)
-        |               JOIN qz3 e ON e.cell = pr.cell
-        |          WHERE e.vec_id <> q.query_id),
-        |top AS (SELECT query_id, neighbor_id, approx_sim FROM (
-        |          SELECT query_id, neighbor_id, approx_sim,
-        |                 row_number() OVER (PARTITION BY query_id
-        |                   ORDER BY approx_sim DESC, neighbor_id) AS crnk
-        |          FROM cands) WHERE crnk <= 20),
-        |rer AS (SELECT t.query_id, t.neighbor_id, t.approx_sim,
-        |               floor(list_dot_product(q.qe, e.ee) /
-        |                     (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.ee, e.ee)))
-        |                     * 10000.0 + 0.5) / 10000.0 AS sim
-        |        FROM top t JOIN qz3 e ON e.vec_id = t.neighbor_id
-        |             JOIN q ON q.query_id = t.query_id)
-        |SELECT query_id, neighbor_id, rnk, sim, approx_sim FROM (
-        |  SELECT query_id, neighbor_id, sim, approx_sim,
-        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
-        |  FROM rer) WHERE rnk <= 5""".stripMargin,
+      s"""WITH $ivfSq8Rer
+         |SELECT query_id, neighbor_id, rnk, sim, approx_sim FROM (
+         |  SELECT query_id, neighbor_id, sim, approx_sim,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |  FROM rer) WHERE rnk <= 5""".stripMargin,
     // n11: IVFADC stated verbatim — n10's coarse stage (6-dp exact-mean
     // centroids, 4-dp-quantized geometric reassignment + probe selection),
     // then residual PQ: exact double residuals from the assigned centroid,
@@ -3232,6 +3279,11 @@ object SparkEntry {
          |LEFT JOIN (SELECT DISTINCT doc_b FROM ($m7PhashPairsSql) y) img
          |       ON img.doc_b = d.doc_id
          |WHERE t.keep AND img.doc_b IS NULL""".stripMargin,
+    // c5: serving capstone — n10's chain verbatim through the exact
+    // rerank (ivfSq8Rer), the full reranked list as the MMR pool, n13's
+    // greedy tail verbatim (mmrGreedyTail): a drift in either gated
+    // stage breaks both the standalone hash and the capstone's
+    "c5_retrieval_serve" -> c5Sql,
     // v1: frame-sampling fan-out — every 30th of the md5-derived frame
     // count, dims from the same digest bytes as m1.
     "v1_frame_sample" -> {

@@ -17,6 +17,21 @@ final class PqCodebook(val m: Int, val dims: Int, val k: Int,
     s"codebook shape mismatch: ${cents.length} cents / ${norms.length} norms " +
       s"for m=$m k=$k dims=$dims")
 
+  // value equality over the full codebook content — without it,
+  // PqEncodeExpr's case-class equality (and so Catalyst canonicalization /
+  // common-subexpression elimination) falls back to reference identity and
+  // two pq_encode columns built from equal maps never compare equal
+  override def equals(other: Any): Boolean = other match {
+    case o: PqCodebook =>
+      m == o.m && dims == o.dims && k == o.k &&
+        java.util.Arrays.equals(cents, o.cents) &&
+        java.util.Arrays.equals(norms, o.norms)
+    case _ => false
+  }
+  override def hashCode: Int =
+    java.util.Arrays.hashCode(Array[Int](m, dims, k,
+      java.util.Arrays.hashCode(cents), java.util.Arrays.hashCode(norms)))
+
   /** All `m` nearest-code ids for one residual vector, in ONE pass.
     * Bit-identical to the composed form it replaces — per subspace `s`:
     * sx = left-to-right Σx², per code `j` ascending: dot = left-to-right

@@ -1055,6 +1055,11 @@ object AnnOps {
           ((s, j), (c, c.foldLeft(0.0)((a, x) => a + x * x)))
         }
       }.toMap
+    // downstream encode does cb((s, j)) for EVERY j < PqK — a corpus
+    // missing any vec_id in 0..PqK-1 would otherwise surface as an opaque
+    // NoSuchElementException deep inside the codegen'd encode
+    require((0 until PqM).forall(s => (0 until PqK).forall(j => seeds.contains((s, j)))),
+      s"point seeding needs vec_ids 0..${PqK - 1} present in the corpus")
     var cb = seeds
     for (_ <- 1 to rounds) {
       // assignment via the native one-pass PqEncodeExpr — bit-identical to

@@ -165,6 +165,28 @@ object CurationOps {
   def curatedTrainExport(spark: SparkSession, dir: String): DataFrame =
     curatedTrainExport(table(spark, dir, "documents"))
 
+  /** C5 — RAG retrieval serving, the capstone a search user hits first:
+    * n10's probe-bounded IVF×SQ8 candidate scan, exact float rerank to a
+    * `pool`-sized list, then n13's MMR greedy diversification — the
+    * query-time half of the retrieval stack the offline capstones (c1-c4)
+    * curate corpora for. The composition delegates to
+    * [[graft.operators.AnnOps.retrievalServe]]; this face carries the
+    * capstone contract: output is exactly `k` rows per query, (query_id,
+    * neighbor_id, pick, sim, mmr), each stage keeping its own gate's
+    * semantics (n10's 4-dp quantized probe selection and integer-dot scan,
+    * n1's exact rerank, n13's fixed-round greedy with independent λ/μ).
+    *
+    * Scale notes (100 TB): candidate I/O follows the probed fraction
+    * (nProbe/cells of the corpus — n10's contract), the rerank touches only
+    * |Q|·pool rows, and everything after is pool-bounded (|Q|·pool² pair
+    * matrix, k tiny greedy rounds) — no stage re-scans the corpus.
+    */
+  def retrievalServe(docs: DataFrame, k: Int = 5, pool: Int = 20,
+      nProbe: Int = 3, lambda: Double = 0.7, mu: Double = 0.3): DataFrame =
+    graft.operators.AnnOps.retrievalServe(docs, k, pool, nProbe, lambda, mu)
+  def retrievalServe(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.AnnOps.retrievalServe(spark, dir)
+
   /** S2 — deterministic training-shard shuffle: shard by a salted hash, order
     * within each shard by a second hash — the standard "global shuffle" for
     * training export, done WITHOUT a global sort. Each shard's row_number runs

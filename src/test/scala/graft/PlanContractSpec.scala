@@ -98,6 +98,31 @@ class PlanContractSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") <= 6, p)
   }
 
+  test("c5 serving: probe-bounded candidate stage, pool-bounded greedy tail, no cartesian (c5)") {
+    // stage contract: the serving pool IS ivfQuantizedTopK(k=pool=cand=20)
+    // — n10's exact probe-bounded shape (broadcast equi-join on cell,
+    // no cartesian, corpus never vec_id-partitioned), asserted on the
+    // stage plan because the greedy tail checkpoints it away
+    val e = graft.Tables.table(spark, sf, "embeddings")
+    val cand = graft.operators.AnnOps.ivfQuantizedTopK(e, k = 20, cand = 20, nProbe = 3)
+    cand.count()
+    val p1 = cand.queryExecution.executedPlan.toString
+    assert(count(p1, "BroadcastHashJoin") >= 3, p1)
+    assert(count(p1, "CartesianProduct") === 0, p1)
+    assert(count(p1, "BroadcastNestedLoopJoin") === 0, p1)
+    assert(count(p1, "SortMergeJoin") === 0, p1)
+    assert(count(p1, "Exchange hashpartitioning") <= 6, p1)
+    // capstone contract: the final frame is a union of k pool-bounded
+    // checkpointed picks — report-sized, with NO join of any form and no
+    // keyed exchange left in the serving plan
+    val p2 = planOf("c5_retrieval_serve")
+    assert(count(p2, "Union") >= 1, p2)
+    assert(count(p2, "CartesianProduct") === 0, p2)
+    assert(count(p2, "SortMergeJoin") === 0, p2)
+    assert(count(p2, "BroadcastNestedLoopJoin") === 0, p2)
+    assert(count(p2, "Exchange hashpartitioning") === 0, p2)
+  }
+
   test("signature extraction is scan-side: no shuffle before the fingerprint (d2, d4)") {
     Seq("d2_minhash_signature", "d4_simhash").foreach { q =>
       val p = planOf(q)

@@ -214,12 +214,14 @@ class BucketingSpec extends SparkSpec {
     val codegen = keyed.select("event_id", "hkey").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     codegen.take(50).foreach { case (_, k) => assert(k >= 0L) }
-    val native = keyed.limit(50).collect().map { r =>
-      graft.functions.HilbertIndex.xy2d(16,
+    // collect ONCE: limit without an ordering can return different rows on
+    // each execution, so each row's hkey must be compared against xy2d of
+    // that SAME row's (user_id, k)
+    keyed.limit(50).collect().foreach { r =>
+      val expect = graft.functions.HilbertIndex.xy2d(16,
         math.min(math.max(r.getAs[Long]("user_id"), 0L), 65535L),
         math.min(math.max(r.getAs[Long]("k"), 0L), 65535L))
+      assert(r.getAs[Long]("hkey") === expect)
     }
-    keyed.limit(50).collect().map(_.getAs[Long]("hkey")).zip(native)
-      .foreach { case (a, b) => assert(a === b) }
   }
 }

@@ -502,6 +502,73 @@ class CurationOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("retrievalServe: k diversified picks from the probe-bounded pool, pick order sound (C5)") {
+    import spark.implicits._
+    val e = Tables.table(spark, sf, "embeddings")
+    val out = CurationOps.retrievalServe(spark, sf).cache()
+    val nQueries = e.filter(col("vec_id") < 10).count()
+    // shape: exactly k = 5 rows per query, picks 1..5, neighbors distinct
+    assert(out.count() === nQueries * 5)
+    assert(out.groupBy("query_id").count().filter(col("count") =!= 5).count() === 0)
+    assert(out.select("query_id", "neighbor_id").distinct().count() === out.count())
+    assert(out.groupBy("query_id").agg(collect_set("pick").as("p"))
+      .filter(size(col("p")) =!= 5).count() === 0)
+    // containment: every pick comes from the gated n10-shaped pool
+    // (IVF×SQ8 probe-bounded scan, exact rerank, pool = cand = 20)
+    val pool = AnnOps.ivfQuantizedTopK(e, k = 20, cand = 20, nProbe = 3)
+      .select("query_id", "neighbor_id", "sim").cache()
+    assert(out.select("query_id", "neighbor_id")
+      .exceptAll(pool.select("query_id", "neighbor_id")).count() === 0,
+      "a served pick escaped the probe-bounded candidate pool")
+    // relevance anchor: pick 1 IS the pool's exact-rerank rank 1 (the same
+    // (sim DESC, neighbor_id) order the n10 gate hashes), with its sim
+    val best = pool.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("neighbor_id").as("b1"), col("sim").as("bs"))
+    assert(out.filter(col("pick") === 1).join(best, Seq("query_id"))
+      .filter(col("neighbor_id") =!= col("b1") || col("sim") =!= col("bs"))
+      .count() === 0, "pick 1 drifted from the pool's exact top-1")
+    // greedy soundness: from pick 2 on, the MMR objective is non-increasing
+    // (each candidate's redundancy only grows as the picked set grows, and
+    // the remaining set only shrinks). Pick 1 is excluded — round 1 carries
+    // no redundancy term, and a NEGATIVE pair-cosine makes −μ·red a bonus
+    // that can lift pick 2's objective above λ·sim₁.
+    val seq = out.select("query_id", "pick", "mmr")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).values
+    seq.foreach { rows =>
+      val ordered = rows.filter(_._2 >= 2L).sortBy(_._2).map(_._3)
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b <= a + 1e-9, s"mmr rose along pick order: ${ordered.mkString(",")}")
+        case _ => ()
+      }
+    }
+    // diversity: the served set's mean pairwise cosine must not exceed the
+    // plain top-5's — diversification is the operator's whole point
+    def meanPairSim(sel: org.apache.spark.sql.DataFrame): Double = {
+      val v = e.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      val withVec = sel.join(v, "neighbor_id")
+      val a = withVec.select(col("query_id"), col("neighbor_id").as("na"), col("embedding").as("ea"))
+      val b = withVec.select(col("query_id"), col("neighbor_id").as("nb"), col("embedding").as("eb"))
+      import graft.functions.VectorFunctions.cosine_sim
+      a.join(b, "query_id").filter(col("na") < col("nb"))
+        .select(cosine_sim(col("ea"), col("eb")).as("s"))
+        .agg(avg("s")).head.getDouble(0)
+    }
+    val plainTop5 = pool.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rn") <= 5).select("query_id", "neighbor_id")
+    val mmrDiv = meanPairSim(out.select("query_id", "neighbor_id"))
+    val topDiv = meanPairSim(plainTop5)
+    assert(mmrDiv <= topDiv + 1e-9,
+      s"MMR picks are MORE redundant than plain top-5: $mmrDiv > $topDiv")
+    pool.unpersist(); out.unpersist()
+  }
+
   test("crossSourceContamination is posting-bounded and count-consistent (G10)") {
     import org.apache.spark.sql.functions._
     val out = CurationOps.crossSourceContamination(docs).cache()
