@@ -560,13 +560,20 @@ object SparkEntry {
     * the picked set.
     */
   private def mmrGreedyTail(k: Int): String = {
+    require(k >= 1, s"MMR needs k >= 1, got $k")
+    // λ/μ are AnnOps' serving constants — a default change there reaches
+    // this SQL through the same name, so operator and oracle cannot diverge
+    val lam = s"CAST(${AnnOps.MmrLambda} AS DOUBLE)"
+    val mu = s"CAST(${AnnOps.MmrMu} AS DOUBLE)"
     val s1 =
-      """s1 AS (SELECT query_id, neighbor_id, CAST(1 AS BIGINT) AS pick, sim,
-        |              floor(CAST(0.7 AS DOUBLE) * sim * 10000.0 + 0.5) / 10000.0 AS mmr
-        |       FROM (SELECT query_id, neighbor_id, sim,
-        |                    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
-        |             FROM cand) WHERE rn = 1)""".stripMargin
-    val rounds = (2 to k).map { r =>
+      s"""s1 AS (SELECT query_id, neighbor_id, CAST(1 AS BIGINT) AS pick, sim,
+         |              floor($lam * sim * 10000.0 + 0.5) / 10000.0 AS mmr
+         |       FROM (SELECT query_id, neighbor_id, sim,
+         |                    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+         |             FROM cand) WHERE rn = 1)""".stripMargin
+    // k = 1 would otherwise leave mkString's bare start separator as a
+    // trailing comma after s1 (invalid SQL)
+    val rounds = if (k < 2) "" else (2 to k).map { r =>
       s"""s$r AS (
          |  SELECT * FROM s${r - 1}
          |  UNION ALL
@@ -575,7 +582,7 @@ object SparkEntry {
          |           row_number() OVER (PARTITION BY x.query_id ORDER BY x.mmr DESC, x.neighbor_id) AS rn
          |    FROM (
          |      SELECT c.query_id, c.neighbor_id, c.sim,
-         |             floor((CAST(0.7 AS DOUBLE) * c.sim - CAST(0.3 AS DOUBLE) * rd.red)
+         |             floor(($lam * c.sim - $mu * rd.red)
          |                   * 10000.0 + 0.5) / 10000.0 AS mmr
          |      FROM cand c
          |      JOIN (SELECT p.query_id, p.a AS neighbor_id, max(p.psim) AS red
@@ -608,7 +615,7 @@ object SparkEntry {
        |      JOIN cand c2 ON c1.query_id = c2.query_id AND c1.neighbor_id <> c2.neighbor_id
        |      JOIN e0 ea ON ea.vec_id = c1.neighbor_id
        |      JOIN e0 eb ON eb.vec_id = c2.neighbor_id),
-       |""".stripMargin + mmrGreedyTail(5)
+       |""".stripMargin + mmrGreedyTail(AnnOps.ServeK)
 
   /** Exact decimal sum surfaced as double — mirror of Tables.dsum. */
   private def dsum(c: String) = s"CAST(sum(CAST($c AS DECIMAL(18,4))) AS DOUBLE)"
@@ -911,7 +918,7 @@ object SparkEntry {
     * cand=20 reranked list becomes the MMR pool).
     */
   private val ivfSq8Rer: String =
-    """e0 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ee
+    s"""e0 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ee
         |            FROM embeddings),
         |ex AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
         |              unnest(embedding) AS v
@@ -945,7 +952,7 @@ object SparkEntry {
         |                  ORDER BY floor((2*list_dot_product(q.qe, cents.c)
         |                                  - list_dot_product(cents.c, cents.c))
         |                                 * 10000.0 + 0.5) DESC, cents.cell) AS r
-        |         FROM q, cents) WHERE r <= 3),
+        |         FROM q, cents) WHERE r <= ${AnnOps.ServeNProbe}),
         |cands AS (SELECT q.query_id, e.vec_id AS neighbor_id,
         |                 CASE WHEN q.qqn = 0 OR e.qn = 0 THEN 0.0
         |                      ELSE floor(list_dot_product(q.qq, e.qv) / sqrt(q.qqn * e.qn)
@@ -957,7 +964,7 @@ object SparkEntry {
         |          SELECT query_id, neighbor_id, approx_sim,
         |                 row_number() OVER (PARTITION BY query_id
         |                   ORDER BY approx_sim DESC, neighbor_id) AS crnk
-        |          FROM cands) WHERE crnk <= 20),
+        |          FROM cands) WHERE crnk <= ${AnnOps.ServePool}),
         |rer AS (SELECT t.query_id, t.neighbor_id, t.approx_sim,
         |               floor(list_dot_product(q.qe, e.ee) /
         |                     (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.ee, e.ee)))

@@ -28,7 +28,10 @@ final class PqCodebook(val m: Int, val dims: Int, val k: Int,
         java.util.Arrays.equals(norms, o.norms)
     case _ => false
   }
-  override def hashCode: Int =
+  // cached: Catalyst canonicalization/semantic-equality can hash an
+  // expression many times per plan, and the content hash walks the full
+  // m·k·dims centroid array — pay it once (the class is immutable and final)
+  override lazy val hashCode: Int =
     java.util.Arrays.hashCode(Array[Int](m, dims, k,
       java.util.Arrays.hashCode(cents), java.util.Arrays.hashCode(norms)))
 

@@ -25,6 +25,13 @@ import org.apache.spark.storage.StorageLevel
   * level and recomputes instead of serving a frame that would throw on
   * action. Entries are small by construction — (doc_id, cluster_id) over
   * pair-TOUCHED vertices only, the non-singleton minority of any real corpus.
+  *
+  * Since round 14 the memo also owns the ANN INDEX frames ([[AnnOps]]'s n10
+  * IVF×SQ8 quantized corpus and n11 residual frame, keyed via
+  * [[TrainMemo.key]]): same lifecycle (eager localCheckpoint, sweep-safe
+  * liveness, LRU), same build-once/serve-many rationale — at 100 TB those
+  * frames persist to storage with the index; the memo is the session-local
+  * stand-in that stops every search from re-quantizing the corpus.
   */
 private[graft] object ClusterMemo {
   /** Entry cap with LRU eviction: a long-lived STREAMING session computes a

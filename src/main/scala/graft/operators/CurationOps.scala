@@ -181,8 +181,9 @@ object CurationOps {
     * |Q|·pool rows, and everything after is pool-bounded (|Q|·pool² pair
     * matrix, k tiny greedy rounds) — no stage re-scans the corpus.
     */
-  def retrievalServe(docs: DataFrame, k: Int = 5, pool: Int = 20,
-      nProbe: Int = 3, lambda: Double = 0.7, mu: Double = 0.3): DataFrame =
+  def retrievalServe(docs: DataFrame, k: Int = AnnOps.ServeK,
+      pool: Int = AnnOps.ServePool, nProbe: Int = AnnOps.ServeNProbe,
+      lambda: Double = AnnOps.MmrLambda, mu: Double = AnnOps.MmrMu): DataFrame =
     graft.operators.AnnOps.retrievalServe(docs, k, pool, nProbe, lambda, mu)
   def retrievalServe(spark: SparkSession, dir: String): DataFrame =
     graft.operators.AnnOps.retrievalServe(spark, dir)

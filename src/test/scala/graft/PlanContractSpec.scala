@@ -112,15 +112,18 @@ class PlanContractSpec extends SparkSpec {
     assert(count(p1, "BroadcastNestedLoopJoin") === 0, p1)
     assert(count(p1, "SortMergeJoin") === 0, p1)
     assert(count(p1, "Exchange hashpartitioning") <= 6, p1)
-    // capstone contract: the final frame is a union of k pool-bounded
-    // checkpointed picks — report-sized, with NO join of any form and no
-    // keyed exchange left in the serving plan
+    // capstone contract: the greedy tail is ONE query-keyed exchange over
+    // the pool-bounded union of candidates + pool pairs, then the k rounds
+    // fold INSIDE each query's group (MapGroups — embarrassingly parallel
+    // across queries, constant job count in k); the pair matrix rides
+    // broadcast joins only — no cartesian, no SMJ, nothing corpus-keyed
     val p2 = planOf("c5_retrieval_serve")
     assert(count(p2, "Union") >= 1, p2)
+    assert(p2.contains("MapGroups"), p2)
     assert(count(p2, "CartesianProduct") === 0, p2)
     assert(count(p2, "SortMergeJoin") === 0, p2)
     assert(count(p2, "BroadcastNestedLoopJoin") === 0, p2)
-    assert(count(p2, "Exchange hashpartitioning") === 0, p2)
+    assert(count(p2, "Exchange hashpartitioning") === 1, p2)
   }
 
   test("signature extraction is scan-side: no shuffle before the fingerprint (d2, d4)") {

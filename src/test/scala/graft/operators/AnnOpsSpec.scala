@@ -216,7 +216,10 @@ class AnnOpsSpec extends SparkSpec {
     val cents = AnnOps.kmeansTrain(e, k, maxIter = 15, tol = 1e-6)
     assert(cents.map(_._1).toSeq === (0 until k), "cells must survive training")
     // deterministic control flow: a re-run on the same layout agrees to
-    // float rounding (double-sum merge order is the only free variable)
+    // float rounding (double-sum merge order is the only free variable).
+    // TrainMemo would serve the identical array back — clear it so this
+    // asserts a GENUINE re-train, not the memo
+    graft.operators.TrainMemo.clear()
     val again = AnnOps.kmeansTrain(e, k, maxIter = 15, tol = 1e-6)
     val worstRerun = cents.zip(again).map { case ((_, a), (_, b)) =>
       a.zip(b).map { case (x, y) => math.abs(x - y) }.max
