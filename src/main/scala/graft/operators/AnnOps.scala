@@ -87,16 +87,26 @@ object AnnOps {
     * report-sized); the corpus is scored map-side in one pass with no
     * corpus shuffle — the top-k merge moves ≤ k·partitions rows per query.
     */
-  def searchTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def searchTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    topKPerQuery(scoredPairs(corpus, queries), k, Seq("query_id"))
+      .select("query_id", "neighbor_id", "rnk", "sim")
+
+  /** The n1 SCORING stage alone — every (query, corpus vector) pair's exact
+    * 4-dp cosine with self-pairs excluded, as `(query_id, neighbor_id,
+    * sim)`. Stateless and aggregation-free (broadcast queries, map-side
+    * projection), so the SAME definition scores a `readStream` frame — the
+    * keyed streaming face ([[graft.streaming.StatsStreams
+    * .vectorSearchStream]]) consumes it directly, which is what keeps the
+    * stream's similarity contract bit-identical to [[searchTopK]]'s.
+    */
+  private[graft] def scoredPairs(corpus: DataFrame, queries: DataFrame): DataFrame = {
     val q = queries.select(col("query_id"), col("qe"), norm(col("qe")).as("nq"))
     val c = corpus.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nv")) // norm once per vector, below the join
-    val sims = c.crossJoin(broadcast(q))
+    c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosinePre(col("qe"), col("embedding"), col("nq"), col("nv")).as("sim"))
-    topKPerQuery(sims, k, Seq("query_id"))
-      .select("query_id", "neighbor_id", "rnk", "sim")
   }
 
   /** N1 — brute-force cosine top-k: the exact baseline. Queries = vec_id < 10,

@@ -200,6 +200,13 @@ class StatefulParitySpec extends SparkSpec {
       .toDF("query_id", "qe")
     val splits = Seq(all.take(7), all.slice(7, 29), all.drop(29))
     val input = MemoryStream[(Long, Array[Float])]
+    // the production state shape: the per-query fold is a keyed
+    // flatMapGroupsWithState over the scored stream — NO driver-held map
+    val keyed = StatsStreams.vectorSearchKeyedStream(
+      input.toDF().toDF("vec_id", "embedding"), queries)
+    assert(keyed.queryExecution.analyzed.treeString
+      .contains("FlatMapGroupsWithState"),
+      "vector search state is not a keyed state-store fold")
     val reports = scala.collection.mutable.ArrayBuffer[Set[(Long, Long, Long, Double)]]()
     val q = StatsStreams.vectorSearchStream(
         input.toDF().toDF("vec_id", "embedding"), queries) { (df, _) =>
@@ -208,6 +215,11 @@ class StatefulParitySpec extends SparkSpec {
     }.start()
     try {
       splits.foreach { s => input.addData(s.toIndexedSeq: _*); q.processAllAvailable() }
+      // state lives in the executor state store (checkpoint-recoverable),
+      // sized queries × k — the zero-driver-state evidence
+      val so = q.lastProgress.stateOperators
+      assert(so.nonEmpty && so.exists(_.numRowsTotal == 10L),
+        s"expected 10 state-store rows, got ${so.map(_.numRowsTotal).mkString(",")}")
     } finally q.stop()
     assert(reports.size === 3)
     val batch = graft.operators.AnnOps
