@@ -29,6 +29,43 @@ object Bench {
     @volatile var tasks = 0L
   }
 
+  /** Whole-JVM telemetry for one timed span (local-mode driver = executor,
+    * so the JVM-wide deltas ARE the query's): GC wall ms, JIT compile ms,
+    * janino codegen compilations, and the heap-pool PEAK during the span
+    * (pool peaks are reset before each query). Round-13 verdict #3: two
+    * rounds classified bench movers [environment] from shuffle bytes alone
+    * — these fields make that classification in-record (GC/JIT move with
+    * the environment and the warm-up pass; codegen compiles and shuffle
+    * volume move only with the plan).
+    */
+  private[graft] final case class JvmSpan(gcMs: Long, jitMs: Long,
+      codegenCompiles: Long, peakHeapBytes: Long)
+
+  private[graft] final class JvmProbe {
+    import java.lang.management.{ManagementFactory, MemoryType}
+    import scala.jdk.CollectionConverters._
+    private val gcBeans = ManagementFactory.getGarbageCollectorMXBeans.asScala
+    private val jit = Option(ManagementFactory.getCompilationMXBean)
+      .filter(_.isCompilationTimeMonitoringSupported)
+    private def heapPools = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getType == MemoryType.HEAP && p.isValid)
+    private def gcMs = gcBeans.map(_.getCollectionTime).filter(_ >= 0).sum
+    private def jitMs = jit.fold(0L)(_.getTotalCompilationTime)
+    private def codegen =
+      try org.apache.spark.GraftSparkInternals.codegenCompilations
+      catch { case _: Throwable => 0L }
+    private var gc0 = 0L; private var jit0 = 0L; private var cg0 = 0L
+    def begin(): Unit = {
+      heapPools.foreach(p => try p.resetPeakUsage() catch { case _: Throwable => () })
+      gc0 = gcMs; jit0 = jitMs; cg0 = codegen
+    }
+    def end(): JvmSpan = {
+      val peak = heapPools
+        .flatMap(p => Option(p.getPeakUsage).map(_.getUsed)).sum
+      JvmSpan(gcMs - gc0, jitMs - jit0, codegen - cg0, peak)
+    }
+  }
+
   /** The bench's JSON emitters, extracted so the driver contract is unit-
     * testable (a malformed line would zero the round's recorded bench).
     * Locale.ROOT everywhere: the f-interpolator honors the JVM default
@@ -230,16 +267,20 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val roster = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    val probe = new JvmProbe
+    val jvmSpans = scala.collection.mutable.Map.empty[String, JvmSpan]
     val passes = roster.map { case (name, fn) =>
       val perPass = (1 to 2).map { pass =>
         val s = if (freshSession) spark.newSession() else spark
         s.sparkContext.setJobGroup(s"$name#p$pass", name, interruptOnCancel = false)
+        probe.begin()
         val t0 = System.nanoTime()
         // a query that RAISES records -1 (excluded from the total), not its
         // elapsed-to-failure — e.g. d7's demo-width gate fails loudly beyond
         // 1k docs by contract, and a fake-fast number would read as a pass
         val sec = try { fn(s, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
+        jvmSpans(s"$name#p$pass") = probe.end()
         s.sparkContext.clearJobGroup()
         // isolation between passes and queries (outside the timed span):
         // operators that .cache() intermediate tables (d3/d5/d7/d8) would
@@ -311,9 +352,29 @@ object Bench {
       .listenerEventsDropped(spark.sparkContext)
     catch { case _: Throwable => 0L }
 
+    // per-query JVM telemetry rides the metrics object: pass-2 (warm,
+    // plain names) plus pass-1 GC/JIT — a p1-only mover with high jit_ms_p1
+    // is warm-up, a both-pass mover with stable codegen_compiles and
+    // shuffle volume is environment, and a codegen_compiles shift is plan
+    // drift. Local mode: driver JVM = executor JVM, so these are exact.
+    def jvmOf(n: String): Seq[(String, String)] = {
+      def mb(b: Long): String =
+        String.format(java.util.Locale.ROOT, "%.1f", Double.box(b / 1048576.0))
+      val p2 = jvmSpans.get(s"$n#p2")
+      val p1 = jvmSpans.get(s"$n#p1")
+      p2.toSeq.flatMap(m => Seq(
+        "gc_ms" -> m.gcMs.toString,
+        "jit_ms" -> m.jitMs.toString,
+        "codegen_compiles" -> m.codegenCompiles.toString,
+        "peak_heap_mb" -> mb(m.peakHeapBytes))) ++
+        p1.toSeq.flatMap(m => Seq(
+          "gc_ms_p1" -> m.gcMs.toString,
+          "jit_ms_p1" -> m.jitMs.toString,
+          "codegen_compiles_p1" -> m.codegenCompiles.toString))
+    }
     val json = Json.full(passes,
       name => Option(groups.get(s"$name#p2")), sfDir,
-      extraOf = n => recallMins.toMap.get(n).toSeq.flatMap { min =>
+      extraOf = n => jvmOf(n) ++ recallMins.toMap.get(n).toSeq.flatMap { min =>
         recalls(n).toSeq.flatMap(r => Seq(
           "recall" ->
             String.format(java.util.Locale.ROOT, "%.3f", Double.box(r)),

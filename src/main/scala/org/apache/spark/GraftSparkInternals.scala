@@ -23,4 +23,12 @@ object GraftSparkInternals {
       case (name, c) if name.endsWith("numDroppedEvents") => c.getCount
     }.sum
   }
+
+  /** Cumulative count of whole-stage/expression codegen COMPILATIONS (each
+    * is one janino compile of generated Java). Exact and monotonic — a
+    * per-query delta attributes compile churn to the query that paid it;
+    * plan drift changes this deterministically, environment noise does not.
+    */
+  def codegenCompilations: Long =
+    org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
 }
