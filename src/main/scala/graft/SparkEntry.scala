@@ -84,6 +84,7 @@ object SparkEntry {
     // s13: exact per-stratum 10% sample by salted-hash order — integer
     // quota compare, one lang-keyed exchange for both windows
     "s13_stratified_sample" -> ((s: SparkSession, d: String) => CurationOps.stratifiedSample(s, d)),
+    "s14_cluster_balanced_sample" -> ((s: SparkSession, d: String) => CurationOps.clusterBalancedSample(s, d)),
     // dq6: per-stream daily volume z-score anomalies — one corpus
     // scan-agg; shift-invariant integer variance (no s² overflow)
     "dq6_volume_anomaly" -> ((s: SparkSession, d: String) => RelationalOps.volumeAnomaly(s, d)),
@@ -917,8 +918,14 @@ object SparkEntry {
     * the n10 gate (rnk ≤ 5 tail) and c5's serving oracle (the full
     * cand=20 reranked list becomes the MMR pool).
     */
-  private val ivfSq8Rer: String =
-    s"""e0 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ee
+  /** The coarse-quantizer PREFIX of [[ivfSq8Rer]] (CTEs e0…asg: 6-dp
+    * exact-mean label-seeded centroids, 4-dp-quantized geometric
+    * reassignment) — shared verbatim by n10/c5's search oracle and s14's
+    * cluster-balanced sampler, exactly as the operators share the memoized
+    * [[graft.operators.AnnOps.seededCellAssign]] quantizer.
+    */
+  private val ivfAsgPrefix: String =
+    """e0 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ee
         |            FROM embeddings),
         |ex AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
         |              unnest(embedding) AS v
@@ -934,8 +941,10 @@ object SparkEntry {
         |                   ORDER BY floor((2*list_dot_product(e0.ee, cents.c)
         |                                   - list_dot_product(cents.c, cents.c))
         |                                  * 10000.0 + 0.5) DESC, cents.cell) AS r
-        |          FROM e0, cents) WHERE r = 1),
-        |qz AS (SELECT vec_id, ee, list_max(list_transform(ee, x -> abs(x))) AS scale FROM e0),
+        |          FROM e0, cents) WHERE r = 1)""".stripMargin
+
+  private val ivfSq8Rer: String = ivfAsgPrefix + ",\n" +
+    s"""qz AS (SELECT vec_id, ee, list_max(list_transform(ee, x -> abs(x))) AS scale FROM e0),
         |qz2 AS (SELECT vec_id, ee,
         |               list_transform(ee, x -> CASE WHEN scale > 0
         |                   THEN CAST(floor(x * 127.0 / scale + 0.5) AS DOUBLE)
@@ -1376,6 +1385,18 @@ object SparkEntry {
         |         CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_s
         |  FROM documents)
         |WHERE rnk * 10 <= n_s + 9""".stripMargin,
+    // s14: n10's trained-quantizer prefix (6-dp exact-mean seeded centroids,
+    // 4-dp geometric reassignment — the oracle-stateable training) then
+    // s13's exact integer quota per CLUSTER in salted-md5 order
+    "s14_cluster_balanced_sample" ->
+      s"""WITH $ivfAsgPrefix
+         |SELECT vec_id, cell, rnk, n_c FROM (
+         |  SELECT vec_id, cell,
+         |         CAST(row_number() OVER (PARTITION BY cell
+         |           ORDER BY md5('s14:' || CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rnk,
+         |         CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS n_c
+         |  FROM asg)
+         |WHERE rnk * 10 <= n_c + 9""".stripMargin,
     // dq1: each rule restated as a count; UNION ALL keeps one row per check
     "dq1_quality_checks" ->
       """SELECT 'orders_custkey_not_null' AS check,

@@ -528,6 +528,23 @@ object AnnOps {
   def ivfQuantizedTopK(spark: SparkSession, dir: String): DataFrame =
     ivfQuantizedTopK(table(spark, dir, "embeddings"))
 
+  /** The n10/n11 coarse ASSIGNMENT as a standalone face: every vector's
+    * geometric cell under the memoized label-seeded centroids (the same
+    * [[seededCentroids]] + 4-dp integer-score argmax n10's index uses, so
+    * its consumers — s14's cluster-balanced sampler — ride the trained
+    * quantizer the memo already holds). Map-only against driver-held
+    * literals: no join, no corpus shuffle, streaming-safe (the
+    * assignCellsLit contract), and oracle-stateable end-to-end (the
+    * ivfSq8Rer prefix states it verbatim), unlike [[kmeansTrain]]'s
+    * iterative loop.
+    */
+  def seededCellAssign(e: DataFrame): DataFrame = {
+    val centArr = seededCentroids(e)
+    require(centArr.nonEmpty, "seededCellAssign needs at least one cell")
+    e.select(col("vec_id"),
+      array_max(cellScores(centArr)).getField("cell").as("cell"))
+  }
+
   /** n10/n11's shared coarse quantizer: centroids SEEDED by the fixture's
     * label cells — n6's exact-mean pattern (per-dim integer 1e6 sums,
     * order-free, one divide + one floor), collected driver-side in ascending

@@ -386,6 +386,40 @@ object CurationOps {
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
     stratifiedSample(table(spark, dir, "documents"))
 
+  /** S14 — CLUSTER-balanced sampling: s13's exact integer quota applied to
+    * EMBEDDING-SPACE clusters instead of a metadata stratum — the
+    * SemDeDup-era topic-diversity draw (cluster the corpus with the coarse
+    * quantizer, then take an exact share of every cluster so dominant
+    * topics cannot crowd small ones out of the sample; a corpus-wide hash
+    * threshold hits each topic only in expectation). Clusters come from
+    * [[graft.operators.AnnOps.seededCellAssign]] — the SAME trained
+    * quantizer n10/n11 index with (label-seeded 6-dp exact-mean centroids,
+    * 4-dp integer-score geometric reassignment), served from the session
+    * memo, so the sampler rides an index that is built once and
+    * oracle-stateable (the n2b Lloyd loop is not). Within each cluster the
+    * draw is salted-md5 order (uniform, deterministic, engine-exact) and
+    * the 10% quota compare stays integer: `rnk·10 ≤ n_c + 9`, rank widened
+    * to 64-bit before the ·10 (s13's overflow guard).
+    *
+    * Scale notes (100 TB): assignment is a map-only projection against the
+    * driver-held codebook (no join, no corpus shuffle); the sampler is ONE
+    * cell-keyed exchange — the rank window and the per-cell count window
+    * share the same partitioning (the s7 contract shape). Same
+    * large-stratum trade-offs as s13.
+    */
+  def clusterBalancedSample(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy("cell").orderBy(col("skey"), col("vec_id"))
+    val cw = Window.partitionBy("cell")
+    graft.operators.AnnOps.seededCellAssign(e)
+      .withColumn("skey", md5(concat(lit("s14:"), col("vec_id").cast("string"))))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n_c", count(lit(1)).over(cw))
+      .filter(col("rnk") * 10 <= col("n_c") + 9)
+      .select(col("vec_id"), col("cell"), col("rnk"), col("n_c"))
+  }
+  def clusterBalancedSample(spark: SparkSession, dir: String): DataFrame =
+    clusterBalancedSample(table(spark, dir, "embeddings"))
+
   /** S3 — context-window sequence packing: concatenate each shard's token
     * stream in deterministic doc order and slice it into fixed-length training
     * sequences; each doc gets its byte-reproducible (sequence index, offset)

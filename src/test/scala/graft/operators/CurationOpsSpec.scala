@@ -502,6 +502,39 @@ class CurationOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("clusterBalancedSample: exact ceil(n_c/10) per trained cluster, every cluster covered (S14)") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val out = CurationOps.clusterBalancedSample(e).cache()
+    // the cluster universe is the TRAINED assignment (geometric reassigned
+    // cells), not the raw label column
+    val cells = AnnOps.seededCellAssign(e).groupBy("cell")
+      .agg(count(lit(1)).as("n_true")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val taken = out.groupBy("cell").agg(count(lit(1)).as("n_taken"),
+        max("n_c").as("n_c"), max("rnk").as("max_rnk"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every nonempty cluster is represented — the whole point of the
+    // balanced draw (a global threshold can miss small topics entirely)
+    assert(taken.map(_._1).toSet === cells.keySet)
+    taken.foreach { case (cell, nTaken, nC, maxRnk) =>
+      assert(nC === cells(cell), s"cell $cell population drifted")
+      val quota = (nC + 9) / 10 // ceil(n_c/10), integer
+      assert(nTaken === quota, s"cell $cell took $nTaken, quota $quota")
+      assert(maxRnk <= quota, s"cell $cell rank $maxRnk escaped its quota")
+    }
+    // determinism: the salted-hash draw reproduces row-for-row
+    val again = CurationOps.clusterBalancedSample(
+      Tables.table(spark, sf, "embeddings"))
+    assert(again.exceptAll(out).count() === 0 &&
+      out.exceptAll(again).count() === 0)
+    // the sampler rides the memoized quantizer: a second draw trains nothing
+    val trained = graft.operators.TrainMemo.computeCount
+    CurationOps.clusterBalancedSample(e).count()
+    assert(graft.operators.TrainMemo.computeCount === trained,
+      "s14 re-trained the quantizer the memo already holds")
+    out.unpersist()
+  }
+
   test("retrievalServe: k diversified picks from the probe-bounded pool, pick order sound (C5)") {
     import spark.implicits._
     val e = Tables.table(spark, sf, "embeddings")
