@@ -60,6 +60,9 @@ object SparkEntry {
     // dq8: profile drift between l3's snapshots — dq3's battery per side,
     // report-sized join, integer cross-product thresholds, drifted verdict
     "dq8_profile_drift" -> ((s: SparkSession, d: String) => RelationalOps.profileDrift(s, d)),
+    // dq9: embedding-space outliers — bottom 1/20 of each cell by kNN-graph
+    // density (DECIMAL edge-sim sum); rides the memoized n14 graph
+    "dq9_embedding_outliers" -> ((s: SparkSession, d: String) => AnnOps.knnDensityOutliers(s, d)),
     // dq4: k-anonymity audit over the (lang, source, len-bucket)
     // quasi-identifier — sub-k groups flagged, one bounded keyed agg
     "dq4_k_anonymity" -> ((s: SparkSession, d: String) => RelationalOps.kAnonymity(s, d)),
@@ -197,6 +200,10 @@ object SparkEntry {
     // n13: MMR diversified top-k — the RAG reranker between search and the
     // context window; greedy rounds unrolled, pool-bounded by construction
     "n13_mmr_topk" -> ((s: SparkSession, d: String) => AnnOps.mmrTopK(s, d)),
+    // n14: the kNN JOIN — every corpus vector's top-5 neighbors, probe-
+    // bounded by the memoized coarse quantizer (the SemDeDup / kNN-graph
+    // index-side primitive; candidate pairs = probed fraction, never n²)
+    "n14_knn_join" -> ((s: SparkSession, d: String) => AnnOps.knnJoin(s, d)),
     "n5_cosine_sim_fn" -> (cosineSimFn _),
     // LLM-data-pipeline: corpus curation (decontamination, sampling,
     // shard shuffle, n-gram frequency)
@@ -980,6 +987,37 @@ object SparkEntry {
         |                     * 10000.0 + 0.5) / 10000.0 AS sim
         |        FROM top t JOIN qz3 e ON e.vec_id = t.neighbor_id
         |             JOIN q ON q.query_id = t.query_id)""".stripMargin
+
+  /** n14's kNN graph stated verbatim — [[ivfAsgPrefix]]'s quantizer, then
+    * per-VECTOR nProbe probe lists by the same 4-dp integer cell scores,
+    * n1's exact 4-dp cosine within probed cells only, and a per-vector
+    * top-k with ties to the lower neighbor id. Shared by the n14 gate and
+    * dq9's density outliers, exactly as the operators share the memoized
+    * [[graft.operators.AnnOps.knnJoin]] graph.
+    */
+  private val knnGraphSql: String = ivfAsgPrefix + ",\n" +
+    s"""pr AS (SELECT vec_id, cell FROM (
+       |         SELECT e0.vec_id, cents.cell,
+       |                row_number() OVER (PARTITION BY e0.vec_id
+       |                  ORDER BY floor((2*list_dot_product(e0.ee, cents.c)
+       |                                  - list_dot_product(cents.c, cents.c))
+       |                                 * 10000.0 + 0.5) DESC, cents.cell) AS r
+       |         FROM e0, cents) WHERE r <= ${AnnOps.ServeNProbe}),
+       |cands AS (SELECT p.vec_id, n.vec_id AS neighbor_id,
+       |                 floor(list_dot_product(q.ee, n.ee) /
+       |                       (sqrt(list_dot_product(q.ee, q.ee)) *
+       |                        sqrt(list_dot_product(n.ee, n.ee)))
+       |                       * 10000.0 + 0.5) / 10000.0 AS sim
+       |          FROM pr p
+       |          JOIN e0 q ON q.vec_id = p.vec_id
+       |          JOIN asg a ON a.cell = p.cell
+       |          JOIN e0 n ON n.vec_id = a.vec_id
+       |          WHERE n.vec_id <> p.vec_id),
+       |knn AS (SELECT vec_id, neighbor_id, rnk, sim FROM (
+       |          SELECT vec_id, neighbor_id, sim,
+       |                 row_number() OVER (PARTITION BY vec_id
+       |                   ORDER BY sim DESC, neighbor_id) AS rnk
+       |          FROM cands) WHERE rnk <= ${AnnOps.ServeK})""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "p1_json_parse" ->
@@ -2195,6 +2233,25 @@ object SparkEntry {
         |FROM sc LEFT JOIN dr ON sc.vec_id = dr.vec_id""".stripMargin,
     // n13: the greedy MMR prefix unrolled over n1's candidate chain
     "n13_mmr_topk" -> mmrSql(5, 20),
+    // n14: the kNN graph stated verbatim (quantizer prefix + per-vector
+    // probe lists + in-cell exact cosines + per-vector top-5)
+    "n14_knn_join" ->
+      s"""WITH $knnGraphSql
+         |SELECT vec_id, neighbor_id, rnk, sim FROM knn""".stripMargin,
+    // dq9: the graph's DECIMAL edge-sim sum per vector, bottom 1/20 of each
+    // cell flagged by the s13 integer quota (rnk·20 ≤ n_c+19)
+    "dq9_embedding_outliers" ->
+      s"""WITH $knnGraphSql,
+         |dens AS (SELECT vec_id,
+         |                CAST(sum(CAST(sim AS DECIMAL(18,4))) AS DOUBLE) AS density
+         |         FROM knn GROUP BY vec_id),
+         |sc AS (SELECT d.vec_id, a.cell, d.density,
+         |              row_number() OVER (PARTITION BY a.cell
+         |                ORDER BY d.density, d.vec_id) AS rnk,
+         |              count(*) OVER (PARTITION BY a.cell) AS n_c
+         |       FROM dens d JOIN asg a ON a.vec_id = d.vec_id)
+         |SELECT vec_id, cell, density, rnk * 20 <= n_c + 19 AS outlier
+         |FROM sc""".stripMargin,
     "n1_ann_cosine_topk" ->
       s"""WITH ${cosineCommon.replace("%QLIM%", "10")},
          |sims AS (SELECT query_id, vec_id AS neighbor_id,

@@ -545,6 +545,112 @@ object AnnOps {
       array_max(cellScores(centArr)).getField("cell").as("cell"))
   }
 
+  /** N14 — kNN-GRAPH construction: every corpus vector's top-`k` cosine
+    * neighbors, probe-bounded by the trained coarse quantizer. n1–n13
+    * answer QUERY-side search (a handful of standing queries against the
+    * corpus); the kNN JOIN is the INDEX-side primitive the LLM curation
+    * stack builds on — SemDeDup clusters over it, label propagation and
+    * graph dedup consume its edges, and dataset cartography reads its
+    * neighborhood densities. Brute force is n²·dims (the one shape that
+    * can never ship at 100 TB); here each vector is scored only against
+    * the members of its `nProbe` nearest cells (NN-Descent/FAISS-style
+    * blocked construction), so candidate pairs are Σ_cells |members_c| ×
+    * |probers_c| — the probed fraction of n², never n².
+    *
+    * Determinism across engines (every stage oracle-stateable): cells and
+    * probes are n10's contract verbatim — the memoized [[seededCentroids]]
+    * quantizer, 4-dp-quantized integer cell scores, min-cell tie-breaks —
+    * and the pair score is n1's exact 4-dp float cosine with ties to the
+    * lower neighbor id. Probe 1 is the vector's own cell (assignment and
+    * probe ranking share one score array), so the classic same-cell kNN
+    * graph is the nProbe=1 special case.
+    *
+    * Scale notes (100 TB): the quantizer is TrainMemo-held (train once,
+    * build many); cell assignment and probe selection are literal per-row
+    * argmax/argsort — no join, no corpus shuffle. The single shuffle is the
+    * equi-join on `cell`: the member side moves each vector once, the
+    * probe side `nProbe` times — (1+nProbe)× the corpus, linear with a
+    * small constant, and cell count grows with the corpus (k ∝ √n keeps
+    * per-cell blocks bounded, AQE rebalances stragglers). Top-k is the
+    * two-phase partial merge (≤ k·partitions rows per vector through the
+    * final exchange — never the full candidate list).
+    */
+  def knnJoin(e: DataFrame, k: Int = ServeK, nProbe: Int = ServeNProbe): DataFrame =
+    // the GRAPH is an index artifact: built once per (session, corpus,
+    // params) and served to every consumer — the n14 gate, dq9's density
+    // outliers; a 100 TB deployment persists it next to the index — with
+    // ClusterMemo's sweep-safe eager-checkpoint lifecycle (recomputed if a
+    // sweep dropped the blocks, never served stale across corpora)
+    ClusterMemo.getOrCompute(TrainMemo.key(e, s"n14:knn:k=$k,p=$nProbe")) {
+      knnJoinStage(e, k, nProbe).localCheckpoint(true)
+    }
+  def knnJoin(spark: SparkSession, dir: String): DataFrame =
+    knnJoin(table(spark, dir, "embeddings"))
+
+  /** The n14 construction PLAN itself (uncheckpointed) — what
+    * PlanContractSpec pins; [[knnJoin]] wraps it in the session memo.
+    */
+  private[graft] def knnJoinStage(e: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val centArr = seededCentroids(e)
+    require(centArr.nonEmpty, "knnJoin needs at least one cell")
+    val scoredCells = cellScores(centArr)
+    // probe side: every vector × its nProbe best cells (descending sort on
+    // (sc, negcell) keeps the min-cell tie-break); norm computed ONCE below
+    // the join (the cosinePre contract)
+    val probes = e.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nq"),
+        explode(slice(reverse(array_sort(scoredCells)), 1, nProbe)).as("pc"))
+      .select(col("vec_id"), col("embedding"), col("nq"),
+        col("pc.cell").as("cell"))
+    // member side: every vector filed under its ONE geometric cell, so each
+    // (vector, neighbor) candidate pair arises at most once — no dedup stage
+    val members = e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ne"), norm(col("embedding")).as("nn"),
+        array_max(scoredCells).getField("cell").as("cell"))
+    val cands = probes.join(members, Seq("cell"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        cosinePre(col("embedding"), col("ne"), col("nq"), col("nn")).as("sim"))
+    topKPerQuery(cands, k, Seq("vec_id"))
+      .select("vec_id", "neighbor_id", "rnk", "sim")
+  }
+
+  /** DQ9 — kNN-DENSITY outliers: the embedding-space data-quality signal
+    * (dataset cartography / mislabel-and-junk pruning). A vector whose k
+    * nearest neighbors are all far away sits in a sparse region — OCR
+    * garbage, wrong-language shards, adversarial spam — exactly what an
+    * embedding-quality gate drops before training. Density = the DECIMAL
+    * sum of the vector's [[knnJoin]] edge similarities (5 exact 4-dp
+    * values, decimal-summed so no engine sees float accumulation order);
+    * the outlier flag is the bottom 1/`frac` of each CELL by (density,
+    * vec_id) — s13's exact integer quota (`rnk·frac ≤ n_c + frac−1`), per
+    * cell rather than corpus-wide so a naturally diffuse topic is judged
+    * against its own neighborhood, not a dense one's.
+    *
+    * Scale notes (100 TB): rides the memoized kNN graph (built once per
+    * corpus, shared with n14) — the graph is n·k rows, so everything here
+    * is post-index bookkeeping: one vec_id-keyed agg over n·k, one
+    * broadcast-sized join to the literal cell assignment, one cell-keyed
+    * exchange shared by the rank and count windows (the s14 contract
+    * shape).
+    */
+  def knnDensityOutliers(e: DataFrame, k: Int = ServeK,
+      nProbe: Int = ServeNProbe, frac: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cell").orderBy(col("density"), col("vec_id"))
+    val cw = Window.partitionBy("cell")
+    knnJoin(e, k, nProbe)
+      .groupBy("vec_id")
+      .agg(graft.Tables.dsum(col("sim")).as("density"))
+      .join(seededCellAssign(e), Seq("vec_id"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n_c", count(lit(1)).over(cw))
+      .withColumn("outlier", col("rnk") * frac <= col("n_c") + (frac - 1))
+      .select(col("vec_id"), col("cell"), col("density"), col("outlier"))
+  }
+  def knnDensityOutliers(spark: SparkSession, dir: String): DataFrame =
+    knnDensityOutliers(table(spark, dir, "embeddings"))
+
   /** n10/n11's shared coarse quantizer: centroids SEEDED by the fixture's
     * label cells — n6's exact-mean pattern (per-dim integer 1e6 sums,
     * order-free, one divide + one floor), collected driver-side in ascending

@@ -98,6 +98,29 @@ class PlanContractSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") <= 6, p)
   }
 
+  test("n14 kNN join is cell-blocked: one equi-join on cell, no cartesian (n14)") {
+    // pin the construction STAGE: the gate-registered knnJoin serves the
+    // memoized checkpoint (a scan) once warm, so the contract targets the
+    // plan that builds it (the c5 stage-contract pattern)
+    val e = graft.Tables.table(spark, sf, "embeddings")
+    val g = graft.operators.AnnOps.knnJoinStage(e, 5, 3)
+    g.count()
+    val p = g.queryExecution.executedPlan.toString
+    // the candidate pass is an EQUI-JOIN on the cell key (probe side ×
+    // member side — the blocked self-join; broadcastable at fixture size,
+    // a keyed shuffle at corpus scale): never a cartesian over vectors,
+    // and cell assignment/probe selection are literal projections against
+    // the driver-held quantizer, so no join form can appear for them
+    assert(count(p, "BroadcastHashJoin") + count(p, "ShuffledHashJoin") >= 1, p)
+    assert(count(p, "CartesianProduct") === 0, p)
+    assert(count(p, "BroadcastNestedLoopJoin") === 0, p)
+    assert(count(p, "SortMergeJoin") === 0, p)
+    // keyed exchanges: centroid derivation (index-time, memoized after the
+    // first call) and the two-phase top-k merges; the full candidate list
+    // never moves through an exchange
+    assert(count(p, "Exchange hashpartitioning") <= 8, p)
+  }
+
   test("c5 serving: probe-bounded candidate stage, pool-bounded greedy tail, no cartesian (c5)") {
     // stage contract: the serving pool IS ivfQuantizedTopK(k=pool=cand=20)
     // — n10's exact probe-bounded shape (broadcast equi-join on cell,

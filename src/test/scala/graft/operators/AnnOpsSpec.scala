@@ -581,4 +581,68 @@ class AnnOpsSpec extends SparkSpec {
     assert(firsts.join(brute1, Seq("query_id"))
       .filter(col("m1") =!= col("b1")).count() === 0)
   }
+
+  test("n14 kNN join: complete bounded graph, n1-exact sims, exhaustive at full probes") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val g = AnnOps.knnJoin(e).cache()
+    val n = e.count()
+    // every vector gets a neighbor list of exactly k (500 vectors, 10
+    // cells: each probed cell holds ~50 members, far above k)
+    assert(g.select("vec_id").distinct().count() === n)
+    assert(g.groupBy("vec_id").count().filter(col("count") =!= 5).count() === 0)
+    // no self edges, no duplicate edges (one geometric cell per member)
+    assert(g.filter(col("vec_id") === col("neighbor_id")).count() === 0)
+    assert(g.select("vec_id", "neighbor_id").distinct().count() === g.count())
+    // every edge carries n1's exact 4-dp cosine: any pair shared with the
+    // brute-force graph must agree bit-for-bit
+    val brute = AnnOps.searchTopK(e,
+        e.select(col("vec_id").as("query_id"), col("embedding").as("qe")), 5)
+      .select(col("query_id").as("vec_id"), col("neighbor_id"),
+        col("rnk").as("brnk"), col("sim").as("bsim"))
+    val shared = g.join(brute, Seq("vec_id", "neighbor_id")).cache()
+    assert(shared.filter(col("sim") =!= col("bsim")).count() === 0,
+      "kNN-join sim drifted from the brute-force contract")
+    // 3-probe recall against the exact graph (own cell is probe 1, so the
+    // near neighborhood is mostly local; generous margin for the fixture)
+    val truth = brute.count()
+    assert(truth === n * 5)
+    assert(shared.count() * 2 >= truth,
+      s"3-probe kNN-graph recall ${shared.count()}/$truth")
+    // probing every cell makes the candidate pass exhaustive: the graph is
+    // EXACTLY the brute-force graph, ranks included
+    val nCells = e.select("label").distinct().count().toInt
+    val full = AnnOps.knnJoin(e, nProbe = nCells)
+    assert(full.exceptAll(brute.select(col("vec_id"), col("neighbor_id"),
+      col("brnk").as("rnk"), col("bsim").as("sim"))).count() === 0)
+    assert(full.count() === truth)
+  }
+
+  test("dq9 density outliers: exact per-cell quota, lowest-density flagged, graph reuse") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val got = AnnOps.knnDensityOutliers(e).cache()
+    // one density row per vector
+    assert(got.count() === e.count())
+    assert(got.select("vec_id").distinct().count() === e.count())
+    // exact integer quota per cell: flagged = ceil(n_c / 20)
+    val quota = got.groupBy("cell")
+      .agg(count(lit(1)).as("n_c"),
+        sum(when(col("outlier"), 1L).otherwise(0L)).as("flagged"))
+      .filter(col("flagged") =!= floor((col("n_c") + 19) / lit(20)).cast("long"))
+    assert(quota.count() === 0, "per-cell outlier quota drifted")
+    // flagged vectors are their cell's LOWEST densities: every outlier's
+    // density <= every inlier's density within the same cell
+    val bad = got.filter(col("outlier"))
+      .groupBy("cell").agg(max(col("density")).as("omax"))
+      .join(got.filter(!col("outlier"))
+        .groupBy("cell").agg(min(col("density")).as("imin")), Seq("cell"))
+      .filter(col("omax") > col("imin"))
+    assert(bad.count() === 0, "an outlier out-densified an inlier in its cell")
+    // the kNN graph is memo-shared: a second derivation over the same
+    // corpus re-runs NO graph construction (the n14 build-once contract)
+    val before = ClusterMemo.computeCount
+    val again = AnnOps.knnDensityOutliers(e)
+    assert(again.exceptAll(got).count() === 0)
+    assert(ClusterMemo.computeCount === before,
+      "dq9 re-built the kNN graph instead of serving the session memo")
+  }
 }
