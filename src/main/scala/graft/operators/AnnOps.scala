@@ -596,12 +596,18 @@ object AnnOps {
     val scoredCells = cellScores(centArr)
     // probe side: every vector × its nProbe best cells (descending sort on
     // (sc, negcell) keeps the min-cell tie-break); norm computed ONCE below
-    // the join (the cosinePre contract)
-    val probes = e.select(col("vec_id"), col("embedding"),
-        norm(col("embedding")).as("nq"),
-        explode(slice(reverse(array_sort(scoredCells)), 1, nProbe)).as("pc"))
-      .select(col("vec_id"), col("embedding"), col("nq"),
-        col("pc.cell").as("cell"))
+    // the join (the cosinePre contract). SPREAD before the pair join: the
+    // join's output expands by |cell| per probe row, so the probe side's
+    // split count caps the whole construction — a compacted corpus arriving
+    // as one parquet split would otherwise crunch every candidate pair in a
+    // single task (measured: 10× corpus, one file → one 20-minute task; the
+    // m2/t9 fan-out lesson applied to the blocked self-join)
+    val probes = graft.Tables.spread(
+      e.select(col("vec_id"), col("embedding"),
+          norm(col("embedding")).as("nq"),
+          explode(slice(reverse(array_sort(scoredCells)), 1, nProbe)).as("pc"))
+        .select(col("vec_id"), col("embedding"), col("nq"),
+          col("pc.cell").as("cell")))
     // member side: every vector filed under its ONE geometric cell, so each
     // (vector, neighbor) candidate pair arises at most once — no dedup stage
     val members = e.select(col("vec_id").as("neighbor_id"),
@@ -611,7 +617,20 @@ object AnnOps {
       .filter(col("vec_id") =!= col("neighbor_id"))
       .select(col("vec_id"), col("neighbor_id"),
         cosinePre(col("embedding"), col("ne"), col("nq"), col("nn")).as("sim"))
-    topKPerQuery(cands, k, Seq("vec_id"))
+    // top-k via rank window, NOT topKPerQuery's collect_list merge: with
+    // |cell|-sized candidate lists per vector the object aggregate falls
+    // back to sort-based mode and copies every pair row into per-group
+    // buffers (measured 10×: 120M GenericInternalRow copies dominated the
+    // build). The row_number ≤ k filter compiles to a partial
+    // WindowGroupLimit (the g1/s6/d12 contract): each map split forwards
+    // ≤ k binary rows per vector — bounded shuffle, zero object churn —
+    // and the selection/order contract (sim DESC, neighbor_id) is
+    // identical to topKPerQuery's
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cands.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
       .select("vec_id", "neighbor_id", "rnk", "sim")
   }
 

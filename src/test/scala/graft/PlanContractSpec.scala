@@ -115,9 +115,12 @@ class PlanContractSpec extends SparkSpec {
     assert(count(p, "CartesianProduct") === 0, p)
     assert(count(p, "BroadcastNestedLoopJoin") === 0, p)
     assert(count(p, "SortMergeJoin") === 0, p)
+    // the top-k is a PARTIAL WindowGroupLimit: each map split forwards at
+    // most k rows per vector, so the full candidate list never moves
+    // through an exchange (the g1/s6/d12 rank-pushdown contract)
+    assert(count(p, "WindowGroupLimit") >= 1, p)
     // keyed exchanges: centroid derivation (index-time, memoized after the
-    // first call) and the two-phase top-k merges; the full candidate list
-    // never moves through an exchange
+    // first call), the probe-side spread, and the final per-vector window
     assert(count(p, "Exchange hashpartitioning") <= 8, p)
   }
 
