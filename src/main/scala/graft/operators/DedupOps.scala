@@ -21,24 +21,14 @@ object DedupOps {
   private val NumBands = 4 // 2 hashes per band
 
   /** 3-word shingles of a pre-split word array (docs with < n words excluded
-    * by the caller). `slice` is 1-based like DuckDB list slicing.
-    *
-    * Built from SHIFTED zips, not `transform(sequence, i -> slice(words, i,
-    * 3))`: a lambda body that indexes the captured array re-evaluates that
-    * array's (inlined) defining expression per element — O(n²) in document
-    * length, the same interpreted-lambda trap measured at 104s in d9. Here
-    * every lambda touches only its own zip variables, so the word array
-    * evaluates O(1) times per row and per-element work is constant.
+    * by the caller) — element i = `words[i] words[i+1] words[i+2]`.
     */
-  private[operators] def shingleExpr(words: Column): Column = {
-    val s1 = slice(words, lit(2), size(words))
-    val s2 = slice(words, lit(3), size(words))
-    val pairs = zip_with(words, s1, (a, b) => concat(a, lit(" "), b))
-    val tris = zip_with(pairs, s2, (p, c) => concat(p, lit(" "), c))
-    // zip_with pads the shorter side with null and concat propagates it, so
-    // the trailing partial windows are null — sliced off here
-    slice(tris, lit(1), size(words) - (ShingleN - 1))
-  }
+  private[operators] def shingleExpr(words: Column): Column =
+    // ONE native codegen'd call (graft.functions.KGrams) — the shifted
+    // zip_with fold this replaces ran interpreted lambdas per element and
+    // re-allocated every intermediate prefix (r14 optimization; bit-parity
+    // with the fold pinned in KGramsSpec)
+    graft.functions.KGrams(words, ShingleN)
 
   /** 3-shingle array of a raw text column, empty for sub-3-word docs —
     * the map-side building block shared by the batch and streaming
@@ -212,10 +202,18 @@ object DedupOps {
     val sets = graft.Tables.spread(
         docShingles(docs).select(col("doc_id"), col("shset"), col("n")))
       .cache()
+    // the df-filtered POSTING LIST is materialized once: it feeds BOTH sides
+    // of the candidate self-join, and at bench scale AQE broadcast-converts
+    // that join — no exchanges, so runtime exchange reuse cannot share the
+    // subtree and each side re-ran the corpus explode AND the df aggregation
+    // (measured: 4 Generate + 2 df-agg nodes in the final plan). Caching is
+    // exactly MOSS's "write the index" step; memory is the df-capped posting
+    // list, a bounded fraction of corpus shingles (r14 optimization; same
+    // pattern in winnowPairs).
     val post = sets.select(col("doc_id"), explode(col("shset")).as("sh"))
     val rare = post.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, maxDf)).select("sh")
-    val kept = post.join(rare, Seq("sh"))
+    val kept = post.join(rare, Seq("sh")).cache()
     val cand = kept.select(col("sh"), col("doc_id").as("a"))
       .join(kept.select(col("sh"), col("doc_id").as("b")), Seq("sh"))
       .filter(col("a") < col("b"))
@@ -651,7 +649,11 @@ object DedupOps {
     val fps = winnowFingerprints(docs)
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("fp")
-    val kept = fps.join(rare, Seq("fp"))
+    // materialized once for the same reason as containmentPairs' posting
+    // list: under AQE broadcast conversion the self-join's two sides cannot
+    // share the subtree via exchange reuse, so without the cache each side
+    // re-ran the winnow scan and the df aggregation (r14 optimization)
+    val kept = fps.join(rare, Seq("fp")).cache()
     kept.select(col("fp"), col("doc_id").as("doc_a"))
       .join(kept.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
       .filter(col("doc_a") < col("doc_b"))
@@ -737,20 +739,15 @@ object DedupOps {
       .select(col("doc_id"), col("n_segs"), col("kept_segs"),
         array_join(transform(col("lst"), s => s.getField("seg")), " ").as("clean_text"))
   }
-  /** k-gram array via the same shifted-zip fold as [[shingleExpr]] (k−1
-    * zip_with passes, each lambda touching only its own zip variables): the
-    * word array evaluates O(1) times per row — never `transform(sequence,
-    * i -> slice(words, i, k))`, whose captured-array indexing re-evaluates
-    * the array per element (the O(n²) interpreted-lambda trap measured in
-    * d9).
+  /** k-gram array (element i = the space-joined k words from position i) —
+    * never `transform(sequence, i -> slice(words, i, k))`, whose
+    * captured-array indexing re-evaluates the array per element (the O(n²)
+    * interpreted-lambda trap measured in d9).
     */
-  private def kgramExpr(words: Column, k: Int): Column = {
-    val joined = (2 to k).foldLeft(words) { (acc, j) =>
-      zip_with(acc, slice(words, lit(j), size(words)),
-        (a, b) => concat(a, lit(" "), b))
-    }
-    slice(joined, lit(1), size(words) - (k - 1))
-  }
+  private def kgramExpr(words: Column, k: Int): Column =
+    // native KGrams call, same rationale (and bit-parity spec) as
+    // [[shingleExpr]]
+    graft.functions.KGrams(words, k)
 
   /** Positional k-gram array of a raw text column (element i = the k-gram
     * starting at token i), empty for sub-k-word docs — the map-side

@@ -534,12 +534,22 @@ object StatsOps {
       // replaying the user-keyed window 5x — the DedupOps.connectedComponents
       // discipline; the catalog is node²-bounded, tiny at any corpus scale
       .localCheckpoint(true)
-    val outw = edges.groupBy("src").agg(sum("w").as("outw"))
+    // outw and the node catalog are node-sized and read EVERY round (and
+    // outw once more by the returned frame): checkpointed once so each
+    // round's plan is flat block scans, not a re-run distinct/agg (r14)
+    val outw = edges.groupBy("src").agg(sum("w").as("outw")).localCheckpoint(true)
     val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst"))).distinct()
-    val nN = nodes.agg(count(lit(1)).as("n"))
-    var ranks = nodes.crossJoin(broadcast(nN))
-      .select(col("node"), floor(lit(1e8) / col("n") + 0.5).cast("long").as("r"))
+      .union(edges.select(col("dst"))).distinct().localCheckpoint(true)
+    // n and the per-round dangling mass are ONE-ROW aggregates over node-
+    // catalog-sized checkpointed frames: held as driver scalars (the n2b
+    // convergence-scalar convention — bounded, never a data collect) instead
+    // of crossJoin(broadcast(...)) — each broadcast was its own exchange +
+    // BNLJ node and, under AQE, its own job, re-paid EVERY round (r14
+    // optimization: ~3 jobs/round and the nN re-aggregation removed; the
+    // arithmetic is unchanged — same longs, same floor expressions)
+    val n = nodes.count()
+    var ranks = nodes
+      .select(col("node"), lit(math.floor(1e8 / n + 0.5).toLong).as("r"))
     // only frames THIS loop checkpointed may be released: round 0's plain
     // plan bottoms out at the edges checkpoint, and a leaf-walking release
     // there would destroy the edge blocks every later round still reads
@@ -552,20 +562,21 @@ object StatsOps {
           floor(lit(0.85) * col("r").cast("double") * col("w") / col("outw") + 0.5)
             .cast("long").as("c"))
         .groupBy("dst").agg(sum("c").as("s"))
-      val dang = ranks
+      // one flat scan of the previous round's checkpoint blocks → one long
+      val dang: Long = ranks
         .join(outw.withColumnRenamed("src", "node"), Seq("node"), "left")
         .filter(col("outw").isNull)
         .agg(coalesce(sum("r"), lit(0L)).as("dm"))
+        .head().getLong(0)
       // each round materializes (node-catalog-sized blocks) and the
-      // superseded snapshot is released — WITHOUT this, the dangling-mass
-      // broadcast re-executes the whole previous-round lineage separately
-      // from the main plan, doubling the tree per round (2^iters stages)
-      val next = nodes.crossJoin(broadcast(nN)).crossJoin(broadcast(dang))
+      // superseded snapshot is released, so every per-round plan reads flat
+      // checkpoint blocks instead of a tree that doubles per round
+      val base = math.floor(1.5e7 / n + 0.5).toLong +
+        math.floor(0.85 * dang.toDouble / n + 0.5).toLong
+      val next = nodes
         .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"),
-          (floor(lit(1.5e7) / col("n") + 0.5).cast("long") +
-           floor(lit(0.85) * col("dm").cast("double") / col("n") + 0.5).cast("long") +
-           coalesce(col("s"), lit(0L))).as("r"))
+          (lit(base) + coalesce(col("s"), lit(0L))).as("r"))
         .localCheckpoint(true)
       prevOwned.foreach(DedupOps.unpersistCheckpoint)
       prevOwned = Some(next)
