@@ -407,8 +407,12 @@ object AnnOps {
       .crossJoin(broadcast(queries.select(col("query_id"), col("qq"), col("qqn"))))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), approx.as("sim"))
+    // |Q|*cand rows, but the lineage is the whole candidate scan and `top`
+    // feeds TWO broadcast branches (rerank probe + final score-join), which
+    // cannot share subtrees - uncached the candidate pass ran twice (r14)
     val top = topKPerQuery(cands, cand, Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("sim").as("approx_sim"))
+      .cache()
     val rer = e.select(col("vec_id").as("neighbor_id"), col("embedding"),
         norm(col("embedding")).as("nv"))
       .join(broadcast(top.select("query_id", "neighbor_id")), Seq("neighbor_id"))

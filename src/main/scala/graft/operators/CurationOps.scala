@@ -284,14 +284,19 @@ object CurationOps {
     val words = graft.Tables.spread(docs
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 2).select(col("w")))
+    // the unigram/bigram MODEL tables are vocabulary-bounded at any corpus
+    // scale and each feeds multiple BROADCAST branches (w1 counts, w2
+    // counts, the nw/nb totals) — broadcast branches cannot share subtrees
+    // via exchange reuse, so uncached each branch re-ran the corpus explode
+    // and count (the d18 lesson); one materialization each (r14)
     val uni = words.select(explode(col("w")).as("t"))
-      .groupBy("t").agg(count(lit(1)).as("ct"))
+      .groupBy("t").agg(count(lit(1)).as("ct")).cache()
     val bi = words.select(explode(zip_with(
         slice(col("w"), lit(1), size(col("w")) - 1),
         slice(col("w"), lit(2), size(col("w")) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
       .select(col("p.w1"), col("p.w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("pair_ct"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("pair_ct")).cache()
     val nw = uni.agg(sum("ct").as("nw"))
     val nb = bi.agg(sum("pair_ct").as("nb"))
     val pmi = floor(log(
@@ -337,7 +342,10 @@ object CurationOps {
         .select(col("source"), col("words")))
       .select(col("source"), explode(DedupOps.shingleExpr(col("words"))).as("sh"))
       .distinct()
-    val totals = sets.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    // totals is SOURCE-cardinality (bounded at any scale) but its two
+    // broadcast branches each re-derived the corpus-scale distinct-shingle
+    // table — one materialization (r14; the g9 model-table pattern)
+    val totals = sets.groupBy("source").agg(count(lit(1)).as("n_sh")).cache()
     val shared = sets.as("x").join(sets.as("y"),
         col("x.sh") === col("y.sh") && col("x.source") < col("y.source"))
       .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))

@@ -492,6 +492,25 @@ object StatsOps {
   def eventTransitions(spark: SparkSession, dir: String): DataFrame =
     eventTransitions(table(spark, dir, "events"))
 
+  /** The (event_id, user_id, us, node) sequence feeding the g7/g8/g13
+    * property-transition window: the PRUNED-but-unparsed rows are hash-
+    * repartitioned on the window key FIRST, so the per-row `props` JSON
+    * parse runs after the exchange on every core — the window's required
+    * distribution is already satisfied, so this adds NO exchange; it only
+    * moves the parse off the scan task (r14: a single-row-group bench
+    * input ran the whole 100k-row parse in one ~850 ms task). At scale the
+    * trade is the same one user-keyed shuffle carrying `props` bytes
+    * instead of the parsed long — and the parse runs exactly once per row
+    * either way.
+    */
+  private def nodeSeq(events: DataFrame): DataFrame =
+    events.select(col("event_id"), col("user_id"), col("ts"), col("props"))
+      .repartition(col("user_id"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        get_json_object(col("props"), "$.k").cast("long").as("node"))
+      .filter(col("node").isNotNull)
+
   /** G7 — PageRank over the property-transition graph: nodes are the
     * `props.k` values, edges the per-user consecutive transitions (a12's
     * lag construction), edge weight = transition count. Weighted PageRank
@@ -513,17 +532,14 @@ object StatsOps {
     * operates on edge-catalog-sized frames — each iteration is one
     * ranks⋈edges join on src (both sides edge/node-sized, NOT
     * corpus-sized) and one dst-keyed aggregation with map-side partials,
-    * the standard distributed PR round; n and the dangling mass ride as
-    * one-row broadcasts. Iterations are unrolled into a single plan
-    * (fixed count), so Catalyst reuses the edge exchange across rounds
-    * instead of rescanning the corpus.
+    * the standard distributed PR round; n and the dangling mass are
+    * driver-held scalars (one-row aggregates over checkpointed blocks —
+    * the n2b convergence-scalar convention). Each round reads the
+    * checkpointed edge/node/outw blocks, never the corpus.
     */
   def pageRank(events: DataFrame, iters: Int = 5): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
-    val seq0 = events.select(col("event_id"), col("user_id"),
-        unix_micros(col("ts")).as("us"),
-        get_json_object(col("props"), "$.k").cast("long").as("node"))
-      .filter(col("node").isNotNull)
+    val seq0 = nodeSeq(events)
     val edges = seq0
       .withColumn("src", lag(col("node"), 1).over(w))
       .filter(col("src").isNotNull)
@@ -617,16 +633,20 @@ object StatsOps {
     */
   def triangles(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
-    val seq0 = events.select(col("event_id"), col("user_id"),
-        unix_micros(col("ts")).as("us"),
-        get_json_object(col("props"), "$.k").cast("long").as("node"))
-      .filter(col("node").isNotNull)
+    val seq0 = nodeSeq(events)
+    // the edge catalog is referenced by deg (×2), the orientation joins and
+    // the closure join — UNCHECKPOINTED, the before-plan re-derived the
+    // corpus-scale window SEVENTEEN times (17 events scans: every broadcast
+    // branch replays the whole lineage; exchange reuse cannot cross
+    // broadcast boundaries). One eager checkpoint makes every downstream
+    // frame edge-catalog-sized — the g7/g13 edges discipline (r14)
     val und = seq0
       .withColumn("src", lag(col("node"), 1).over(w))
       .filter(col("src").isNotNull && col("src") =!= col("node"))
       .select(least(col("src"), col("node")).as("a"),
         greatest(col("src"), col("node")).as("b"))
       .distinct()
+      .localCheckpoint(true)
     val deg = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
     val withDeg = und
@@ -634,10 +654,13 @@ object StatsOps {
       .join(deg.select(col("n").as("b"), col("deg").as("db")), Seq("b"))
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
+    // oriented edges feed the wedge join twice and the closure once: flat
+    // blocks, not three re-runs of the degree joins
     val ori = withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("u"),
       when(aFirst, col("b")).otherwise(col("a")).as("v"),
       when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+      .localCheckpoint(true)
     val e1 = ori.select(col("u"), col("v").as("y"), col("dv").as("dy"))
     val e2 = ori.select(col("u"), col("v").as("z"), col("dv").as("dz"))
     val tris = e1.join(e2, Seq("u"))
@@ -679,10 +702,7 @@ object StatsOps {
     */
   def labelPropagation(events: DataFrame, iters: Int = 4): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
-    val seq0 = events.select(col("event_id"), col("user_id"),
-        unix_micros(col("ts")).as("us"),
-        get_json_object(col("props"), "$.k").cast("long").as("node"))
-      .filter(col("node").isNotNull)
+    val seq0 = nodeSeq(events)
     val und = seq0.withColumn("src", lag(col("node"), 1).over(w))
       .filter(col("src").isNotNull && col("src") =!= col("node"))
       .select(least(col("src"), col("node")).as("a"),
