@@ -72,10 +72,13 @@ object Tables {
   def spread(df: DataFrame): DataFrame =
     if (df.isStreaming) df // micro-batch split count is runtime-determined;
     // the .rdd width probe below would throw on an unstarted streaming frame
-    else {
-      val target = math.max(
-        df.sparkSession.sparkContext.defaultParallelism,
-        df.rdd.getNumPartitions)
-      df.repartition(target)
-    }
+    else if (df.rdd.getNumPartitions >=
+        df.sparkSession.sparkContext.defaultParallelism)
+      // already at least core-wide: the expansion below it cannot be capped
+      // by the input layout, so the round-robin shuffle would only move
+      // every row for nothing — at 100 TB that is a full corpus pass
+      // removed from each spread site (r14); bench-scale single-split
+      // inputs take the branch below exactly as before
+      df
+    else df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }

@@ -793,9 +793,12 @@ object CurationOps {
     * driver-side collect.
     */
   def temperatureMix(docs: DataFrame): DataFrame = {
+    // source-cardinality model table feeding two broadcast branches (tot,
+    // denom) plus the main chain — uncached each branch re-scanned the
+    // corpus (r14; the g9 model-table pattern)
     val perSrc = docs.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
-      sum(ceil(col("n_chars") / 4.0).cast("long")).as("tokens"))
+      sum(ceil(col("n_chars") / 4.0).cast("long")).as("tokens")).cache()
     val tot = perSrc.agg(sum("tokens").as("total_tokens"))
     val q = perSrc.crossJoin(broadcast(tot))
       .withColumn("sq",

@@ -788,7 +788,9 @@ object StatsOps {
     */
   def sourceOverlap(docs: DataFrame): DataFrame = {
     val fps = docs.select(col("source"), md5(col("text")).as("fp")).distinct()
-    val counts = fps.groupBy("source").agg(count(lit(1)).as("n_fps"))
+    // source-cardinality; its two broadcast branches each re-derived the
+    // corpus-scale distinct otherwise (r14; the g10 totals pattern)
+    val counts = fps.groupBy("source").agg(count(lit(1)).as("n_fps")).cache()
     val shared = fps
       .join(fps.select(col("source").as("source_b"), col("fp")), Seq("fp"))
       .filter(col("source") < col("source_b"))
@@ -820,6 +822,12 @@ object StatsOps {
       .withColumn("u_ct", count(lit(1)).over(Window.partitionBy("user_id")))
       .filter(col("u_ct") <= maxUserItems)
       .select(col("user_id"), col("item"))
+      // (user, item) long pairs — a small fraction of corpus bytes — read
+      // by BOTH self-join sides and both itemCt broadcast branches;
+      // uncached, the JSON-parse + distinct + cap window ran up to 4×
+      // (broadcast branches cannot share subtrees). The natural
+      // materialization of the interaction matrix (r14).
+      .cache()
     val itemCt = ui.groupBy("item").agg(count(lit(1)).as("n"))
     val co = ui.select(col("user_id"), col("item").as("item_a"))
       .join(ui.select(col("user_id"), col("item").as("item_b")), Seq("user_id"))

@@ -52,4 +52,19 @@ class TablesSpec extends SparkSpec {
     val df = Tables.table(spark, sf, "lineitem")
     assert(df.columns.contains("l_quantity"))
   }
+
+  test("spread widens narrow frames to core count and passes wide frames through") {
+    import spark.implicits._
+    val cores = spark.sparkContext.defaultParallelism
+    val narrow = (1 to 100).toDF("x").coalesce(1)
+    assert(Tables.spread(narrow).rdd.getNumPartitions === cores)
+    // already at-or-above core width: no repartition, the frame (and its
+    // plan) pass through unchanged — at scale this is a removed corpus pass
+    val wide = (1 to 100).toDF("x").repartition(cores + 7)
+    val spreadWide = Tables.spread(wide)
+    assert(spreadWide.rdd.getNumPartitions === cores + 7)
+    assert(spreadWide.queryExecution.logical eq wide.queryExecution.logical)
+    // row multiset is preserved either way
+    assert(Tables.spread(narrow).as[Int].collect().sorted === (1 to 100).toArray)
+  }
 }
