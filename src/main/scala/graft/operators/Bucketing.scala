@@ -111,7 +111,11 @@ object Bucketing {
     */
   def skippingStats(events: DataFrame, uHi: Long = 31L,
       kHi: Long = 31L): DataFrame = {
-    val base = zorderEvents(events)
+    // spread first: the JSON parse + curve keys + layout explode + partial
+    // agg otherwise all run inside the scan stage, which a single-row-group
+    // input serializes onto one task (r14); on well-split inputs spread is
+    // a pass-through
+    val base = zorderEvents(graft.Tables.spread(events))
     val matched = col("user_id") <= uHi && col("k") <= kHi
     val perFile = base
       .select(col("user_id"), col("k"),
@@ -152,7 +156,8 @@ object Bucketing {
     */
   def layoutCompare(events: DataFrame, uHi: Long = 31L,
       kHi: Long = 31L): DataFrame = {
-    val base = zorderEvents(events)
+    // spread first — same single-task scan-stage rationale as skippingStats
+    val base = zorderEvents(graft.Tables.spread(events))
       .withColumn("hkey",
         graft.functions.HilbertIndex.hilbert_key(col("user_id"), col("k")))
     val matched = col("user_id") <= uHi && col("k") <= kHi

@@ -342,10 +342,12 @@ object CurationOps {
         .select(col("source"), col("words")))
       .select(col("source"), explode(DedupOps.shingleExpr(col("words"))).as("sh"))
       .distinct()
-    // totals is SOURCE-cardinality (bounded at any scale) but its two
-    // broadcast branches each re-derived the corpus-scale distinct-shingle
-    // table — one materialization (r14; the g9 model-table pattern)
-    val totals = sets.groupBy("source").agg(count(lit(1)).as("n_sh")).cache()
+    // NOT cached (r14: tried, measured, reverted): caching `totals` hid
+    // stats from AQE and the shingle self-join lost its runtime broadcast
+    // conversion (1.30→1.82 s, 79→212 tasks, +258k shuffle rows). The two
+    // broadcast branches re-deriving the distinct table cost less than a
+    // de-broadcast-converted self-join.
+    val totals = sets.groupBy("source").agg(count(lit(1)).as("n_sh"))
     val shared = sets.as("x").join(sets.as("y"),
         col("x.sh") === col("y.sh") && col("x.source") < col("y.source"))
       .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
@@ -1063,7 +1065,12 @@ object CurationOps {
     val isTarget = (when(nW >= 20, 1).otherwise(0) +
       when(stop > 0, 1).otherwise(0) +
       when(col("n_chars") >= 100, 1).otherwise(0)) >= 2
-    val toks = docs.select(col("doc_id"), isTarget.as("is_target"), w.as("w"))
+    // spread first: the bigram explode + per-bigram md5 bucketing below is
+    // the operator's real work and otherwise runs inside the single-split
+    // scan stage (r14); pass-through on well-split inputs
+    val toks = graft.Tables.spread(
+        docs.select(col("doc_id"), col("text"), col("n_chars")))
+      .select(col("doc_id"), isTarget.as("is_target"), w.as("w"))
       .filter(size(col("w")) >= 2)
     val bi = toks.select(col("doc_id"), col("is_target"), explode(expr(
         "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("b"))

@@ -822,12 +822,12 @@ object StatsOps {
       .withColumn("u_ct", count(lit(1)).over(Window.partitionBy("user_id")))
       .filter(col("u_ct") <= maxUserItems)
       .select(col("user_id"), col("item"))
-      // (user, item) long pairs — a small fraction of corpus bytes — read
-      // by BOTH self-join sides and both itemCt broadcast branches;
-      // uncached, the JSON-parse + distinct + cap window ran up to 4×
-      // (broadcast branches cannot share subtrees). The natural
-      // materialization of the interaction matrix (r14).
-      .cache()
+    // NOT cached (r14: tried, measured, reverted): caching `ui` hid its
+    // size from AQE, the downstream joins lost their runtime broadcast
+    // conversion, and the query went 0.81→1.59 s with 11→263 tasks. The
+    // duplicate derivation is the cheaper evil here — the self-join sides
+    // share the window exchange, and only the two itemCt broadcast
+    // branches re-run the prefix.
     val itemCt = ui.groupBy("item").agg(count(lit(1)).as("n"))
     val co = ui.select(col("user_id"), col("item").as("item_a"))
       .join(ui.select(col("user_id"), col("item").as("item_b")), Seq("user_id"))

@@ -320,7 +320,11 @@ object TextOps {
     * aggregate, never a driver-side collect.
     */
   def lmScore(d: DataFrame): DataFrame = {
-    val toks = d.select(col("doc_id"), words(col("text")).as("w"))
+    // spread first: the bigram explode below is the corpus-scale work and
+    // otherwise runs inside the single-split scan stage (r14; t15's
+    // precedent); pass-through on well-split inputs
+    val toks = graft.Tables.spread(d.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 2)
     val bi = toks.select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("b"))
