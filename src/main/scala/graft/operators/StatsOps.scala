@@ -149,7 +149,11 @@ object StatsOps {
     * aggregation applies, and nothing buffers per-window state in batch.
     */
   def slidingCounts(spark: SparkSession, dir: String): DataFrame = {
-    table(spark, dir, "events")
+    // spread first: the 2-way pane Expand + DECIMAL partial aggregation
+    // otherwise run inside the single-split scan stage (r14); pass-through
+    // on well-split inputs
+    graft.Tables.spread(
+        table(spark, dir, "events").select("ts", "event_type", "value"))
       .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("ct"), graft.Tables.dsum(col("value")).as("val_sum"))
       .select(unix_micros(col("window.start")).as("start_us"),
@@ -715,6 +719,11 @@ object StatsOps {
       .withColumn("label", col("node"))
     var prevOwned: Option[DataFrame] = None
     for (_ <- 1 to iters) {
+      // NOT fused to one hash(node) exchange (r14: considered, rejected):
+      // pre-repartitioning by node would let both aggregation levels run
+      // co-located, but the single exchange would then carry RAW edge rows
+      // where the two-level form ships map-side (node,label) partials —
+      // the partial-aggregation discipline wins at scale
       val next = adj
         .join(labels.select(col("node").as("nbr"), col("label")), Seq("nbr"))
         .groupBy("node", "label").agg(sum("w").as("lw"))
