@@ -450,15 +450,34 @@ object RelationalOps {
     val lineitem = table(spark, dir, "lineitem")
     val customer = table(spark, dir, "customer")
     val nation = table(spark, dir, "nation")
+    // the three lineitem FK checks FUSE into ONE pass over the fact table
+    // (three left joins on distinct'd dims — no row multiplication — then
+    // conditional orphan sums, unpivoted): the per-check form scanned the
+    // corpus-scale fact three times (r14). Relations/counts/schema
+    // unchanged.
+    val liChecks = lineitem
+      .join(orders.select(col("o_orderkey").as("_pk1")).distinct(),
+        col("l_orderkey") === col("_pk1"), "left")
+      .join(table(spark, dir, "part").select(col("p_partkey").as("_pk2")).distinct(),
+        col("l_partkey") === col("_pk2"), "left")
+      .join(table(spark, dir, "supplier").select(col("s_suppkey").as("_pk3")).distinct(),
+        col("l_suppkey") === col("_pk3"), "left")
+      .agg(count(lit(1)).as("fact_rows"),
+        sum(when(col("_pk1").isNull, 1L).otherwise(0L)).as("o1"),
+        sum(when(col("_pk2").isNull, 1L).otherwise(0L)).as("o2"),
+        sum(when(col("_pk3").isNull, 1L).otherwise(0L)).as("o3"))
+      .select(col("fact_rows"), explode(map(
+        lit("lineitem.l_orderkey->orders"), col("o1"),
+        lit("lineitem.l_partkey->part"), col("o2"),
+        lit("lineitem.l_suppkey->supplier"), col("o3")))
+        .as(Seq("relation", "orphans")))
+      .select(col("relation"), col("fact_rows"),
+        coalesce(col("orphans"), lit(0L)).as("orphans"))
+      .withColumn("ok", col("orphans") === 0L)
     Seq(
       check("orders.o_custkey->customer", orders, "o_custkey",
         customer, "c_custkey"),
-      check("lineitem.l_orderkey->orders", lineitem, "l_orderkey",
-        orders, "o_orderkey"),
-      check("lineitem.l_partkey->part", lineitem, "l_partkey",
-        table(spark, dir, "part"), "p_partkey"),
-      check("lineitem.l_suppkey->supplier", lineitem, "l_suppkey",
-        table(spark, dir, "supplier"), "s_suppkey"),
+      liChecks,
       check("customer.c_nationkey->nation", customer, "c_nationkey",
         nation, "n_nationkey"),
       check("supplier.s_nationkey->nation", table(spark, dir, "supplier"),

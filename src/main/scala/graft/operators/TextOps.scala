@@ -342,9 +342,12 @@ object TextOps {
     val ctx = db.groupBy("w1").agg(sum("tf").as("ctx"))
     val vq = d.select(explode(words(col("text"))).as("x"))
       .agg(countDistinct(col("x")).as("v"))
-    db.join(broadcast(cb), Seq("w1", "w2"))
-      .join(broadcast(ctx), Seq("w1"))
-      .crossJoin(broadcast(vq))
+    // ONE broadcast model table (bigram count + context count + vocab size
+    // pre-joined on vocabulary-sized rows) instead of two broadcast-join
+    // probes plus a crossJoin per corpus row (r14): same counts, same
+    // arithmetic, one hash probe per (doc, bigram) row
+    val model = cb.join(ctx, Seq("w1")).crossJoin(vq)
+    db.join(broadcast(model), Seq("w1", "w2"))
       .withColumn("term",
         (floor(col("tf") * log((col("cb") + 1.0) / (col("ctx") + col("v")))
           * 10000.0 + 0.5) / 10000.0).cast("decimal(18,4)"))
