@@ -335,11 +335,24 @@ object TextOps {
       // filter uniform, cb/ctx reuse db's corpus-scale shuffle instead of
       // re-exploding the corpus twice more
       .filter(col("w1").isNotNull && col("w2").isNotNull)
+    // materialize db (the g7/g8 localCheckpoint discipline): cb and ctx
+    // otherwise each re-run the corpus-scale bigram explode + partial agg
+    // directly over the (reused) spread exchange — three full token passes
+    // per execution (measured: 3 explode stages of ~12 s summed task time
+    // each at sf0.1; a .cache() also collapses them but hides stats from
+    // AQE — the probe's partial agg lost its coalesced input and shuffled
+    // 118k instead of 20k partials). Checkpointed, the explode and its one
+    // corpus shuffle run once, all three consumers read the narrow
+    // (doc_id,w1,w2,tf) blocks, and the AQE-coalesced partitioning is kept.
     val db = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
-    // model counts from the per-doc aggregate (vocabulary-sized input): the
-    // corpus-scale explode is shuffled exactly once and its exchange reused
+      .localCheckpoint()
+    // model counts from the per-doc aggregate (vocabulary-sized input)
     val cb = db.groupBy("w1", "w2").agg(sum("tf").as("cb"))
-    val ctx = db.groupBy("w1").agg(sum("tf").as("ctx"))
+    // ctx from cb, not db: ctx(w1) = Σ_w2 cb(w1,w2) exactly (integer sums),
+    // and the ctx branch then rides cb's exchange reuse — its input shrinks
+    // from the per-doc-scale db rows to the vocabulary²-sized cb rows, and
+    // db's final aggregate runs once less (r14 batch 7)
+    val ctx = cb.groupBy("w1").agg(sum("cb").as("ctx"))
     val vq = d.select(explode(words(col("text"))).as("x"))
       .agg(countDistinct(col("x")).as("v"))
     // ONE broadcast model table (bigram count + context count + vocab size

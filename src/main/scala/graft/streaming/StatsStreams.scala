@@ -580,11 +580,21 @@ object StatsStreams {
     val bi = toks.select(explode(expr(
         "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val cbm = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    // ctx from the (w1,w2) counts, not a second pass over bi: the two model
+    // tables group by DIFFERENT keys, so the corpus-scale explode ran twice
+    // (no shared exchange). ctx(w1) = Σ_w2 cb(w1,w2) exactly (integer
+    // sums); the checkpoint is load-bearing — the optimizer collapses
+    // aggregate-over-aggregate chains back to two direct corpus passes
+    // without it (r14; mirrors the batch lmScore db materialization). The
+    // checkpointed frame is vocabulary²-sized, re-paid only per model
+    // build, and the model swap owns its release.
+    val cbCounts = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .localCheckpoint()
+    val cbm = cbCounts
       .agg(map_from_arrays(
         collect_list(concat_ws(" ", col("w1"), col("w2"))),
         collect_list(col("cb"))).as("cbmap"))
-    val ctxm = bi.groupBy("w1").agg(count(lit(1)).as("ctx"))
+    val ctxm = cbCounts.groupBy("w1").agg(sum("cb").as("ctx"))
       .agg(map_from_arrays(collect_list(col("w1")), collect_list(col("ctx"))).as("ctxmap"))
     val vq = corpus.select(explode(split(col("text"), " ")).as("x"))
       .agg(countDistinct(col("x")).as("v"))
