@@ -409,10 +409,13 @@ object AnnOps {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), approx.as("sim"))
     // |Q|*cand rows, but the lineage is the whole candidate scan and `top`
     // feeds TWO broadcast branches (rerank probe + final score-join), which
-    // cannot share subtrees - uncached the candidate pass ran twice (r14)
+    // cannot share subtrees - unmaterialized the candidate pass ran twice
+    // (r14). localCheckpoint over cache: the checkpoint stores the
+    // AQE-coalesced layout, so the two broadcast collects don't each pay a
+    // 32-task stage over a |Q|*cand frame
     val top = topKPerQuery(cands, cand, Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("sim").as("approx_sim"))
-      .cache()
+      .localCheckpoint()
     val rer = e.select(col("vec_id").as("neighbor_id"), col("embedding"),
         norm(col("embedding")).as("nv"))
       .join(broadcast(top.select("query_id", "neighbor_id")), Seq("neighbor_id"))

@@ -287,16 +287,20 @@ object CurationOps {
     // the unigram/bigram MODEL tables are vocabulary-bounded at any corpus
     // scale and each feeds multiple BROADCAST branches (w1 counts, w2
     // counts, the nw/nb totals) — broadcast branches cannot share subtrees
-    // via exchange reuse, so uncached each branch re-ran the corpus explode
-    // and count (the d18 lesson); one materialization each (r14)
+    // via exchange reuse, so unmaterialized each branch re-ran the corpus
+    // explode and count (the d18 lesson). localCheckpoint, not cache: a
+    // cached plan keeps the full shuffle-partition fan-out (AQE may not
+    // change cached output partitioning), so every consumer stage paid 32
+    // tasks — the checkpoint stores the AQE-coalesced layout (measured:
+    // g9 358 → ~1/10th the consumer tasks, r14)
     val uni = words.select(explode(col("w")).as("t"))
-      .groupBy("t").agg(count(lit(1)).as("ct")).cache()
+      .groupBy("t").agg(count(lit(1)).as("ct")).localCheckpoint()
     val bi = words.select(explode(zip_with(
         slice(col("w"), lit(1), size(col("w")) - 1),
         slice(col("w"), lit(2), size(col("w")) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
       .select(col("p.w1"), col("p.w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("pair_ct")).cache()
+      .groupBy("w1", "w2").agg(count(lit(1)).as("pair_ct")).localCheckpoint()
     val nw = uni.agg(sum("ct").as("nw"))
     val nb = bi.agg(sum("pair_ct").as("nb"))
     val pmi = floor(log(
@@ -796,11 +800,13 @@ object CurationOps {
     */
   def temperatureMix(docs: DataFrame): DataFrame = {
     // source-cardinality model table feeding two broadcast branches (tot,
-    // denom) plus the main chain — uncached each branch re-scanned the
-    // corpus (r14; the g9 model-table pattern)
+    // denom) plus the main chain — unmaterialized each branch re-scanned
+    // the corpus (r14; the g9 model-table pattern). localCheckpoint keeps
+    // the AQE-coalesced layout where a cache pinned 32-partition consumer
+    // stages (s9 was 262 tasks for a source-cardinality frame)
     val perSrc = docs.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
-      sum(ceil(col("n_chars") / 4.0).cast("long")).as("tokens")).cache()
+      sum(ceil(col("n_chars") / 4.0).cast("long")).as("tokens")).localCheckpoint()
     val tot = perSrc.agg(sum("tokens").as("total_tokens"))
     val q = perSrc.crossJoin(broadcast(tot))
       .withColumn("sq",

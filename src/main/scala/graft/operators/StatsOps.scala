@@ -798,8 +798,11 @@ object StatsOps {
   def sourceOverlap(docs: DataFrame): DataFrame = {
     val fps = docs.select(col("source"), md5(col("text")).as("fp")).distinct()
     // source-cardinality; its two broadcast branches each re-derived the
-    // corpus-scale distinct otherwise (r14; the g10 totals pattern)
-    val counts = fps.groupBy("source").agg(count(lit(1)).as("n_fps")).cache()
+    // corpus-scale distinct otherwise (r14; the g10 totals pattern).
+    // localCheckpoint over cache: keeps AQE-coalesced partitioning, so the
+    // broadcast consumers don't pay 32-task stages on a sources-sized frame
+    val counts = fps.groupBy("source").agg(count(lit(1)).as("n_fps"))
+      .localCheckpoint()
     val shared = fps
       .join(fps.select(col("source").as("source_b"), col("fp")), Seq("fp"))
       .filter(col("source") < col("source_b"))

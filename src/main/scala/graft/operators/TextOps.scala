@@ -400,7 +400,7 @@ object TextOps {
     */
   def pplBuckets(d: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = lmScore(d).select(col("doc_id"), col("nll")).cache()
+    val scored = lmScore(d).select(col("doc_id"), col("nll")).localCheckpoint()
     val hist = scored.groupBy(col("nll")).agg(count(lit(1)).as("ct"))
     val all = Window.orderBy(col("nll"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
