@@ -346,11 +346,12 @@ object CurationOps {
         .select(col("source"), col("words")))
       .select(col("source"), explode(DedupOps.shingleExpr(col("words"))).as("sh"))
       .distinct()
-    // NOT cached (r14: tried, measured, reverted): caching `totals` hid
-    // stats from AQE and the shingle self-join lost its runtime broadcast
-    // conversion (1.30→1.82 s, 79→212 tasks, +258k shuffle rows). The two
-    // broadcast branches re-deriving the distinct table cost less than a
-    // de-broadcast-converted self-join.
+    // NOT materialized (r14: cache AND localCheckpoint tried, measured,
+    // reverted): either form de-converts the shingle self-join's runtime
+    // broadcast (cache: 1.30→1.82 s, 79→212 tasks; checkpoint: 1.58→2.19 s,
+    // +258k shuffle rows) — the totals branches' re-derived subtrees are
+    // what AQE stage-reuses to size the self-join's broadcast conversion.
+    // The two branch re-derivations cost less than the lost conversion.
     val totals = sets.groupBy("source").agg(count(lit(1)).as("n_sh"))
     val shared = sets.as("x").join(sets.as("y"),
         col("x.sh") === col("y.sh") && col("x.source") < col("y.source"))

@@ -488,6 +488,12 @@ object StatsOps {
       .select(col("prev_type"), col("event_type").as("next_type"))
       .groupBy("prev_type", "next_type")
       .agg(count(lit(1)).as("ct"))
+      // materialize the event-type²-sized matrix: the totals aggregation
+      // below otherwise collapses through this groupBy and re-runs the
+      // corpus-scale user window a second time in its broadcast branch
+      // (measured: 200k shuffle rows = 2× the events table at sf0.1; the
+      // t13 collapse lesson, r14)
+      .localCheckpoint()
     val totals = trans.groupBy("prev_type").agg(sum("ct").as("row_total"))
     trans.join(broadcast(totals), Seq("prev_type"))
       .withColumn("prob",
