@@ -1088,14 +1088,20 @@ object CurationOps {
     // are identical) — as an aggregated column each model consumer would
     // prune it differently, de-canonicalizing the shared subtree and
     // re-exploding the corpus once per model (the t13 uniform-filter lesson)
+    // localCheckpoint is load-bearing (r14 batch 7): the optimizer
+    // collapses bm's sum-over-count through this groupBy, so without the
+    // materialization the bm broadcast branch re-ran the corpus bigram
+    // explode (measured: 2 explode stages, the branch's 3.2 s agg + 2.6 s
+    // exchange write at sf0.1) — the t13 db discipline
     val db = bi.groupBy("doc_id", "bucket", "is_target")
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     // BOTH models from one bucket-keyed aggregation of the per-doc rows
     // (conditional sum for the target counts): a separate filtered `tgt`
     // frame would push its predicate below the shared exchange and
     // de-canonicalize it, re-exploding the corpus per model — this way the
-    // (doc, bucket) exchange is built once and reused, and the totals
-    // derive from the 1024-row model table, never the corpus
+    // per-doc table is built once, and the totals derive from the 1024-row
+    // model table, never the corpus
     val bm = db.groupBy("bucket").agg(sum("tf").as("cr"),
       sum(when(col("is_target"), col("tf")).otherwise(0L)).as("ct"))
     // totals from a SEPARATE LIGHT corpus pass (Σ tf ≡ Σ (n_words − 1), a

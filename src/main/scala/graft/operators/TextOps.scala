@@ -469,8 +469,18 @@ object TextOps {
           .select(col("doc_id"), isPos.as("is_pos"), col("text")))
       .select(col("doc_id"), col("is_pos"), explode(words(col("text"))).as("word"))
       .filter(col("word").isNotNull)
+    // localCheckpoint is load-bearing (r14 batch 7): the optimizer
+    // collapses the model's sum-over-count through this groupBy, so the
+    // model broadcast branch re-ran the corpus word explode (runtime SQL-
+    // metric dump: 2 explode stages of 270k rows each — the final-plan
+    // text hid the duplicate; the t13/s10 db discipline). Materialized,
+    // the explode and its one corpus shuffle run once and both consumers
+    // (model + scoring probe) read the narrow (doc_id,word,is_pos,tf)
+    // blocks. This also retires the c3 de-canonicalization hazard the
+    // isNotNull note below guards — blocks cannot be filter-split.
     val dw = toks.groupBy("doc_id", "word", "is_pos")
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     // per-class word counts from the per-doc aggregate (vocab-sized):
     // conditional sums keep ONE shared exchange (the s10 bm recipe).
     // |V| rides ON the model rows as an unpartitioned window count — the

@@ -293,15 +293,16 @@ class PlanContractSpec extends SparkSpec {
 
   test("the composed curation capstone keeps t15's single tf explode (c3)") {
     val p = finalPlanOf("c3_curated_train_export")
-    // c3's doc_id join pushes isnotnull(doc_id) into the scoring branch;
-    // without the source-side isNotNull in nbQualityScore that pushed copy
-    // de-canonicalizes the tf subtree and the corpus-scale explode+shuffle
-    // silently DOUBLES (measured +1.3s / +3.9 MB at sf0.1). Exactly one
-    // word-explode may survive; d17's segment explodes are posexplodes and
-    // don't match this pattern.
-    assert(count(p, "Generate explode\\(split\\(text") === 1,
+    // t15's tf table is localCheckpoint-materialized (r14), so its word
+    // explode lives in the checkpointed subtree and must NOT appear in
+    // c3's composed plan at all — a pushed filter can no longer
+    // de-canonicalize and double it (the pre-r14 hazard this contract
+    // originally pinned via the isNotNull discipline). s11's cluster
+    // closure and d17's segment strip keep their own shapes; no word
+    // explode belongs here.
+    assert(count(p, "Generate explode\\(split\\(text") === 0,
       s"c3 re-runs t15's corpus explode:\n$p")
-    assert(count(p, "ReusedExchange") >= 1, s"c3 lost tf exchange reuse:\n$p")
+    assert(count(p, "Scan ExistingRDD") >= 1, s"c3 lost t15's tf blocks:\n$p")
   }
 
   test("the multimodal capstone decodes each modality exactly once (c4)") {
@@ -369,13 +370,16 @@ class PlanContractSpec extends SparkSpec {
     val df = SparkEntry.queries("s10_dsir_weights")(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    // the corpus is exploded into bigrams EXACTLY once: the model table
-    // groups the already doc-aggregated rows through a ReusedExchange and
-    // the totals derive from the 1024-row model, never the corpus
-    assert(count(p, "Generate explode") === 1, s"s10 re-explodes the corpus:\n$p")
-    assert(count(p, "ReusedExchange") >= 1, s"s10 tf exchange not reused:\n$p")
-    // bigram subtree + the light totals projection — never a third pass
-    assert(count(p, "Scan parquet") <= 2, s"s10 corpus scan count drifted:\n$p")
+    // the corpus is exploded into bigrams EXACTLY once — inside the
+    // checkpointed db subtree (r14: the final-plan TEXT hid the bm
+    // branch's re-explode; the SQL-metric dump showed 2 explode stages,
+    // so db is now localCheckpoint-materialized like t13's): the weights
+    // probe and the bm model both read the blocks, and NO explode may
+    // appear in the scoring plan itself
+    assert(count(p, "Generate explode") === 0, s"s10 re-explodes the corpus:\n$p")
+    assert(count(p, "Scan ExistingRDD") >= 2, s"s10 lost the db blocks:\n$p")
+    // the light totals projection — never another corpus pass
+    assert(count(p, "Scan parquet") <= 1, s"s10 corpus scan count drifted:\n$p")
     // 1024-row model + one-row totals join back broadcast, never SMJ
     assert(count(p, "SortMergeJoin") === 0, p)
     assert(count(p, "BroadcastHashJoin") >= 1, p)
@@ -385,13 +389,15 @@ class PlanContractSpec extends SparkSpec {
     val df = SparkEntry.queries("t15_nb_quality")(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    // the corpus explodes into words exactly ONCE — the tf aggregate (the
-    // model groups it through a ReusedExchange, |V| rides the model rows as
-    // a window count); totals ride a no-explode projection — never a
-    // second pass
-    assert(count(p, "Generate explode") === 1, s"t15 re-explodes the corpus:\n$p")
-    assert(count(p, "ReusedExchange") >= 1, s"t15 tf exchange not reused:\n$p")
-    assert(count(p, "Scan parquet") <= 3, s"t15 corpus scan count drifted:\n$p")
+    // the corpus explodes into words exactly ONCE — inside the
+    // checkpointed tf subtree (r14: the model branch's sum-over-count
+    // collapsed through the per-doc groupBy and re-ran the explode; the
+    // final-plan text hid it, the SQL-metric dump showed 2 explode
+    // stages). Model and scoring probe both read the blocks; no explode
+    // may appear in the scoring plan; totals ride a no-explode projection.
+    assert(count(p, "Generate explode") === 0, s"t15 re-explodes the corpus:\n$p")
+    assert(count(p, "Scan ExistingRDD") >= 2, s"t15 lost the tf blocks:\n$p")
+    assert(count(p, "Scan parquet") <= 1, s"t15 corpus scan count drifted:\n$p")
     // vocab-sized model + one-row totals/vocab join back broadcast
     assert(count(p, "SortMergeJoin") === 0, p)
     assert(count(p, "BroadcastHashJoin") >= 1, p)
