@@ -738,7 +738,14 @@ object CurationOps {
     val words = graft.Tables.spread(
         docs.select(col("doc_id"), split(col("text"), " ").as("words")))
       .select(col("doc_id"), explode(col("words")).as("word"))
+    // localCheckpoint is load-bearing (r14 batch 7): dfreq joins back as a
+    // vocab-sized broadcast, and AQE stage reuse does not dedupe the tf
+    // exchange between the probe side and that broadcast branch — the
+    // runtime SQL-metric dump showed the corpus word explode running TWICE
+    // (the t13/t15/s10 lesson). Materialized, both consumers read the
+    // narrow (doc_id, word, tf) blocks.
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("word"))
