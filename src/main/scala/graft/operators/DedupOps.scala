@@ -107,6 +107,13 @@ object DedupOps {
     val docsig = graft.Tables.spread(docShingles(docs)
         .select(Seq(col("doc_id"), col("shset"), col("n")) ++ minhashCols: _*))
       .cache()
+    // eager: the band self-join and both jaccard probe sides consume docsig
+    // through independent broadcast-collect jobs that launch in parallel,
+    // and concurrent first readers of an unmaterialized cache each
+    // re-COMPUTE unstored partitions (measured: four overlapping 32-task
+    // jobs, ~4.9 s of task time where the build itself needs ~2 s at
+    // sf0.1). One count materializes the signature pass exactly once.
+    docsig.count()
     val bandKeys = (0 until NumBands).map(b =>
       concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
     val bands = docsig.select(col("doc_id"),
@@ -127,6 +134,13 @@ object DedupOps {
     */
   def ngramJaccard(docs: DataFrame): DataFrame = {
     val sets = docShingles(docs).select("doc_id", "shset", "n").cache()
+    // eager: the verify step broadcasts sets to BOTH pair sides, and those
+    // two broadcast-collect jobs launch in parallel — concurrent first
+    // readers of an unmaterialized cache each COMPUTE the blocks (BlockManager
+    // stores one copy but the shingle pass runs per reader; measured as two
+    // overlapping ~230 ms build jobs at sf0.1 — a duplicated corpus text
+    // pass at scale). Materializing here makes the build run exactly once.
+    sets.count()
     val ids = docs.select(col("doc_id"))
     val cand = ids
       .select(col("doc_id").as("a"),
@@ -158,9 +172,17 @@ object DedupOps {
     // (round() on doubles is shortest-decimal-string HALF_UP in Spark vs
     // value-based in DuckDB — they disagree near .xxxx5 boundaries).
     val uni = col("na") + col("nb") - col("inter_ct")
+    // broadcast EXPLICITLY: this map-side join-back is the operator's scale
+    // contract (pairs carry only ids; the arrays never ride a shuffle).
+    // With the set table eagerly materialized (the build-race fix), AQE sees
+    // its EXACT in-memory size, and past the 10 MB threshold it flips both
+    // join-backs to SMJ — shuffling a shingle array per pair side (measured
+    // at 10x: 0.5 -> 398 MB shuffle, 26 s). The hint pins the documented
+    // strategy; at set sizes beyond executor memory the posting-list
+    // formulation (containmentPairs' d18 shape) is the swap-in.
     cand
-      .join(sets.select(col("doc_id").as("a"), col("shset").as("sa"), col("n").as("na")), Seq("a"))
-      .join(sets.select(col("doc_id").as("b"), col("shset").as("sb"), col("n").as("nb")), Seq("b"))
+      .join(broadcast(sets.select(col("doc_id").as("a"), col("shset").as("sa"), col("n").as("na"))), Seq("a"))
+      .join(broadcast(sets.select(col("doc_id").as("b"), col("shset").as("sb"), col("n").as("nb"))), Seq("b"))
       .withColumn("inter_ct", graft.functions.IntersectCount(col("sa"), col("sb")))
       .filter(col("inter_ct") > 0)
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("inter_ct"),
@@ -202,6 +224,11 @@ object DedupOps {
     val sets = graft.Tables.spread(
         docShingles(docs).select(col("doc_id"), col("shset"), col("n")))
       .cache()
+    // eager: sets feeds the posting explode AND both join-back sides, whose
+    // jobs launch in parallel — concurrent first readers of an
+    // unmaterialized cache re-compute unstored partitions (the d3/d5 race;
+    // measured here as overlapping partial shingle builds). Build it once.
+    sets.count()
     // the df-filtered POSTING LIST is materialized once: it feeds BOTH sides
     // of the candidate self-join, and at bench scale AQE broadcast-converts
     // that join — no exchanges, so runtime exchange reuse cannot share the
@@ -214,6 +241,9 @@ object DedupOps {
     val rare = post.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, maxDf)).select("sh")
     val kept = post.join(rare, Seq("sh")).cache()
+    // eager for the same reason as sets above: both candidate self-join
+    // sides launch in parallel and would race to build the posting list
+    kept.count()
     val cand = kept.select(col("sh"), col("doc_id").as("a"))
       .join(kept.select(col("sh"), col("doc_id").as("b")), Seq("sh"))
       .filter(col("a") < col("b"))
@@ -223,8 +253,12 @@ object DedupOps {
     val contain =
       floor(col("inter_ct") * 10000.0 / least(col("na"), col("nb")) + 0.5) / 10000.0
     cand
-      .join(sets.select(col("doc_id").as("a"), col("shset").as("sa"), col("n").as("na")), Seq("a"))
-      .join(sets.select(col("doc_id").as("b"), col("shset").as("sb"), col("n").as("nb")), Seq("b"))
+      // broadcast explicitly for the same reason as jaccardOf: the eager
+      // sets materialization exposes exact stats, and past the threshold
+      // AQE would flip these join-backs to SMJs that shuffle the shingle
+      // arrays per pair (measured at 10x: d18 138 -> 301 MB shuffle)
+      .join(broadcast(sets.select(col("doc_id").as("a"), col("shset").as("sa"), col("n").as("na"))), Seq("a"))
+      .join(broadcast(sets.select(col("doc_id").as("b"), col("shset").as("sb"), col("n").as("nb"))), Seq("b"))
       .withColumn("inter_ct", graft.functions.IntersectCount(col("sa"), col("sb")))
       .withColumn("containment", contain)
       .filter(col("containment") >= threshold)
@@ -549,6 +583,11 @@ object DedupOps {
     // the self-join EXPANDS quadratically inside each bucket, so the probe
     // side's split count caps the whole operator (see Tables.spread)
     val bands = graft.Tables.spread(bandsRaw).cache()
+    // eager: both bucket-join sides launch in parallel; concurrent first
+    // readers of an unmaterialized cache re-compute unstored partitions
+    // (the d3/d5 race — measured ~0.6 s of duplicated pack/band work at
+    // sf0.1). One count builds the banded fingerprint table exactly once.
+    bands.count()
     val hamming = (0 until nWords).map(i =>
       bit_count(col(s"aw$i").bitwiseXOR(col(s"bw$i"))))
       .reduce(_ + _)
@@ -646,14 +685,26 @@ object DedupOps {
     * count keys on (doc_a, doc_b) with map-side partials.
     */
   def winnowPairs(docs: DataFrame, minShared: Long = 2, maxDf: Long = 50): DataFrame = {
-    val fps = winnowFingerprints(docs)
+    // the WinnowMins hash pass runs AFTER the spread exchange, so exchange
+    // reuse between fps's two consumers (the df aggregation and the kept
+    // join) shares only the narrow pre-hash rows and the hashing itself ran
+    // once PER consumer (measured: two 32-task stages of ~9.6 s task time
+    // each at sf0.1 — a duplicated corpus hash pass at scale). Cache + eager
+    // count materializes the fingerprint table exactly once — MOSS's "write
+    // the index" step (r14; the t13 re-explode class).
+    val fps = winnowFingerprints(docs).cache()
+    fps.count()
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("fp")
     // materialized once for the same reason as containmentPairs' posting
     // list: under AQE broadcast conversion the self-join's two sides cannot
     // share the subtree via exchange reuse, so without the cache each side
-    // re-ran the winnow scan and the df aggregation (r14 optimization)
+    // re-ran the winnow scan and the df aggregation (r14 optimization).
+    // Eager: the self-join's two sides launch in parallel and concurrent
+    // first readers of an unmaterialized cache re-compute unstored
+    // partitions (the d3/d5 race) — count() builds it once.
     val kept = fps.join(rare, Seq("fp")).cache()
+    kept.count()
     kept.select(col("fp"), col("doc_id").as("doc_a"))
       .join(kept.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
       .filter(col("doc_a") < col("doc_b"))
