@@ -101,7 +101,7 @@ object DedupOps {
     * The per-doc signature+set table is MAP-computed (no shuffle) and cached
     * so the band self-join and both jaccard probe sides reuse it.
     */
-  def minhashLshPairs(docs: DataFrame): DataFrame = {
+  def minhashLshPairs(docs: DataFrame, eager: Boolean = true): DataFrame = {
     // spread: band self-join + per-pair set intersections below expand per
     // row, so the split count of this table caps their parallelism
     val docsig = graft.Tables.spread(docShingles(docs)
@@ -113,7 +113,12 @@ object DedupOps {
     // re-COMPUTE unstored partitions (measured: four overlapping 32-task
     // jobs, ~4.9 s of task time where the build itself needs ~2 s at
     // sf0.1). One count materializes the signature pass exactly once.
-    docsig.count()
+    // eager=false for callers whose pair plan usually never EXECUTES
+    // (nearDupClusters: on a ClusterMemo hit the closure is read from the
+    // memo and this whole subtree is skipped — an unconditional count here
+    // made d10/d11/d20/s11 pay the signature build per INVOCATION, +4.2 MB
+    // shuffle each); a memo miss then pays the build race once per session.
+    if (eager) docsig.count()
     val bandKeys = (0 until NumBands).map(b =>
       concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
     val bands = docsig.select(col("doc_id"),
@@ -287,7 +292,9 @@ object DedupOps {
     * Returns (doc_id, cluster_id); cluster_id = min doc_id in the component.
     */
   def nearDupClusters(docs: DataFrame, threshold: Double, maxIter: Int = 10): DataFrame = {
-    val pairs = minhashLshPairs(docs)
+    // eager=false: on a ClusterMemo hit the pair plan never executes, so an
+    // eager signature build here would be pure waste (see minhashLshPairs)
+    val pairs = minhashLshPairs(docs, eager = false)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"))
     connectedComponents(docs.select(col("doc_id")), pairs, maxIter)
